@@ -1,13 +1,63 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.io.Tables
+import graft.ops.Relational
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private def q(fn: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => fn(Tables(spark, dir))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's demo aggregation (SURVEY.md §2.3 Q3): filter →
+    * group count → percent-of-total.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q4GroupPct(Tables(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"          -> q(Relational.q1Agg),
+    "q2_regex_filter" -> q(Relational.q2RegexFilter),
+    "q3_equi_join"    -> q(Relational.q3EquiJoin),
+    "q4_group_pct"    -> q(Relational.q4GroupPct),
+    "q5_word_count"   -> q(Relational.q5WordCount),
+    "q6_word_total"   -> q(Relational.q6WordTotal),
+    "q7_distinct"     -> q(Relational.q7Distinct),
+    "q8_top_k"        -> q(Relational.q8TopK),
+    "q9_star_join"    -> q(Relational.q9StarJoin),
+    "q10_window"      -> q(Relational.q10Window),
+    "q11_intersect"   -> q(Relational.q11Intersect),
+    "q12_except"      -> q(Relational.q12Except),
+    "q13_semi_join"   -> q(Relational.q13SemiJoin),
+    "q14_anti_join"   -> q(Relational.q14AntiJoin),
+    "q15_rollup"      -> q(Relational.q15Rollup),
+    "q16_events_hourly" -> q(Relational.q16EventsHourly),
+    "q17_sessionize"  -> q(Relational.q17Sessionize),
+    "q18_scalar"      -> q(Relational.q18Scalar),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg"          -> Relational.q1Sql,
+    "q2_regex_filter" -> Relational.q2Sql,
+    "q3_equi_join"    -> Relational.q3Sql,
+    "q4_group_pct"    -> Relational.q4Sql,
+    "q5_word_count"   -> Relational.q5Sql,
+    "q6_word_total"   -> Relational.q6Sql,
+    "q7_distinct"     -> Relational.q7Sql,
+    "q8_top_k"        -> Relational.q8Sql,
+    "q9_star_join"    -> Relational.q9Sql,
+    "q10_window"      -> Relational.q10Sql,
+    "q11_intersect"   -> Relational.q11Sql,
+    "q12_except"      -> Relational.q12Sql,
+    "q13_semi_join"   -> Relational.q13Sql,
+    "q14_anti_join"   -> Relational.q14Sql,
+    "q15_rollup"      -> Relational.q15Sql,
+    "q16_events_hourly" -> Relational.q16Sql,
+    "q17_sessionize"  -> Relational.q17Sql,
+    "q18_scalar"      -> Relational.q18Sql,
+  )
 }

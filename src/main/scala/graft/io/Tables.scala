@@ -1,0 +1,77 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog of the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Reference mapping (SURVEY.md §1.4, §2.1): the reference's only durable
+  * object is an SDFS file of text lines replicated to 4 nodes
+  * (sdfs/src/leader.rs:781-786); a "dataset" is a filename prefix
+  * (sdfs/src/leader.rs:236-239). In Spark-land a dataset is a
+  * directory/glob of files and replication is the storage layer's job, so
+  * `put/get/ls/store` (sdfs/src/main.rs:237-251) collapse into
+  * `spark.read` / `df.write` / catalog listings, which this object fronts.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as a
+    * raw long (spark.sql.legacy.parquet.nanosAsLong=true — set in
+    * Verify/Bench/test sessions). Spark timestamps are microsecond
+    * precision, so truncate ns→µs; DuckDB truncates identically at
+    * sub-second group granularity.
+    */
+  private def withNanosTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  lazy val region: DataFrame = t("region")
+  lazy val nation: DataFrame = t("nation")
+  lazy val customer: DataFrame = t("customer")
+  lazy val supplier: DataFrame = t("supplier")
+  lazy val part: DataFrame = t("part")
+  lazy val orders: DataFrame = t("orders")
+  lazy val lineitem: DataFrame = t("lineitem")
+  lazy val events: DataFrame = withNanosTs(t("events"))
+  lazy val documents: DataFrame = t("documents")
+  lazy val embeddings: DataFrame = t("embeddings")
+}
+
+/** Line/CSV ingestion with the reference's quirks (FIXTURES.md):
+  * UTF-8 BOM before the header, header row whose first cell is literally
+  * `X`, empty-string-as-null convention. Mirrors `put`/`get`
+  * (sdfs/src/client.rs:29-233) as plain reads/writes — replication and
+  * replica failover are delegated to the filesystem.
+  */
+object GraftIO {
+  /** Reference record = one text line (sdfs/src/helpers.rs:36-75). */
+  def readLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** CSV with header; BOM is handled by Spark's UnivocityParser. The
+    * reference never parses records (SURVEY.md §1.3) — columns stay
+    * strings unless inferSchema is requested.
+    */
+  def readCsv(spark: SparkSession, path: String,
+              inferSchema: Boolean = false): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", inferSchema.toString)
+      .csv(path)
+
+  /** `put` analog: durable write, parquet (engine default). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Durable shuffle-output analog of the reference's `{prefix}_{key}`
+    * intermediate files (sdfs/src/helpers.rs:14-20): one directory per
+    * key value via partitioned write.
+    */
+  def writeByKey(df: DataFrame, keyCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(keyCol).parquet(path)
+}

@@ -1,0 +1,364 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables
+
+/** Relational operator surface.
+  *
+  * Covers the reference's entire SQL layer (SURVEY.md §2.3): the regex
+  * filter (`SELECT ALL FROM ds WHERE regex`, sdfs/src/client.rs:505-521),
+  * the equi-join (sdfs/src/client.rs:523-541), and the demo aggregation
+  * queries encoded in the Python executors (Sdemo1/Hdemo1/wordcount
+  * scripts under sdfs/executors) — plus the standard relational operators the
+  * reference lacks (SURVEY.md §2.5) that Spark gives us natively: sorts,
+  * top-k, set ops, windows, rollup, semi/anti joins.
+  *
+  * Determinism-for-oracle notes (these queries are hash-compared against
+  * DuckDB by the driver):
+  *  - double SUMs are order-dependent, so monetary/quantity sums go
+  *    through exact DECIMAL(18,4) accumulation and are cast back to
+  *    double at the end (same expression on the DuckDB side);
+  *  - ratios are single IEEE divisions of exactly-representable values
+  *    (deterministic in any engine);
+  *  - top-k / rank queries carry a total tiebreak order.
+  */
+object Relational {
+
+  /** Exact decimal accumulation of a double column, surfaced as double.
+    * Data has ≤2 decimal places; scale 4 keeps the double→decimal cast
+    * unambiguous in both Spark and DuckDB.
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** TPC-H Q1-style pricing summary: filter → hash aggregate with
+    * map-side partials (the reference's Sdemo1map pre-aggregation
+    * pattern, sdfs/executors/Sdemo1map.py:22-25, done natively by
+    * HashAggregateExec partial/final).
+    */
+  def q1Agg(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("count_order"),
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+          .cast(DoubleType).as("sum_disc_price")
+      )
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")
+
+  /** The reference's `SELECT ALL FROM ds WHERE <regex>`: line-level
+    * `re.search` semantics (sdfs/executors/selectmap.py:4-19). Here the
+    * "line" is the documents.text column; `rlike` is an unanchored
+    * search in both Spark and DuckDB.
+    */
+  def q2RegexFilter(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .filter($"text".rlike("(spark|hash) join"))
+      .select($"doc_id", $"lang", $"n_chars")
+  }
+
+  val q2Sql: String =
+    "SELECT doc_id, lang, n_chars FROM documents WHERE regexp_matches(text, '(spark|hash) join')"
+
+  /** The reference's equi-join (`SELECT ALL FROM d1 d2 WHERE d1.f = d2.f`,
+    * sdfs/src/client.rs:523-541; executors missing from the repo, so the
+    * documented assumption is inner join on string/key equality with
+    * both rows' columns in the output — SURVEY.md §2.3 Q2). The
+    * reference runs 3 MapReduce jobs for this; Catalyst plans a single
+    * shuffled or broadcast hash join.
+    */
+  def q3EquiJoin(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_totalprice", $"c_name", $"c_mktsegment")
+  }
+
+  val q3Sql: String =
+    "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey"
+
+  /** Flagship: the reference's demo query Sdemo1/Hdemo1 (SURVEY.md §2.3
+    * Q3) — filter → group count → per-group percent of the filtered
+    * total (sdfs/executors/Sdemo1reduce.py:20-31). The `%.2f%%`
+    * formatting stays at the presentation edge (see
+    * `TextFormat.percent`); the operator yields the raw ratio. The
+    * grand total is a window over an empty partition spec — one extra
+    * lightweight exchange, no driver-side collect.
+    */
+  def q4GroupPct(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .filter($"l_returnflag" === "R")
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pct",
+        $"cnt" * lit(100.0) / sum($"cnt").over(Window.partitionBy()))
+  }
+
+  val q4Sql: String =
+    """SELECT l_linestatus, count(*) AS cnt,
+      | count(*) * CAST(100 AS DOUBLE) / sum(count(*)) OVER () AS pct
+      |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""".stripMargin.replace("\n", " ")
+
+  /** Word count (sdfs/executors/wordcountmap.py:13-27): per-word counts.
+    * documents.text is space-delimited; split+explode+hash-agg replaces
+    * the reference's one-intermediate-file-per-word shuffle
+    * (sdfs/src/helpers.rs:14-20).
+    */
+  def q5WordCount(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val q5Sql: String =
+    """SELECT word, count(*) AS cnt FROM
+      | (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> '' GROUP BY word""".stripMargin.replace("\n", " ")
+
+  /** Grand-total word count — the reference's wordcountreduce emits only
+    * the total of all per-word counts (sdfs/executors/wordcountreduce.py:15-19).
+    */
+  def q6WordTotal(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .agg(count(lit(1)).as("total_words"))
+  }
+
+  val q6Sql: String =
+    """SELECT count(*) AS total_words FROM
+      | (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''""".stripMargin.replace("\n", " ")
+
+  /** Distinct — implicit in the reference as executor dict keys
+    * (SURVEY.md §2.4).
+    */
+  def q7Distinct(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem.select($"l_returnflag", $"l_linestatus").distinct()
+  }
+
+  val q7Sql: String =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  /** Top-k with a total order (absent from the reference, SURVEY.md
+    * §2.5). TakeOrderedAndProject — no global sort of the full table.
+    */
+  def q8TopK(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select($"o_orderkey", $"o_totalprice")
+  }
+
+  val q8Sql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+
+  /** Star join: revenue per region/nation. Dimension tables broadcast
+    * (nation/region/customer are tiny next to lineitem at any scale
+    * factor where lineitem dominates); fact-side joins shuffle on their
+    * keys and AQE handles skew.
+    */
+  def q9StarJoin(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  val q9Sql: String =
+    """SELECT r_name, n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin.replace("\n", " ")
+
+  /** Window function: top-3 orders per customer by price, totally
+    * ordered tiebreak.
+    */
+  def q10Window(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t.orders
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rnk")
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM
+      | (SELECT o_custkey, o_orderkey, o_totalprice,
+      |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3""".stripMargin.replace("\n", " ")
+
+  /** Set op: customers with both open and finished orders. */
+  def q11Intersect(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val o = t.orders
+    o.filter($"o_orderstatus" === "O").select($"o_custkey")
+      .intersect(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin.replace("\n", " ")
+
+  /** Set op: customers with open orders but no finished ones. */
+  def q12Except(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val o = t.orders
+    o.filter($"o_orderstatus" === "O").select($"o_custkey")
+      .except(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin.replace("\n", " ")
+
+  /** Semi join (EXISTS): customers that have at least one order. */
+  def q13SemiJoin(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.customer
+      .join(t.orders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+  }
+
+  val q13Sql: String =
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+
+  /** Anti join (NOT EXISTS): customers with no orders. */
+  def q14AntiJoin(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.customer
+      .join(t.orders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  val q14Sql: String =
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+
+  /** Rollup aggregation (grouping sets). */
+  def q15Rollup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_quantity").as("sum_qty"))
+  }
+
+  val q15Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin.replace("\n", " ")
+
+  /** Tumbling-window aggregation over the event stream, batch form (the
+    * streaming form with watermarks lives in graft.streaming.Streams).
+    */
+  def q16EventsHourly(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        dsum($"value").as("sum_value")
+      )
+  }
+
+  val q16Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin.replace("\n", " ")
+
+  /** Sessionization, batch form: a session break is a >30min gap per
+    * user (lag window); counts sessions and events per user.
+    */
+  def q17Sessionize(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    t.events
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .groupBy($"user_id")
+      .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val q17Sql: String =
+    """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM
+      | (SELECT user_id, ts,
+      |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |     OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE
+      |   THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |GROUP BY user_id""".stripMargin.replace("\n", " ")
+
+  /** Scalar-function surface (absent from the reference beyond regex,
+    * SURVEY.md §2.5): string/date/math functions on a deterministic
+    * slice.
+    */
+  def q18Scalar(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .filter($"o_orderkey" < 100)
+      .select(
+        $"o_orderkey",
+        upper($"o_orderstatus").as("status_u"),
+        substring($"o_orderpriority", 1, 1).as("prio_code"),
+        concat_ws("-", $"o_orderstatus", $"o_orderpriority").as("status_prio"),
+        year($"o_orderdate").as("order_year"),
+        month($"o_orderdate").as("order_month"),
+        abs($"o_totalprice" - lit(1000.0)).as("price_delta"),
+        length($"o_orderpriority").as("prio_len")
+      )
+  }
+
+  val q18Sql: String =
+    """SELECT o_orderkey, upper(o_orderstatus) AS status_u,
+      | substring(o_orderpriority, 1, 1) AS prio_code,
+      | concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+      | CAST(year(o_orderdate) AS INT) AS order_year,
+      | CAST(month(o_orderdate) AS INT) AS order_month,
+      | abs(o_totalprice - CAST(1000 AS DOUBLE)) AS price_delta,
+      | CAST(length(o_orderpriority) AS INT) AS prio_len
+      |FROM orders WHERE o_orderkey < 100""".stripMargin.replace("\n", " ")
+}
