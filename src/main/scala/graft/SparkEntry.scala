@@ -1,8 +1,13 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
+import graft.dedup.Dedup
 import graft.io.Tables
+import graft.mm.Multimodal
+import graft.mr.MapleJuice
 import graft.ops.Relational
+import graft.sim.Similarity
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -36,6 +41,21 @@ object SparkEntry {
     "q16_events_hourly" -> q(Relational.q16EventsHourly),
     "q17_sessionize"  -> q(Relational.q17Sessionize),
     "q18_scalar"      -> q(Relational.q18Scalar),
+    "q19_json"        -> q(Relational.q19Json),
+    "mj_word_count"   -> q(MapleJuice.wordCount),
+    "dedup_exact"     -> q(Dedup.exact),
+    "dedup_minhash_lsh" -> q(Dedup.minhashLsh),
+    "dedup_simhash"   -> q(Dedup.simhash),
+    "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard),
+    "dedup_embedding" -> q(Similarity.embeddingNearDup),
+    "ann_brute_force" -> q(Similarity.annBruteForce),
+    "ann_lsh"         -> q(Similarity.annLsh),
+    "text_stats"      -> q(TextAnalysis.stats),
+    "text_quality"    -> q(TextAnalysis.quality),
+    "text_lang_id"    -> q(TextAnalysis.langId),
+    "text_fingerprint" -> q(TextAnalysis.fingerprint),
+    "text_token_count" -> q(TextAnalysis.tokenCount),
+    "mm_binary_meta"  -> q(Multimodal.binaryMeta),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -59,5 +79,20 @@ object SparkEntry {
     "q16_events_hourly" -> Relational.q16Sql,
     "q17_sessionize"  -> Relational.q17Sql,
     "q18_scalar"      -> Relational.q18Sql,
+    "q19_json"        -> Relational.q19Sql,
+    "mj_word_count"   -> MapleJuice.wordCountSql,
+    "dedup_exact"     -> Dedup.exactSql,
+    "dedup_minhash_lsh" -> Dedup.minhashSql,
+    "dedup_simhash"   -> Dedup.simhashSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_embedding" -> Similarity.embeddingNearDupSql,
+    "ann_brute_force" -> Similarity.annBruteForceSql,
+    // ann_lsh: recall<1 by construction — rows-only check, no SQL oracle.
+    "text_stats"      -> TextAnalysis.statsSql,
+    "text_quality"    -> TextAnalysis.qualitySql,
+    "text_lang_id"    -> TextAnalysis.langIdSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "text_token_count" -> TextAnalysis.tokenCountSql,
+    "mm_binary_meta"  -> Multimodal.binaryMetaSql,
   )
 }

@@ -1,0 +1,223 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables
+
+/** Deduplication operators for the training-data pipeline surface
+  * (BASELINE.json north_star; not present in the reference, which has no
+  * dedup of any kind — SURVEY.md §2.5).
+  *
+  * Every variant is oracle-checkable: hashing is md5-derived (identical
+  * bytes in Spark and DuckDB), permutations are integer arithmetic, and
+  * thresholds are integer comparisons, so results hash-match across
+  * engines with no float-ordering hazards.
+  *
+  * Scale design (100 TB): all variants are shuffle-on-key pipelines —
+  * shingle/minhash/band maps are narrow, the only wide ops are the
+  * per-key groupBys and the band-bucket self-join, which AQE handles.
+  * Nothing collects to the driver; candidate generation is LSH-style so
+  * the pair space never goes quadratic in the corpus (only within a
+  * band bucket).
+  */
+object Dedup {
+
+  /** 32-bit hash of a string column via md5's first 8 hex chars —
+    * byte-identical in DuckDB (`('0x'||substr(md5(x),1,8))::BIGINT`).
+    */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
+
+  private def sqlH32(x: String): String =
+    s"('0x'||substr(md5($x),1,8))::BIGINT"
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: hash-groupBy on content digest; keeps the smallest
+    * doc_id as canonical representative. One shuffle on a 128-bit key,
+    * map-side partial aggregation — the textbook 100 TB-safe shape.
+    */
+  def exact(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .groupBy(md5($"text".cast(BinaryType)).as("fp"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("copies"))
+      .select($"doc_id", $"copies")
+  }
+
+  val exactSql: String =
+    "SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents GROUP BY md5(text)"
+
+  // -------------------------------------------------------------- minhash
+
+  /** (a,b) coefficients for the k=16 universal-hash permutations
+    * h_i(x) = (a_i*x + b_i) mod P. a_i < 2^20 keeps a_i*x < 2^52: no
+    * 64-bit overflow in either engine.
+    */
+  private val P = 4294967311L // smallest prime > 2^32
+  private val AB: Seq[(Long, Long)] = Seq(
+    (387461L, 1104739L), (452443L, 220301L), (112909L, 913259L),
+    (641087L, 54293L), (322193L, 678341L), (918269L, 131071L),
+    (204803L, 402653L), (561109L, 786433L), (770503L, 24593L),
+    (133807L, 196613L), (489217L, 593251L), (705649L, 49157L),
+    (882377L, 98317L), (247099L, 393241L), (318259L, 786431L),
+    (663163L, 12289L)
+  )
+  private val K = AB.size // 16 minhashes
+  private val BANDS = 4   // 4 bands x 4 rows
+  private val ROWS = K / BANDS
+  private val MIN_MATCHES = 8 // report pairs with est. Jaccard >= 8/16
+
+  /** Char-5-gram shingle set per document (distinct). */
+  private def shingles(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5))"
+      )).as("shingle"))
+      .distinct()
+  }
+
+  /** Per-doc minhash signature: single pass over hashed shingles with K
+    * min() aggregates (no K-way row explosion).
+    */
+  private def signatures(t: Tables): DataFrame = {
+    val hashed = shingles(t).select(col("doc_id"), h32(col("shingle")).as("h"))
+    val aggs = AB.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"m$i")
+    }
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-duplicate pairs: band-bucket join for candidate
+    * generation, then signature agreement count as the similarity
+    * estimate. est_sim = matches/16 is exact in binary (16 = 2^4).
+    */
+  def minhashLsh(t: Tables): DataFrame = {
+    val sig = signatures(t)
+    val bandCols = (0 until BANDS).map { j =>
+      concat_ws("-", (0 until ROWS).map(r => col(s"m${j * ROWS + r}")): _*).as(s"b$j")
+    }
+    val bands = sig.select(col("doc_id") +: bandCols: _*)
+
+    val cand = (0 until BANDS).map { j =>
+      val x = bands.select(col("doc_id").as("doc_a"), col(s"b$j").as("bk"))
+      val y = bands.select(col("doc_id").as("doc_b"), col(s"b$j").as("bk"))
+      x.join(y, x("bk") === y("bk") && x("doc_a") < y("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    }.reduce(_ union _).distinct()
+
+    val sa = sig.toDF("doc_a" +: (0 until K).map(i => s"ma$i"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until K).map(i => s"mb$i"): _*)
+    val matches = (0 until K)
+      .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("matches", matches)
+      .filter(col("matches") >= MIN_MATCHES)
+      .select(col("doc_a"), col("doc_b"),
+        (col("matches") / lit(K.toDouble)).as("est_sim"))
+  }
+
+  val minhashSql: String = {
+    val sigCols = AB.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h*$a+$b)%$P) AS m$i"
+    }.mkString(", ")
+    val bandExprs = (0 until BANDS).map { j =>
+      val cols = (0 until ROWS).map(r => s"m${j * ROWS + r}").mkString(", ")
+      s"concat_ws('-', $cols) AS b$j"
+    }.mkString(", ")
+    val candUnion = (0 until BANDS).map { j =>
+      s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y ON x.b$j = y.b$j AND x.doc_id < y.doc_id"
+    }.mkString(" UNION ")
+    val matchSum = (0 until K)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh AS (SELECT DISTINCT doc_id, substring(text, CAST(r.range AS INT), 5) AS shingle
+       | FROM documents JOIN range(1, 1024) r ON r.range <= greatest(length(text)-4, 1)),
+       |h AS (SELECT doc_id, ${sqlH32("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |bands AS (SELECT doc_id, $bandExprs FROM sig),
+       |cand AS ($candUnion),
+       |m AS (SELECT cand.doc_a, cand.doc_b, ($matchSum) AS matches
+       | FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id JOIN sig sb ON cand.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, matches / CAST($K AS DOUBLE) AS est_sim
+       |FROM m WHERE matches >= $MIN_MATCHES""".stripMargin.replace("\n", " ")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash over the distinct token set: per-bit majority vote.
+    * Single aggregation pass with 32 sum() columns (no 32-way explode).
+    * A tie on a bit yields 0 — deterministic in both engines.
+    */
+  def simhash(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val toks = t.documents
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .distinct()
+      .select($"doc_id", h32($"tok").as("h"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until 32).map(i => sum(expr(s"shiftright(h, $i) & 1")).as(s"s$i"))
+    val fp = (0 until 32)
+      .map(i => when(col(s"s$i") * 2 > col("n"), lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .select($"doc_id", fp.as("simhash"))
+  }
+
+  val simhashSql: String = {
+    val sums = (0 until 32).map(i => s"sum((h>>$i)&1) AS s$i").mkString(", ")
+    val fp = (0 until 32)
+      .map(i => s"CASE WHEN s$i*2 > n THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+       | (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''),
+       |h AS (SELECT doc_id, ${sqlH32("tok")} AS h FROM toks),
+       |agg AS (SELECT doc_id, count(*) AS n, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash FROM agg""".stripMargin.replace("\n", " ")
+  }
+
+  // -------------------------------------------- n-gram Jaccard (exact)
+
+  /** Exact word-5-gram Jaccard pairs with similarity >= 0.1, thresholded
+    * in integer arithmetic (common*10 >= union). Candidate generation is
+    * the gram-bucket join — at scale the gram space is large enough that
+    * only genuinely overlapping docs collide.
+    */
+  def ngramJaccard(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val grams = t.documents
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, greatest(size(split(text, ' '))-4, 1)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+      )).as("gram"))
+      .distinct()
+    val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val ga = grams.toDF("doc_a", "gram")
+    val gb = grams.toDF("doc_b", "gram")
+    val common = ga.join(gb, ga("gram") === gb("gram") && ga("doc_a") < gb("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sz.toDF("doc_a", "na"), "doc_a")
+      .join(sz.toDF("doc_b", "nb"), "doc_b")
+      .filter(col("common") * 10 >= col("na") + col("nb") - col("common"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(toks[CAST(r.range AS INT):CAST(r.range AS INT)+4], ' ') AS gram
+      | FROM d JOIN range(1, 1024) r ON r.range <= greatest(len(toks)-4, 1)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+      |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |WHERE common * 10 >= (x.n + y.n - common)""".stripMargin.replace("\n", " ")
+}

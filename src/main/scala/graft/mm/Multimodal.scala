@@ -1,0 +1,91 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables
+
+/** Multimodal columns: media as opaque `binary` payloads with typed
+  * metadata alongside. The decode step is STUBBED (no image/audio libs
+  * in this container — `decodeStub` is a deterministic fake); the
+  * Spark-side plumbing — schema, per-partition batch processing,
+  * partition sizing — is real and tested.
+  *
+  * At 100 TB the shape matters: payloads stay columnar-binary in
+  * parquet, decode runs per-partition (one library context per task,
+  * not per row), and derived features are small typed columns that
+  * downstream filters/joins push down on, so the wide binary column is
+  * pruned away unless actually needed.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
+                                width: Int, height: Int, sig: Long)
+
+  /** STUB: stands in for an image/audio decoder. Deterministic in the
+    * payload bytes so tests are stable. A real deployment swaps this
+    * for e.g. a JNI/ImageIO decode with the same signature.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int) = {
+    var h = 1125899906842597L // FNV-ish fold, deterministic
+    var i = 0
+    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+    val w = (math.floorMod(h, 1920) + 1).toInt
+    val ht = (math.floorMod(h >> 21, 1080) + 1).toInt
+    (w, ht)
+  }
+
+  /** Feature extraction over binary payloads: mapPartitions so decoder
+    * state is per-task (the Scala analog of a batched pandas UDF —
+    * one batch of rows per invocation, vectorizable decode inside).
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    implicit val enc: org.apache.spark.sql.Encoder[MediaFeature] =
+      Encoders.product[MediaFeature]
+    media.mapPartitions { rows =>
+      // per-partition decoder context would initialize here
+      rows.map { r =>
+        val (w, h) = decodeStub(r.payload)
+        var sig = 0L
+        val n = math.min(r.payload.length, 64)
+        var i = 0
+        while (i < n) { sig = sig * 131 + (r.payload(i) & 0xff); i += 1 }
+        MediaFeature(r.media_id, r.kind, r.payload.length, w, h, sig)
+      }
+    }
+  }
+
+  /** Synthesizes a media table from documents (text bytes as payload) —
+    * the container has no real media, but the pipeline is the real one.
+    */
+  def mediaFromDocuments(t: Tables): Dataset[MediaRow] = {
+    import t.spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[MediaRow] =
+      Encoders.product[MediaRow]
+    t.documents
+      .select($"doc_id".as("media_id"), $"source".as("kind"),
+        $"text".cast(BinaryType).as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Oracle-checkable slice of the plumbing: typed metadata computed
+    * from the binary payload with engine-portable functions (octet
+    * length, content digest, header hex prefix).
+    */
+  def binaryMeta(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents.select(
+      $"doc_id",
+      octet_length($"text").as("n_bytes"),
+      md5($"text".cast(BinaryType)).as("payload_md5"),
+      substring(hex($"text".cast(BinaryType)), 1, 16).as("header_hex"))
+  }
+
+  val binaryMetaSql: String =
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+      | md5(text) AS payload_md5,
+      | substr(hex(CAST(text AS BLOB)), 1, 16) AS header_hex
+      |FROM documents""".stripMargin.replace("\n", " ")
+}

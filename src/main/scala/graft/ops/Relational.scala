@@ -352,6 +352,23 @@ object Relational {
       )
   }
 
+  /** Semi-structured extraction: JSON property access on the events
+    * props column (nested data — absent from the reference, SURVEY.md
+    * §1.1 "no nested structure").
+    */
+  def q19Json(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .filter($"event_type" === "purchase")
+      .select(
+        $"event_id", $"user_id",
+        get_json_object($"props", "$.k").cast(IntegerType).as("k_val"))
+  }
+
+  val q19Sql: String =
+    """SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+      |FROM events WHERE event_type = 'purchase'""".stripMargin.replace("\n", " ")
+
   val q18Sql: String =
     """SELECT o_orderkey, upper(o_orderstatus) AS status_u,
       | substring(o_orderpriority, 1, 1) AS prio_code,

@@ -1,0 +1,149 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables
+
+/** Similarity search over the embeddings table (`Array[Float]`, 64-dim).
+  *
+  * Dot products are computed as a sequential left fold in double
+  * precision (zip_with + aggregate); DuckDB's list_dot_product over
+  * DOUBLE[] accumulates identically, so cosine values are bitwise equal
+  * across engines and can be hash-compared raw.
+  *
+  * Scale path: brute force is the correctness baseline (O(Q·N·d),
+  * shuffle-free after the broadcast); the LSH-bucketed variant
+  * (random-hyperplane signatures → bucket join) bounds the candidate
+  * set per probe and is the 100 TB design — see `annLsh`.
+  */
+object Similarity {
+
+  /** Sequential double-precision dot product of two array<double> cols. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def withNorm(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val e = t.embeddings.select(
+      $"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    e.withColumn("nrm", sqrt(dot($"v", $"v")))
+  }
+
+  private val dotSql =
+    "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+
+  /** Embedding-cosine near-duplicate pairs, label-blocked (the blocking
+    * key stands in for the coarse quantizer an IVF index would use at
+    * scale: candidate pairs only form within a block, never across the
+    * full corpus).
+    */
+  def embeddingNearDup(t: Tables): DataFrame = {
+    val e = withNorm(t)
+    val a = e.select(col("vec_id").as("id_a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, a("label") === b("label_b") && a("id_a") < b("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("id_a"), col("id_b"), col("label"), col("cos"))
+  }
+
+  val embeddingNearDupSql: String = {
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val na = "sqrt(" + dotSql.format("a.embedding", "a.embedding") + ")"
+    val nb = "sqrt(" + dotSql.format("b.embedding", "b.embedding") + ")"
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       | $d / ($na * $nb) AS cos
+       |FROM embeddings a JOIN embeddings b
+       | ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $d / ($na * $nb) >= 0.3""".stripMargin.replace("\n", " ")
+  }
+
+  /** Brute-force cosine top-k: the correctness baseline for ANN. Probe
+    * set = vec_id % 13 == 0; k = 5; total-order tiebreak on cand_id.
+    */
+  def annBruteForce(t: Tables): DataFrame = {
+    val e = withNorm(t)
+    val probes = e.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
+  }
+
+  val annBruteForceSql: String = {
+    val d = dotSql.format("p.embedding", "c.embedding")
+    val np = "sqrt(" + dotSql.format("p.embedding", "p.embedding") + ")"
+    val nc = "sqrt(" + dotSql.format("c.embedding", "c.embedding") + ")"
+    s"""SELECT probe_id, cand_id, rnk, cos FROM (
+       | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |  $d / ($np * $nc) AS cos,
+       |  row_number() OVER (PARTITION BY p.vec_id
+       |   ORDER BY $d / ($np * $nc) DESC, c.vec_id ASC) AS rnk
+       | FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+       | WHERE p.vec_id % 13 = 0)
+       |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
+  }
+
+  /** LSH-bucketed ANN — the scale path. Multi-table random-hyperplane
+    * LSH: TABLES independent hash tables of PLANES sign-bits each
+    * (hyperplane components derived deterministically from md5, zero
+    * data-dependent state); a candidate is any vector sharing a bucket
+    * with the probe in at least one table. Recall < 1 by construction,
+    * so this entry is rows-only checked (no SQL oracle): the semantics
+    * guarantee is "every reported neighbor's cosine is genuine", not
+    * "all top-k found". More tables → recall; more planes → smaller
+    * buckets. At 100 TB the bucket joins replace the quadratic
+    * probe×corpus product with |bucket|-bounded work per table.
+    */
+  def annLsh(t: Tables): DataFrame = {
+    val TABLES = 6
+    val PLANES = 6
+    val e = withNorm(t)
+    // bucket id for table tb: 6 sign bits of md5-seeded hyperplane dots
+    def bucket(tb: Int): Column = (0 until PLANES).map { j =>
+      val seed = tb * PLANES + j
+      // sum_i v[i] * w_ji  with  w_ji = (h32(seed:i) / 2^32) - 0.5
+      val proj = aggregate(
+        zip_with(col("v"),
+          expr(s"transform(sequence(0, 63), i -> " +
+            s"conv(substring(md5(cast(concat('$seed:', i) as binary)), 1, 8), 16, 10) / 4294967296.0 - 0.5)"),
+          (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << j)).otherwise(0)
+    }.reduce(_ + _)
+
+    val withBuckets = e.select(
+      col("vec_id") +: col("v") +: col("nrm") +:
+        (0 until TABLES).map(tb => bucket(tb).as(s"bk$tb")): _*)
+
+    val cand = (0 until TABLES).map { tb =>
+      val p = withBuckets.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("probe_id"), col(s"bk$tb").as("bk"))
+      val c = withBuckets.select(col("vec_id").as("cand_id"), col(s"bk$tb").as("bk"))
+      p.join(c, p("bk") === c("bk") && p("probe_id") =!= c("cand_id"))
+        .select(col("probe_id"), col("cand_id"))
+    }.reduce(_ union _).distinct()
+
+    val probes = withBuckets.select(col("vec_id").as("probe_id"),
+      col("v").as("vp"), col("nrm").as("np"))
+    val cands = withBuckets.select(col("vec_id").as("cand_id"),
+      col("v").as("vc"), col("nrm").as("nc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    cand.join(probes, "probe_id").join(cands, "cand_id")
+      .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
+  }
+}

@@ -1,0 +1,169 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (BASELINE.json north_star). Deterministic across engines: token
+  * statistics are integers, ratios are single IEEE divisions, quality
+  * gates are integer comparisons, fingerprints are md5.
+  */
+object TextAnalysis {
+
+  /** Per-document token statistics: counts are one explode + hash-agg
+    * (map-side combinable); ratios derived afterward.
+    */
+  def stats(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        countDistinct($"tok").as("n_distinct_words"),
+        sum(length($"tok")).as("sum_len"),
+        sum(when($"tok".isin("the", "a", "of", "and", "is"), 1).otherwise(0)).as("stop_cnt")
+      )
+      .select(
+        $"doc_id", $"n_words", $"n_distinct_words",
+        ($"sum_len".cast(DoubleType) / $"n_words").as("avg_word_len"),
+        ($"stop_cnt".cast(DoubleType) / $"n_words").as("stop_ratio")
+      )
+  }
+
+  val statsSql: String =
+    """SELECT doc_id, n_words, n_distinct_words,
+      | CAST(sum_len AS DOUBLE) / n_words AS avg_word_len,
+      | CAST(stop_cnt AS DOUBLE) / n_words AS stop_ratio
+      |FROM (SELECT doc_id, count(*) AS n_words, count(DISTINCT tok) AS n_distinct_words,
+      |  sum(length(tok)) AS sum_len,
+      |  sum(CASE WHEN tok IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS stop_cnt
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      | WHERE tok <> '' GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
+  /** Quality gate: three integer-arithmetic checks (length band,
+    * stopword-ratio band, mean-word-length band) summed to a 0-3 score;
+    * pass = score >= 2. The kind of cheap filter a 100 TB corpus gets
+    * before anything expensive runs.
+    */
+  def quality(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val base = t.documents
+      .select($"doc_id", $"n_chars", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id", $"n_chars")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length($"tok")).as("sum_len"),
+        sum(when($"tok".isin("the", "a", "of", "and", "is"), 1).otherwise(0)).as("stop_cnt")
+      )
+    base.select(
+      $"doc_id",
+      (when($"n_chars".between(100, 500), 1).otherwise(0) +
+        when($"stop_cnt" * 20 >= $"n_words" && $"stop_cnt" * 2 <= $"n_words", 1).otherwise(0) +
+        when($"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 8, 1).otherwise(0)
+      ).as("q_score")
+    ).withColumn("q_pass", col("q_score") >= 2)
+  }
+
+  val qualitySql: String =
+    """SELECT doc_id,
+      | (CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END +
+      |  CASE WHEN stop_cnt * 20 >= n_words AND stop_cnt * 2 <= n_words THEN 1 ELSE 0 END +
+      |  CASE WHEN sum_len >= n_words * 3 AND sum_len <= n_words * 8 THEN 1 ELSE 0 END) AS q_score,
+      | (CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END +
+      |  CASE WHEN stop_cnt * 20 >= n_words AND stop_cnt * 2 <= n_words THEN 1 ELSE 0 END +
+      |  CASE WHEN sum_len >= n_words * 3 AND sum_len <= n_words * 8 THEN 1 ELSE 0 END) >= 2 AS q_pass
+      |FROM (SELECT doc_id, n_chars, count(*) AS n_words, sum(length(tok)) AS sum_len,
+      |  sum(CASE WHEN tok IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS stop_cnt
+      | FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok FROM documents)
+      | WHERE tok <> '' GROUP BY doc_id, n_chars)""".stripMargin.replace("\n", " ")
+
+  /** Stopword-marker language ID with a fixed precedence (en > es > fr >
+    * de) on score ties — the classic cheap n-gram/marker heuristic.
+    */
+  def langId(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val markers = Map(
+      "en" -> Seq("the", "a", "and", "of", "is"),
+      "es" -> Seq("el", "la", "de", "y", "es"),
+      "fr" -> Seq("le", "une", "et", "est", "dans"),
+      "de" -> Seq("der", "die", "das", "und", "ist"))
+    val scored = t.documents
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"tok".isin(markers("en"): _*), 1).otherwise(0)).as("s_en"),
+        sum(when($"tok".isin(markers("es"): _*), 1).otherwise(0)).as("s_es"),
+        sum(when($"tok".isin(markers("fr"): _*), 1).otherwise(0)).as("s_fr"),
+        sum(when($"tok".isin(markers("de"): _*), 1).otherwise(0)).as("s_de")
+      )
+    scored.select(
+      $"doc_id",
+      when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_de", "en")
+        .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_de", "es")
+        .when($"s_fr" >= $"s_de", "fr")
+        .otherwise("de").as("pred_lang"),
+      $"s_en", $"s_es", $"s_fr", $"s_de")
+  }
+
+  val langIdSql: String =
+    """SELECT doc_id,
+      | CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |  WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+      |  WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang,
+      | s_en, s_es, s_fr, s_de
+      |FROM (SELECT doc_id,
+      |  sum(CASE WHEN tok IN ('the','a','and','of','is') THEN 1 ELSE 0 END) AS s_en,
+      |  sum(CASE WHEN tok IN ('el','la','de','y','es') THEN 1 ELSE 0 END) AS s_es,
+      |  sum(CASE WHEN tok IN ('le','une','et','est','dans') THEN 1 ELSE 0 END) AS s_fr,
+      |  sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS s_de
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      | WHERE tok <> '' GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set — the OpenRefine-style "fingerprint" normalization; docs that
+    * are token-set permutations of each other collide.
+    */
+  def fingerprint(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents.select(
+      $"doc_id",
+      md5(array_join(
+        array_sort(filter(array_distinct(split($"text", " ")), x => x =!= "")),
+        " ").cast(BinaryType)).as("fp"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      | md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+      |FROM documents""".stripMargin.replace("\n", " ")
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * ([a-z0-9]+ maximal runs) — the usual pre-tokenizer size estimate.
+    */
+  def tokenCount(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents.select(
+      $"doc_id",
+      size(filter(split($"text", " "), x => x =!= "")).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_re_tokens"))
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens
+      |FROM documents""".stripMargin.replace("\n", " ")
+
+  /** Presentation-edge formatting used by reference-parity goldens
+    * (Sdemo1reduce.py:29-31 emits "{:.2f}%"). Kept out of operator
+    * output schemas: Java and C printf disagree on midpoint rounding.
+    */
+  def percent(ratio: Double): String = f"${ratio * 100}%.2f%%"
+}
