@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference has no streaming at all
+  * (SURVEY.md §2.5); these are the streaming forms of the batch
+  * operators in graft.ops.Relational (q16 hourly windows, q17
+  * sessionization), built on watermarked event time so state is bounded
+  * on an unbounded 100 TB/day stream: late data beyond the watermark is
+  * dropped and window/session state is evicted, never accumulated
+  * forever.
+  */
+object Streams {
+
+  final case class Evt(user_id: Long, event_type: String, ts: Timestamp, value: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long)
+
+  /** Tumbling 1-hour windowed counts with a 1-hour watermark — the
+    * streaming twin of Relational.q16EventsHourly. Works on any
+    * DataFrame with (ts, event_type, value), batch or streaming.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("cnt"), col("sum_value"))
+  }
+
+  /** Event-time sessionization with explicit state: sessions close after
+    * `gapMinutes` of per-user silence (state timeout = watermark-driven
+    * eviction). The streaming twin of Relational.q17Sessionize.
+    */
+  def sessionize(events: Dataset[Evt], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    implicit val outEnc: org.apache.spark.sql.Encoder[SessionOut] =
+      Encoders.product[SessionOut]
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Timestamp, Timestamp, Long)] =
+      Encoders.tuple(Encoders.TIMESTAMP, Encoders.TIMESTAMP, Encoders.scalaLong)
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Timestamp, Timestamp, Long), SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Evt],
+         state: GroupState[(Timestamp, Timestamp, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator(SessionOut(userId, start, last, n))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some((start, last, n)) if e.ts.getTime - last.getTime <= gapMs =>
+                  cur = Some((start, e.ts, n + 1))
+                case Some((start, last, n)) =>
+                  out ::= SessionOut(userId, start, last, n)
+                  cur = Some((e.ts, e.ts, 1L))
+                case None =>
+                  cur = Some((e.ts, e.ts, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s._2.getTime + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+class DedupSpec extends SparkSuite {
+
+  /** Constructed corpus: docs 1 and 2 identical; 3 is a near-dup of 1
+    * (one word changed); 4 unrelated.
+    */
+  private lazy val t = {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    tempTables { dir =>
+      Seq(
+        (1L, base, "en", "src0", base.length.toLong),
+        (2L, base, "en", "src0", base.length.toLong),
+        (3L, base.replace("lazy", "sleepy"), "en", "src0", base.length.toLong + 2),
+        (4L, "completely different words about spark shuffles and columnar storage", "en", "src1", 68L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+  }
+
+  test("exact dedup collapses identical texts to min doc_id") {
+    val rows = Dedup.exact(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) == 2)  // docs 1+2 collapsed, representative = 1
+    assert(rows(3L) == 1 && rows(4L) == 1)
+    assert(!rows.contains(2L))
+  }
+
+  test("minhash LSH finds the identical and near-dup pairs, not the unrelated one") {
+    val pairs = Dedup.minhashLsh(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)           // identical → all 16 minhashes agree
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup caught
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical texts get identical fingerprints; unrelated differ") {
+    val fp = Dedup.simhash(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(4L))
+  }
+
+  test("ngram jaccard: identical pair at 1.0, near-dup lower but present") {
+    val rows = Dedup.ngramJaccard(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows((1L, 2L)) == 1.0)
+    assert(rows.get((1L, 3L)).exists(j => j > 0.1 && j < 1.0))
+    assert(!rows.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("fingerprint: token-set permutations collide, different sets do not") {
+    import spark.implicits._
+    val t2 = tempTables { dir =>
+      Seq(
+        (1L, "alpha beta gamma", "en", "s", 16L),
+        (2L, "gamma alpha beta alpha", "en", "s", 22L), // same token set
+        (3L, "alpha beta delta", "en", "s", 16L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val fp = TextAnalysis.fingerprint(t2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.io.Tables
+import graft.mm.Multimodal
+
+class MultimodalSpec extends SparkSuite {
+
+  private lazy val t = {
+    spark.sparkContext.setLogLevel("WARN")
+    Tables(spark, "/root/testdata/sf0.001")
+  }
+
+  test("feature extraction is deterministic and schema-complete") {
+    val media = Multimodal.mediaFromDocuments(t)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == t.documents.count())
+    assert(f1.forall(f => f.width >= 1 && f.width <= 1920))
+    assert(f1.forall(f => f.height >= 1 && f.height <= 1080))
+  }
+
+  test("payload byte count survives the binary round-trip") {
+    import org.apache.spark.sql.functions._
+    val meta = Multimodal.binaryMeta(t)
+      .select(col("doc_id"), col("n_bytes")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chars = t.documents.select(col("doc_id"), length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(meta == chars) // ASCII text: bytes == chars
+  }
+
+  test("decode stub: stable width/height for same payload, varied across payloads") {
+    val a = Multimodal.decodeStub("payload-a".getBytes)
+    val b = Multimodal.decodeStub("payload-b".getBytes)
+    assert(a == Multimodal.decodeStub("payload-a".getBytes))
+    assert(a != b)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Relational
+
+/** Spot checks on sf0.001. Deep value correctness is the driver's
+  * DuckDB-oracle compare (tools/check.py locally); these assert
+  * structural invariants cheaply.
+  */
+class RelationalSpec extends SparkSuite {
+  private val SF = "/root/testdata/sf0.001"
+  private lazy val t = { spark.sparkContext.setLogLevel("WARN"); Tables(spark, SF) }
+
+  test("q1_agg groups cover all flag/status pairs") {
+    val rows = Relational.q1Agg(t).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
+
+  test("q4_group_pct percentages sum to 100") {
+    val pcts = Relational.q4GroupPct(t).collect().map(_.getDouble(2))
+    assert(math.abs(pcts.sum - 100.0) < 1e-9)
+  }
+
+  test("q5 word count total equals q6 grand total") {
+    val perWord = Relational.q5WordCount(t).agg(sum("cnt")).head.getLong(0)
+    val total = Relational.q6WordTotal(t).head.getLong(0)
+    assert(perWord == total)
+  }
+
+  test("q8 top-k is sorted desc and sized k") {
+    val rows = Relational.q8TopK(t).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q11/q12 partition the open-order customers") {
+    val open = t.orders.filter(col("o_orderstatus") === "O")
+      .select("o_custkey").distinct().count()
+    val both = Relational.q11Intersect(t).count()
+    val onlyOpen = Relational.q12Except(t).count()
+    assert(both + onlyOpen == open)
+  }
+
+  test("q13 semi + q14 anti partition customers") {
+    assert(Relational.q13SemiJoin(t).count() + Relational.q14AntiJoin(t).count()
+      == t.customer.count())
+  }
+
+  test("q15 rollup has grand-total row matching lineitem count") {
+    val grand = Relational.q15Rollup(t)
+      .filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      .head.getLong(2)
+    assert(grand == t.lineitem.count())
+  }
+
+  test("q17 session counts are at least 1 per active user") {
+    val rows = Relational.q17Sessionize(t).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkSuite {
+
+  /** Constructed embeddings: id 0 is a probe (0 % 13 == 0); id 1 is an
+    * exact duplicate of 0; id 2 is close; id 3 orthogonal; id 4
+    * opposite. Vectors are 64-dim.
+    */
+  private lazy val t = {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(64)(f)
+    val base = vec(i => if (i == 0) 1f else 0.01f * i)
+    val close = vec(i => if (i == 0) 0.9f else 0.011f * i)
+    val ortho = vec(i => if (i == 1) 1f else 0f)
+    val anti = base.map(-_)
+    tempTables { dir =>
+      Seq(
+        (0L, base, 0), (1L, base, 0), (2L, close, 0), (3L, ortho, 1), (4L, anti, 1)
+      ).toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+    }
+  }
+
+  test("brute-force top-k ranks exact dup first, close second, anti last") {
+    val rows = Similarity.annBruteForce(t).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getInt(2))
+    assert(rows.map(_.getLong(1)).take(2).toSeq == Seq(1L, 2L))
+    assert(rows.head.getDouble(3) > 0.9999999)     // cos(dup) == 1
+    assert(rows.last.getLong(1) == 4L)             // anti-parallel ranked last
+    assert(rows.last.getDouble(3) < -0.9999999)
+  }
+
+  test("near-dup pairs: dup + close found within label block, ortho not") {
+    val pairs = Similarity.embeddingNearDup(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("LSH ANN reports only genuine cosines (subset check vs brute force)") {
+    val bf = Similarity.annBruteForce(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.annLsh(t).collect()
+    // every LSH-reported (probe, cand) cosine must equal the true cosine
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bf.get(key).foreach(c => assert(c == r.getDouble(3)))
+    }
+    // the exact duplicate collides in every table → must be found
+    assert(lsh.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Relational
+import graft.streaming.Streams
+import graft.streaming.Streams.Evt
+
+class StreamingSpec extends SparkSuite {
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  test("streaming hourly counts emit finalized windows after watermark passes") {
+    import spark.implicits._
+    withLogLevel {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Evt]
+      val q = Streams.hourlyCounts(input.toDF())
+        .writeStream.format("memory").queryName("hourly")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          Evt(1, "click", ts(5), 1.0),
+          Evt(2, "click", ts(20), 2.0),
+          Evt(1, "view", ts(30), 3.0))
+        q.processAllAvailable()
+        // advance event time 3 hours → watermark passes hour-0 window end
+        input.addData(Evt(1, "click", ts(180), 1.0))
+        q.processAllAvailable()
+        input.addData(Evt(1, "click", ts(200), 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("hourly").collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        assert(rows.contains((ts(0), "click", 2L, 3.0)))
+        assert(rows.contains((ts(0), "view", 1L, 3.0)))
+      } finally q.stop()
+    }
+  }
+
+  test("streaming sessionization closes sessions on gap timeout") {
+    import spark.implicits._
+    withLogLevel {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Evt]
+      val q = Streams.sessionize(input.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append").start()
+      try {
+        input.addData(Evt(7, "click", ts(0), 1.0), Evt(7, "click", ts(10), 1.0))
+        q.processAllAvailable()
+        input.addData(Evt(7, "click", ts(120), 1.0)) // 110-min gap → new session
+        q.processAllAvailable()
+        input.addData(Evt(8, "click", ts(300), 1.0)) // push watermark forward
+        q.processAllAvailable()
+        input.addData(Evt(8, "click", ts(400), 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("sessions").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        assert(rows.contains((7L, ts(0), ts(10), 2L)))   // first session: 2 events
+        assert(rows.contains((7L, ts(120), ts(120), 1L))) // second session closed later
+      } finally q.stop()
+    }
+  }
+
+  test("batch and streaming hourly aggregations agree on the events table") {
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      // hourlyCounts works on a batch DF too (same plan, no watermark effect)
+      val fromStreamsCode = Streams.hourlyCounts(t.events)
+        .select(col("hour"), col("event_type"), col("cnt"), col("sum_value"))
+      val fromBatch = Relational.q16EventsHourly(t)
+      assert(fromStreamsCode.exceptAll(fromBatch).isEmpty &&
+        fromBatch.exceptAll(fromStreamsCode).isEmpty)
+    }
+  }
+}
