@@ -70,14 +70,20 @@ object Dedup {
   private val ROWS = K / BANDS
   private val MIN_MATCHES = 8 // report pairs with est. Jaccard >= 8/16
 
-  /** Char-5-gram shingle set per document (distinct). */
+  /** Char-5-gram shingle set per document (distinct). The testdata
+    * documents table is a single parquet file = one input split, so the
+    * explode would otherwise run on one core; repartition first (at
+    * real scale the input arrives pre-split and this is a no-op cost).
+    */
   private def shingles(t: Tables): DataFrame = {
     import t.spark.implicits._
+    // No distinct: min() over the shingle multiset equals min() over the
+    // set, so dedup would only add a 200x-rows shuffle for nothing.
     t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5))"
       )).as("shingle"))
-      .distinct()
   }
 
   /** Per-doc minhash signature: single pass over hashed shingles with K
@@ -96,18 +102,29 @@ object Dedup {
     * estimate. est_sim = matches/16 is exact in binary (16 = 2^4).
     */
   def minhashLsh(t: Tables): DataFrame = {
-    val sig = signatures(t)
-    val bandCols = (0 until BANDS).map { j =>
-      concat_ws("-", (0 until ROWS).map(r => col(s"m${j * ROWS + r}")): _*).as(s"b$j")
+    // The signature table feeds the band join twice per band plus both
+    // sides of the agreement count — without an explicit persist Spark
+    // recomputes the whole shingle+md5+agg pipeline per branch (10 times
+    // here). Signatures are K longs per doc: tiny relative to the
+    // corpus, so materializing is the 100 TB-correct call too.
+    val sig = signatures(t).persist()
+    // One bucket table keyed by (band, key) → a single self-join covers
+    // all bands (vs one join per band: fewer stages, one shuffle, and
+    // the classic LSH bucket-table shape that scales).
+    val bandStructs = (0 until BANDS).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws("-", (0 until ROWS).map(r => col(s"m${j * ROWS + r}")): _*).as("key"))
     }
-    val bands = sig.select(col("doc_id") +: bandCols: _*)
+    val buckets = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
 
-    val cand = (0 until BANDS).map { j =>
-      val x = bands.select(col("doc_id").as("doc_a"), col(s"b$j").as("bk"))
-      val y = bands.select(col("doc_id").as("doc_b"), col(s"b$j").as("bk"))
-      x.join(y, x("bk") === y("bk") && x("doc_a") < y("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-    }.reduce(_ union _).distinct()
+    val x = buckets.toDF("doc_a", "band", "key")
+    val y = buckets.toDF("doc_b", "band", "key")
+    val cand = x.join(y, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
 
     val sa = sig.toDF("doc_a" +: (0 until K).map(i => s"ma$i"): _*)
     val sb = sig.toDF("doc_b" +: (0 until K).map(i => s"mb$i"): _*)
@@ -156,6 +173,7 @@ object Dedup {
   def simhash(t: Tables): DataFrame = {
     import t.spark.implicits._
     val toks = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .filter($"tok" =!= "")
       .distinct()
@@ -191,11 +209,13 @@ object Dedup {
   def ngramJaccard(t: Tables): DataFrame = {
     import t.spark.implicits._
     val grams = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, greatest(size(split(text, ' '))-4, 1)), " +
           "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
       )).as("gram"))
       .distinct()
+      .persist() // feeds size agg + both join sides; avoid 3x recompute
     val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val ga = grams.toDF("doc_a", "gram")
     val gb = grams.toDF("doc_b", "gram")

@@ -27,9 +27,15 @@ object Similarity {
 
   private def withNorm(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val e = t.embeddings.select(
-      $"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
-    e.withColumn("nrm", sqrt(dot($"v", $"v")))
+    // repartition: the testdata table is one parquet file = one input
+    // split; pair-join work must spread across cores.
+    val e = t.embeddings
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    // both sides of every pair join read this — persist (vectors+norm
+    // are 65 doubles/row; at 100 TB-corpus scale this is the normalized
+    // projection you'd materialize once anyway)
+    e.withColumn("nrm", sqrt(dot($"v", $"v"))).persist()
   }
 
   private val dotSql =
@@ -109,34 +115,44 @@ object Similarity {
     val TABLES = 6
     val PLANES = 6
     val e = withNorm(t)
-    // bucket id for table tb: 6 sign bits of md5-seeded hyperplane dots
+    // Hyperplane weights are data-independent: derive them from md5 ONCE
+    // on the driver and embed as array literals — never per row.
+    def hyperplane(seed: Int): Seq[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 64).map { i =>
+        val d = md.digest(s"$seed:$i".getBytes("UTF-8"))
+        val h32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        h32 / 4294967296.0 - 0.5
+      }
+    }
+    // bucket id for table tb: 6 sign bits of hyperplane projections
     def bucket(tb: Int): Column = (0 until PLANES).map { j =>
-      val seed = tb * PLANES + j
-      // sum_i v[i] * w_ji  with  w_ji = (h32(seed:i) / 2^32) - 0.5
-      val proj = aggregate(
-        zip_with(col("v"),
-          expr(s"transform(sequence(0, 63), i -> " +
-            s"conv(substring(md5(cast(concat('$seed:', i) as binary)), 1, 8), 16, 10) / 4294967296.0 - 0.5)"),
-          (x, w) => x * w),
+      val w = typedLit(hyperplane(tb * PLANES + j))
+      val proj = aggregate(zip_with(col("v"), w, (x, wi) => x * wi),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1 << j)).otherwise(0)
     }.reduce(_ + _)
 
-    val withBuckets = e.select(
-      col("vec_id") +: col("v") +: col("nrm") +:
-        (0 until TABLES).map(tb => bucket(tb).as(s"bk$tb")): _*)
+    // One bucket table keyed by (table, bucket) → a single self-join
+    // covers all tables (vs one join per table).
+    val bucketStructs = (0 until TABLES).map(tb =>
+      struct(lit(tb).as("tb"), bucket(tb).as("bk")))
+    val buckets = e.select(col("vec_id"),
+        explode(array(bucketStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.tb").as("tb"), col("b.bk").as("bk"))
+      .persist()
 
-    val cand = (0 until TABLES).map { tb =>
-      val p = withBuckets.filter(col("vec_id") % 13 === 0)
-        .select(col("vec_id").as("probe_id"), col(s"bk$tb").as("bk"))
-      val c = withBuckets.select(col("vec_id").as("cand_id"), col(s"bk$tb").as("bk"))
-      p.join(c, p("bk") === c("bk") && p("probe_id") =!= c("cand_id"))
-        .select(col("probe_id"), col("cand_id"))
-    }.reduce(_ union _).distinct()
+    val p = buckets.filter(col("vec_id") % 13 === 0).toDF("probe_id", "tb", "bk")
+    val c = buckets.toDF("cand_id", "tb", "bk")
+    val cand = p.join(c, Seq("tb", "bk"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"))
+      .distinct()
 
-    val probes = withBuckets.select(col("vec_id").as("probe_id"),
+    val probes = e.select(col("vec_id").as("probe_id"),
       col("v").as("vp"), col("nrm").as("np"))
-    val cands = withBuckets.select(col("vec_id").as("cand_id"),
+    val cands = e.select(col("vec_id").as("cand_id"),
       col("v").as("vc"), col("nrm").as("nc"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)

@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.io.Tables
+import graft.ops.Relational
+
+/** Dumps formatted physical plans for plan-quality review. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t = Tables(spark, sfDir)
+    val interesting = Map(
+      "q1_agg" -> Relational.q1Agg(t),
+      "q2_regex_filter" -> Relational.q2RegexFilter(t),
+      "q9_star_join" -> Relational.q9StarJoin(t),
+      "q8_top_k" -> Relational.q8TopK(t))
+    interesting.foreach { case (name, df) =>
+      println(s"===== $name =====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Scratch profiler: times sub-stages of the heavy pipelines. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = Tables(spark, sfDir)
+    import spark.implicits._
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    // warmup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val shingles = t.documents
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5))"
+      )).as("shingle"))
+    time("shingles-explode")(shingles.count())
+    time("shingles-distinct")(shingles.distinct().count())
+    val hashed = shingles.distinct().select($"doc_id",
+      conv(substring(md5($"shingle".cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
+    time("shingles-md5")(hashed.count())
+    val aggs = (0 until 16).map(i => min((col("h") * 387461L + 1104739L) % 4294967311L).as(s"m$i"))
+    val sig = hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    time("signatures")(sig.count())
+    time("minhash-full")(graft.dedup.Dedup.minhashLsh(t).count())
+
+    time("ann-lsh-full")(graft.sim.Similarity.annLsh(t).count())
+
+    val e = t.embeddings.select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    time("emb-norm")(e.withColumn("nrm",
+      sqrt(aggregate(zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (a, x) => a + x))).count())
+    time("emb-neardup-full")(graft.sim.Similarity.embeddingNearDup(t).count())
+    spark.stop()
+  }
+}
