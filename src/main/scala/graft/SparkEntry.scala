@@ -42,6 +42,11 @@ object SparkEntry {
     "q17_sessionize"  -> q(Relational.q17Sessionize),
     "q18_scalar"      -> q(Relational.q18Scalar),
     "q19_json"        -> q(Relational.q19Json),
+    "q20_median"      -> q(Relational.q20Median),
+    "q21_above_avg"   -> q(Relational.q21AboveAvg),
+    "q22_cube"        -> q(Relational.q22Cube),
+    "asof_join"       -> q(graft.ops.AsOf.eventsAsOfOrders),
+    "text_tfidf"      -> q(TextAnalysis.tfidf),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_minhash_lsh" -> q(Dedup.minhashLsh),
@@ -80,6 +85,11 @@ object SparkEntry {
     "q17_sessionize"  -> Relational.q17Sql,
     "q18_scalar"      -> Relational.q18Sql,
     "q19_json"        -> Relational.q19Sql,
+    "q20_median"      -> Relational.q20Sql,
+    "q21_above_avg"   -> Relational.q21Sql,
+    "q22_cube"        -> Relational.q22Sql,
+    "asof_join"       -> graft.ops.AsOf.eventsAsOfOrdersSql,
+    "text_tfidf"      -> TextAnalysis.tfidfSql,
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_minhash_lsh" -> Dedup.minhashSql,

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** As-of (point-in-time) join: for each event, the most recent order of
+  * the same customer at or before the event time. Spark has no native
+  * as-of join; rather than a custom SparkPlan, this composes the
+  * union-and-carry-forward pattern: tag both sides, sort within key by
+  * (time, side), and carry the last order attributes forward with
+  * last(_, ignoreNulls) over an unbounded-preceding window — one
+  * shuffle on the key, no per-row probing. DuckDB's native ASOF JOIN is
+  * the oracle, which makes this an independent cross-check of the
+  * semantics.
+  *
+  * Orders are first deduped to one per (custkey, orderdate) — keeping
+  * the highest orderkey — so the as-of match is unique and both engines
+  * agree on ties.
+  */
+object AsOf {
+
+  def eventsAsOfOrders(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val dedup = Window.partitionBy($"o_custkey", $"o_orderdate")
+      .orderBy($"o_orderkey".desc)
+    val ord = t.orders
+      .withColumn("rn", row_number().over(dedup)).filter($"rn" === 1)
+      .select($"o_custkey".as("key"), $"o_orderdate".as("t"),
+        lit(1).as("is_order"), $"o_orderkey", $"o_totalprice",
+        lit(null).cast("long").as("event_id"))
+    val ev = t.events
+      .select($"user_id".as("key"), $"ts".as("t"),
+        lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"), $"event_id")
+
+    // order rows sort before events at equal t (as-of is inclusive)
+    val w = Window.partitionBy($"key").orderBy($"t".asc, $"is_order".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("m_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("m_totalprice", last($"o_totalprice", ignoreNulls = true).over(w))
+      .filter($"is_order" === 0 && $"m_orderkey".isNotNull)
+      .select($"event_id", $"key".as("user_id"),
+        $"m_orderkey".as("o_orderkey"), $"m_totalprice".as("o_totalprice"))
+  }
+
+  val eventsAsOfOrdersSql: String =
+    """WITH ord AS (
+      | SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn = 1)
+      |SELECT e.event_id, e.user_id, ord.o_orderkey, ord.o_totalprice
+      |FROM events e ASOF JOIN ord
+      | ON e.user_id = ord.o_custkey AND e.ts >= ord.o_orderdate""".stripMargin.replace("\n", " ")
+}

@@ -332,6 +332,64 @@ object Relational {
       |  FROM events)
       |GROUP BY user_id""".stripMargin.replace("\n", " ")
 
+  /** Exact lower-median per group via rank selection — no interpolation,
+    * so the value is an actual data point and engines can't disagree on
+    * float arithmetic.
+    */
+  def q20Median(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+      .filter($"rn" === expr("(n + 1) div 2")) // integer floor-div (Column./ is double)
+      .select($"o_orderpriority", $"o_totalprice".as("median_lo"))
+  }
+
+  val q20Sql: String =
+    """SELECT o_orderpriority, o_totalprice AS median_lo FROM (
+      | SELECT o_orderpriority, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+      |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+      | FROM orders)
+      |WHERE rn = (n + 1) // 2""".stripMargin.replace("\n", " ")
+
+  /** Orders above their customer's average price (correlated-aggregate
+    * pattern via window, not a subquery re-scan). The average is an
+    * exact decimal sum divided once in double.
+    */
+  def q21AboveAvg(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    t.orders
+      .withColumn("avg_price",
+        sum(dec($"o_totalprice")).over(w).cast(DoubleType) / count(lit(1)).over(w))
+      .filter($"o_totalprice" > $"avg_price")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"avg_price")
+  }
+
+  val q21Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, avg_price FROM (
+      | SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+      |   / count(*) OVER (PARTITION BY o_custkey) AS avg_price
+      | FROM orders)
+      |WHERE o_totalprice > avg_price""".stripMargin.replace("\n", " ")
+
+  /** Cube aggregation (all grouping-set combinations). */
+  def q22Cube(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_quantity").as("sum_qty"))
+  }
+
+  val q22Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin.replace("\n", " ")
+
   /** Scalar-function surface (absent from the reference beyond regex,
     * SURVEY.md §2.5): string/date/math functions on a deterministic
     * slice.

@@ -21,11 +21,16 @@ import graft.io.Tables
   */
 object Similarity {
 
-  /** Sequential double-precision dot product of two array<double> cols. */
+  /** Sequential double-precision dot product of two array<double> cols:
+    * the native codegen'd graft_dot expression (bitwise-equal to the
+    * aggregate(zip_with(...)) fold it replaces — see
+    * graft.functions.DotProduct).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.graftDot(a, b)
 
   private def withNorm(t: Tables): DataFrame = {
+    graft.functions.GraftFunctions.register(t.spark)
     import t.spark.implicits._
     // repartition: the testdata table is one parquet file = one input
     // split; pair-join work must spread across cores.

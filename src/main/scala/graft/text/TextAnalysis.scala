@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -160,6 +161,35 @@ object TextAnalysis {
       | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
       | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens
       |FROM documents""".stripMargin.replace("\n", " ")
+
+  /** TF-IDF with a linear idf (N/df instead of log(N/df)): log is not
+    * correctly-rounded-guaranteed across libms, so the oracle-safe form
+    * keeps the arithmetic to exact integers and one division. Shape is
+    * the real one: tf per (doc, term) from one explode+agg, df per term
+    * from a window over the tf table, N broadcast as a scalar.
+    */
+  def tfidf(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val n = t.documents.count() // tiny scalar; at scale this is a cheap count job
+    val tf = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+      .select($"doc_id", $"term", $"tf", $"df",
+        (($"tf" * lit(n)).cast(DoubleType) / $"df").as("score"))
+  }
+
+  val tfidfSql: String =
+    """SELECT doc_id, term, tf, df,
+      | CAST(tf * (SELECT count(*) FROM documents) AS DOUBLE) / df AS score
+      |FROM (
+      | SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM (
+      |  SELECT doc_id, term, count(*) AS tf FROM
+      |   (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE term <> '' GROUP BY doc_id, term))""".stripMargin.replace("\n", " ")
 
   /** Presentation-edge formatting used by reference-parity goldens
     * (Sdemo1reduce.py:29-31 emits "{:.2f}%"). Kept out of operator
