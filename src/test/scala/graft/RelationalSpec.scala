@@ -57,6 +57,28 @@ class RelationalSpec extends SparkSuite {
     assert(grand == t.lineitem.count())
   }
 
+  test("q20 median is an actual group member") {
+    val med = Relational.q20Median(t).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val all = t.orders.collect()
+      .map(r => r.getString(5) -> r.getDouble(3))
+    med.foreach { case (prio, m) =>
+      assert(all.exists { case (p, v) => p == prio && v == m })
+    }
+    assert(med.size == 5)
+  }
+
+  test("q21 returns only orders strictly above their customer's average") {
+    val rows = Relational.q21AboveAvg(t).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getDouble(2) > r.getDouble(3)))
+  }
+
+  test("q22 cube contains rollup plus the status-only grouping set") {
+    val cube = Relational.q22Cube(t).collect()
+    val rollup = Relational.q15Rollup(t).collect()
+    assert(cube.length == rollup.length + 2) // +(null, 'O'), +(null, 'F')
+  }
+
   test("q17 session counts are at least 1 per active user") {
     val rows = Relational.q17Sessionize(t).collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
