@@ -47,6 +47,7 @@ object SparkEntry {
     "q22_cube"        -> q(Relational.q22Cube),
     "asof_join"       -> q(graft.ops.AsOf.eventsAsOfOrders),
     "text_tfidf"      -> q(TextAnalysis.tfidf),
+    "agg_typed_sum"   -> q(graft.functions.Aggs.typedSumQuery),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_minhash_lsh" -> q(Dedup.minhashLsh),
@@ -90,6 +91,7 @@ object SparkEntry {
     "q22_cube"        -> Relational.q22Sql,
     "asof_join"       -> graft.ops.AsOf.eventsAsOfOrdersSql,
     "text_tfidf"      -> TextAnalysis.tfidfSql,
+    "agg_typed_sum"   -> graft.functions.Aggs.typedSumSql,
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_minhash_lsh" -> Dedup.minhashSql,

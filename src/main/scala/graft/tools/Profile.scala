@@ -43,6 +43,19 @@ object Profile {
     time("signatures")(sig.count())
     time("minhash-full")(graft.dedup.Dedup.minhashLsh(t).count())
 
+
+    val grams = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, greatest(size(split(text, ' '))-4, 1)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+      )).as("gram"))
+      .distinct()
+    time("grams-distinct")(grams.count())
+    val ga = grams.toDF("doc_a", "gram")
+    val gb = grams.toDF("doc_b", "gram")
+    time("gram-selfjoin")(ga.join(gb, ga("gram") === gb("gram") && ga("doc_a") < gb("doc_b")).count())
+    time("ngram-full")(graft.dedup.Dedup.ngramJaccard(t).count())
     time("ann-lsh-full")(graft.sim.Similarity.annLsh(t).count())
 
     val e = t.embeddings.select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Skew
+
+/** Scale-mechanics evidence: salting preserves join semantics while
+  * spreading hot keys; bucketed tables join without a shuffle.
+  */
+class ScaleSpec extends SparkSuite {
+  private lazy val t = {
+    spark.sparkContext.setLogLevel("WARN")
+    Tables(spark, "/root/testdata/sf0.001")
+  }
+
+  test("salted join output equals plain join output") {
+    val plain = t.orders.join(t.customer,
+      t.orders("o_custkey") === t.customer("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"))
+    val rekeyed = t.orders.withColumnRenamed("o_custkey", "k")
+    val dim = t.customer.withColumnRenamed("c_custkey", "k")
+    val salted = Skew.saltedJoin(rekeyed, dim, "k", buckets = 8)
+      .select(col("o_orderkey"), col("k").as("c_custkey"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables sort-merge join without a shuffle exchange") {
+    // default warehouse dir (./spark-warehouse, gitignored) — the
+    // warehouse path is a static conf and can't change per-session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // clean any leftover managed-table locations from prior runs
+    Seq("orders_b", "customer_b").foreach { tbl =>
+      s2.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val t2 = Tables(s2, "/root/testdata/sf0.001")
+    t2.orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    t2.customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+    val joined = s2.table("orders_b").join(s2.table("customer_b"),
+      col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should be shuffle-free, got:\n$plan")
+    assert(joined.count() == t2.orders.count()) // every order has a customer
+  }
+}
