@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_embedding" -> q(Similarity.embeddingNearDup),
     "ann_brute_force" -> q(Similarity.annBruteForce),
     "ann_lsh"         -> q(Similarity.annLsh),
+    "ann_ivf"         -> q((t: Tables) => Similarity.annIvf(t)),
     "text_stats"      -> q(TextAnalysis.stats),
     "text_quality"    -> q(TextAnalysis.quality),
     "text_lang_id"    -> q(TextAnalysis.langId),

@@ -105,6 +105,53 @@ object Similarity {
        |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
   }
 
+  /** IVF-style ANN — the other scale path (the one real vector stores
+    * use): a coarse quantizer (KMeans, fixed seed) partitions the
+    * corpus into nlist cells; each probe searches only its nprobe
+    * nearest cells. At 100 TB the cell id becomes the partition key, so
+    * a probe touches nprobe partitions instead of the corpus. Recall <
+    * 1 by construction → rows-only check (no SQL oracle); the
+    * guarantee is that reported cosines are genuine.
+    */
+  def annIvf(t: Tables, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withNorm(t)
+    val withVec = e.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
+      .persist()
+
+    // probe cells: nprobe nearest centroids per probe vector
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val cdf = t.spark.createDataFrame(centroids).toDF("cell", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<double>"))
+    val probes = assigned.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
+    val wCell = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probeCells = probes.crossJoin(broadcast(cdf))
+      .withColumn("cdist", -dot(col("vp"), col("centroid"))) // max dot = min -dot
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nprobe)
+      .select(col("probe_id"), col("vp"), col("np"), col("cell"))
+
+    val cands = assigned.select(col("vec_id").as("cand_id"),
+      col("v").as("vc"), col("nrm").as("nc"), col("cell"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    probeCells.join(cands, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
+  }
+
   /** LSH-bucketed ANN — the scale path. Multi-table random-hyperplane
     * LSH: TABLES independent hash tables of PLANES sign-bits each
     * (hyperplane components derived deterministically from md5, zero
