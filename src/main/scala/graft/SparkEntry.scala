@@ -50,6 +50,8 @@ object SparkEntry {
     "agg_typed_sum"   -> q(graft.functions.Aggs.typedSumQuery),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
+    "dedup_kept_corpus" -> q(Dedup.keptCorpus),
+    "dedup_clusters"  -> q(Dedup.clusters),
     "dedup_minhash_lsh" -> q(Dedup.minhashLsh),
     "dedup_simhash"   -> q(Dedup.simhash),
     "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard),
@@ -95,6 +97,8 @@ object SparkEntry {
     "agg_typed_sum"   -> graft.functions.Aggs.typedSumSql,
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
+    "dedup_kept_corpus" -> Dedup.keptCorpusSql,
+    "dedup_clusters"  -> Dedup.clustersSql,
     "dedup_minhash_lsh" -> Dedup.minhashSql,
     "dedup_simhash"   -> Dedup.simhashSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

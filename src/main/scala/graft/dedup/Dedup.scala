@@ -164,6 +164,79 @@ object Dedup {
        |FROM m WHERE matches >= $MIN_MATCHES""".stripMargin.replace("\n", " ")
   }
 
+  /** The corpus a dedup pipeline actually emits: one surviving row per
+    * distinct content hash (min doc_id wins).
+    */
+  def keptCorpus(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"text".cast(BinaryType)))
+      .orderBy($"doc_id".asc)
+    t.documents
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  val keptCorpusSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM (
+      | SELECT doc_id, lang, source, n_chars,
+      |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      | FROM documents)
+      |WHERE rn = 1""".stripMargin.replace("\n", " ")
+
+  /** Near-duplicate clusters: connected components over the MinHash-LSH
+    * pair graph by iterative min-label propagation (converges in
+    * O(component diameter) rounds; dup clusters are shallow, so the
+    * loop is bounded and each round is one shuffle — the
+    * simple-but-scalable form of the large-star/small-star algorithm).
+    * Cluster id = min doc_id in the component. The DuckDB oracle
+    * computes the same components with a recursive CTE — an independent
+    * algorithm arriving at the same fixpoint.
+    */
+  def clusters(t: Tables): DataFrame = {
+    val pairs = minhashLsh(t).select(col("doc_a"), col("doc_b")).persist()
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    // localCheckpoint (not persist): labels appears twice per round, so
+    // without lineage truncation the logical plan doubles every
+    // iteration — 2^rounds nodes blows the driver heap long before the
+    // data does.
+    var labels = edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc", "doc_b")
+          .withColumnRenamed("lbl", "nlbl"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc"))
+        .agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(viaNeighbor, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhashSql)),
+       |edges AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT doc_a AS doc FROM edges),
+       |reach AS (
+       | SELECT doc, doc AS r FROM nodes
+       | UNION
+       | SELECT reach.doc, e.doc_b AS r FROM reach JOIN edges e ON e.doc_a = reach.r)
+       |SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc""".stripMargin.replace("\n", " ")
+
   // -------------------------------------------------------------- simhash
 
   /** 32-bit SimHash over the distinct token set: per-bit majority vote.

@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * functions at session build time, so deployments can enable the
+  * engine with configuration alone:
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * (or programmatically: SparkSession.builder().withExtensions(new
+  * GraftExtensions)). Equivalent to calling GraftFunctions.register on
+  * each session, but survives session cloning and applies to pure-SQL
+  * clients that never touch Scala code.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+  }
+}

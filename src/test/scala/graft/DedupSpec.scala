@@ -55,6 +55,31 @@ class DedupSpec extends SparkSuite {
     assert(!rows.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("clusters: transitive near-dups land in one component with min-id label") {
+    import spark.implicits._
+    // chain: A≈B, B≈C (A and C differ more) → one component {1,2,3}; 9 isolated
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val t3 = tempTables { dir =>
+      Seq(
+        (1L, base, "en", "s", 0L),
+        (2L, base.replace("echo", "zulu"), "en", "s", 0L),
+        (3L, base.replace("echo", "zulu").replace("kilo", "xray"), "en", "s", 0L),
+        (9L, "unrelated text entirely different words here nothing shared at all", "en", "s", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val comp = Dedup.clusters(t3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.get(1L).contains(1L) && comp.get(2L).contains(1L))
+    assert(comp.get(3L).forall(_ == 1L)) // if 3 pairs with 2, it joins cluster 1
+    assert(!comp.contains(9L))
+  }
+
+  test("kept corpus: one survivor per distinct text") {
+    val kept = Dedup.keptCorpus(t).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L)) // doc 2 (dup of 1) dropped
+  }
+
   test("fingerprint: token-set permutations collide, different sets do not") {
     import spark.implicits._
     val t2 = tempTables { dir =>
