@@ -43,6 +43,9 @@ object SparkEntry {
     "q18_scalar"      -> q(Relational.q18Scalar),
     "q19_json"        -> q(Relational.q19Json),
     "q20_median"      -> q(Relational.q20Median),
+    "q23_regex_col"   -> q(Relational.q23RegexCol),
+    "q24_union_all"   -> q(Relational.q24UnionAll),
+    "mm_frame_sample" -> q(Multimodal.frameSample),
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
     "q22_cube"        -> q(Relational.q22Cube),
     "asof_join"       -> q(graft.ops.AsOf.eventsAsOfOrders),
@@ -90,6 +93,9 @@ object SparkEntry {
     "q18_scalar"      -> Relational.q18Sql,
     "q19_json"        -> Relational.q19Sql,
     "q20_median"      -> Relational.q20Sql,
+    "q23_regex_col"   -> Relational.q23Sql,
+    "q24_union_all"   -> Relational.q24Sql,
+    "mm_frame_sample" -> Multimodal.frameSampleSql,
     "q21_above_avg"   -> Relational.q21Sql,
     "q22_cube"        -> Relational.q22Sql,
     "asof_join"       -> graft.ops.AsOf.eventsAsOfOrdersSql,

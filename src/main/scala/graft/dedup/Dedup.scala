@@ -218,10 +218,12 @@ object Dedup {
         .select(col("doc"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-        .filter(col("lbl") =!= col("old")).limit(1).count()
+      // labels only ever decrease, so the label sum is strictly
+      // monotone: equal sums ⇔ fixpoint (one cheap agg, no join)
+      val sumBefore = labels.agg(sum(col("lbl"))).head.getLong(0)
+      val sumAfter = next.agg(sum(col("lbl"))).head.getLong(0)
       labels = next
-      converged = changed == 0
+      converged = sumAfter == sumBefore
       rounds += 1
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))

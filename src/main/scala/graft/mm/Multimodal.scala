@@ -83,6 +83,36 @@ object Multimodal {
       substring(hex($"text".cast(BinaryType)), 1, 16).as("header_hex"))
   }
 
+  /** Frame-sampling plumbing (the video-style access pattern): the
+    * payload is cut into fixed 64-byte frames and every 4th frame is
+    * kept, one output row per sampled frame with a content digest.
+    * Runs on the hex projection so the same expression is exact in
+    * DuckDB (which can't substring BLOBs).
+    */
+  def frameSample(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val frameHex = 128 // 64 bytes
+    t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select($"doc_id", hex($"text".cast(BinaryType)).as("hx"))
+      .select($"doc_id", explode(expr(
+        // frame count by integer arithmetic: (len + frameHex-1) div frameHex
+        s"transform(sequence(0, int((length(hx) + ${frameHex - 1}) div $frameHex) - 1), " +
+          s"i -> named_struct('frame_idx', i, 'frame', substring(hx, i * $frameHex + 1, $frameHex)))"
+      )).as("f"))
+      .select($"doc_id", $"f.frame_idx".as("frame_idx"),
+        md5($"f.frame".cast(BinaryType)).as("frame_md5"))
+      .filter($"frame_idx" % 4 === 0)
+  }
+
+  val frameSampleSql: String =
+    """SELECT doc_id, frame_idx, md5(substr(hx, frame_idx * 128 + 1, 128)) AS frame_md5
+      |FROM (
+      | SELECT doc_id, hex(CAST(text AS BLOB)) AS hx, CAST(r.range AS INT) AS frame_idx
+      | FROM (SELECT doc_id, text FROM documents) d
+      | JOIN range(0, 1024) r ON r.range < (length(hex(CAST(d.text AS BLOB))) + 127) // 128)
+      |WHERE frame_idx % 4 = 0""".stripMargin.replace("\n", " ")
+
   val binaryMetaSql: String =
     """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
       | md5(text) AS payload_md5,

@@ -332,6 +332,36 @@ object Relational {
       |  FROM events)
       |GROUP BY user_id""".stripMargin.replace("\n", " ")
 
+  /** Per-column regex variant of the reference's line-regex filter
+    * (SURVEY.md §7 item 3): the pattern applies to one column, not the
+    * whole serialized row.
+    */
+  def q23RegexCol(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .filter($"p_type".rlike("^(STANDARD|SMALL)") && $"p_brand".rlike("#1[0-9]$"))
+      .select($"p_partkey", $"p_name", $"p_type")
+  }
+
+  val q23Sql: String =
+    """SELECT p_partkey, p_name, p_type FROM part
+      |WHERE regexp_matches(p_type, '^(STANDARD|SMALL)') AND regexp_matches(p_brand, '#1[0-9]$')""".stripMargin.replace("\n", " ")
+
+  /** UNION ALL with provenance tags — the bag-semantics set op. */
+  def q24UnionAll(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val hi = t.orders.filter($"o_totalprice" > 400000.0)
+      .select($"o_orderkey", lit("hi").as("bucket"))
+    val urgent = t.orders.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", lit("urgent").as("bucket"))
+    hi.unionAll(urgent) // an order can appear in both buckets
+  }
+
+  val q24Sql: String =
+    """SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_totalprice > CAST(400000 AS DOUBLE)
+      |UNION ALL
+      |SELECT o_orderkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin.replace("\n", " ")
+
   /** Exact lower-median per group via rank selection — no interpolation,
     * so the value is an actual data point and engines can't disagree on
     * float arithmetic.

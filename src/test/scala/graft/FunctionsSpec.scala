@@ -27,6 +27,10 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  // GraftExtensions is exercised end-to-end by graft.tools.ExtDemo (a
+  // fresh JVM builds the session with spark.sql.extensions); inside this
+  // shared-session test JVM getOrCreate would silently ignore extensions.
+
   test("graft_dot handles nulls and length mismatch") {
     import spark.implicits._
     withLogLevel {

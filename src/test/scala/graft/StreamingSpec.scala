@@ -67,6 +67,25 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("stream-static join enriches streaming events with a dimension table") {
+    import spark.implicits._
+    withLogLevel {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+      val input = MemoryStream[Evt]
+      val q = input.toDF().join(dim, Seq("user_id")) // static side broadcast per micro-batch
+        .writeStream.format("memory").queryName("enriched")
+        .outputMode("append").start()
+      try {
+        input.addData(Evt(1, "click", ts(0), 1.0), Evt(3, "click", ts(1), 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("enriched").collect()
+          .map(r => (r.getLong(0), r.getString(4)))
+        assert(rows.toSeq == Seq((1L, "gold"))) // inner join drops user 3
+      } finally q.stop()
+    }
+  }
+
   test("batch and streaming hourly aggregations agree on the events table") {
     withLogLevel {
       val t = Tables(spark, "/root/testdata/sf0.001")
