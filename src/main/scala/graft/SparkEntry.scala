@@ -45,6 +45,7 @@ object SparkEntry {
     "q20_median"      -> q(Relational.q20Median),
     "q23_regex_col"   -> q(Relational.q23RegexCol),
     "q24_union_all"   -> q(Relational.q24UnionAll),
+    "q25_sql_interface" -> q(Relational.q25SqlInterface),
     "mm_frame_sample" -> q(Multimodal.frameSample),
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
     "q22_cube"        -> q(Relational.q22Cube),
@@ -95,6 +96,7 @@ object SparkEntry {
     "q20_median"      -> Relational.q20Sql,
     "q23_regex_col"   -> Relational.q23Sql,
     "q24_union_all"   -> Relational.q24Sql,
+    "q25_sql_interface" -> Relational.q25Sql,
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "q21_above_avg"   -> Relational.q21Sql,
     "q22_cube"        -> Relational.q22Sql,

@@ -64,6 +64,20 @@ object GraftIO {
       .option("inferSchema", inferSchema.toString)
       .csv(path)
 
+  /** Explicit line-range scan (S3, sdfs/src/helpers.rs:44-62: a GET
+    * that keeps only lines [start, end], how the reference feeds map
+    * tasks their split). Spark's FileSourceScanExec does split
+    * assignment natively; this explicit form exists for parity and for
+    * deliberate sub-file sampling. 0-based, end exclusive.
+    */
+  def readLineRange(spark: SparkSession, path: String,
+                    start: Long, end: Long): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).rdd.zipWithIndex()
+      .filter { case (_, i) => i >= start && i < end }
+      .map(_._1).toDF("value")
+  }
+
   /** `put` analog: durable write, parquet (engine default). */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

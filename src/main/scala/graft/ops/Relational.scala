@@ -362,6 +362,19 @@ object Relational {
       |UNION ALL
       |SELECT o_orderkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin.replace("\n", " ")
 
+  /** The SQL-string interface (the reference's user surface is typed SQL
+    * text, sdfs/src/main.rs:294-299): register the table as a view and
+    * run the statement through spark.sql — same planner, same result.
+    */
+  def q25SqlInterface(t: Tables): DataFrame = {
+    t.orders.createOrReplaceTempView("orders_v")
+    t.spark.sql(
+      "SELECT o_orderstatus, count(*) AS cnt FROM orders_v GROUP BY o_orderstatus")
+  }
+
+  val q25Sql: String =
+    "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus"
+
   /** Exact lower-median per group via rank selection — no interpolation,
     * so the value is an actual data point and engines can't disagree on
     * float arithmetic.

@@ -33,6 +33,23 @@ class IoSpec extends SparkSuite {
     assert(f.count() == t.orders.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("line-range scan returns exactly the requested split (S3)") {
+    val path = getClass.getClassLoader
+      .getResource("Traffic_Signal_Intersections.csv").getPath
+    val slice = GraftIO.readLineRange(spark, path, 1, 11) // skip header, 10 rows
+    assert(slice.count() == 10)
+    val all = GraftIO.readLines(spark, path).collect().map(_.getString(0))
+    assert(slice.collect().map(_.getString(0)).toSeq == all.slice(1, 11).toSeq)
+  }
+
+  test("register/list/delete views (S5 delete, S6 ls, S7 store)") {
+    t.nation.createOrReplaceTempView("nation_v")
+    assert(spark.catalog.listTables().collect().exists(_.name == "nation_v"))
+    assert(spark.sql("SELECT count(*) FROM nation_v").head.getLong(0) == 25)
+    spark.catalog.dropTempView("nation_v")
+    assert(!spark.catalog.listTables().collect().exists(_.name == "nation_v"))
+  }
+
   test("line reader yields one row per line (record = text line)") {
     val df = GraftIO.readLines(spark,
       getClass.getClassLoader.getResource("Traffic_Signal_Intersections.csv").getPath)
