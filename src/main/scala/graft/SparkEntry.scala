@@ -46,6 +46,8 @@ object SparkEntry {
     "q23_regex_col"   -> q(Relational.q23RegexCol),
     "q24_union_all"   -> q(Relational.q24UnionAll),
     "q25_sql_interface" -> q(Relational.q25SqlInterface),
+    "q26_pivot"       -> q(Relational.q26Pivot),
+    "q27_approx_distinct" -> q(Relational.q27ApproxDistinct),
     "mm_frame_sample" -> q(Multimodal.frameSample),
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
     "q22_cube"        -> q(Relational.q22Cube),
@@ -97,6 +99,8 @@ object SparkEntry {
     "q23_regex_col"   -> Relational.q23Sql,
     "q24_union_all"   -> Relational.q24Sql,
     "q25_sql_interface" -> Relational.q25Sql,
+    "q26_pivot"       -> Relational.q26Sql,
+    // q27_approx_distinct: HLL sketch values are engine-specific — rows-only.
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "q21_above_avg"   -> Relational.q21Sql,
     "q22_cube"        -> Relational.q22Sql,

@@ -362,6 +362,39 @@ object Relational {
       |UNION ALL
       |SELECT o_orderkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin.replace("\n", " ")
 
+  /** Pivot: status counts as columns per priority. Spark's .pivot();
+    * the oracle states the same thing as conditional aggregation, which
+    * is what both planners execute underneath.
+    */
+  def q26Pivot(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L) // absent combinations: 0, matching COUNT FILTER
+  }
+
+  val q26Sql: String =
+    """SELECT o_orderpriority,
+      | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority""".stripMargin.replace("\n", " ")
+
+  /** HLL approximate distinct — the constant-memory cardinality sketch
+    * any 100 TB pipeline uses for profiling. Sketch internals are
+    * engine-specific, so there is no DuckDB oracle (rows-only check);
+    * RelationalSpec asserts the estimate lands within rsd bounds of the
+    * exact count.
+    */
+  def q27ApproxDistinct(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem.agg(
+      approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
+      approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"))
+  }
+
   /** The SQL-string interface (the reference's user surface is typed SQL
     * text, sdfs/src/main.rs:294-299): register the table as a view and
     * run the statement through spark.sql — same planner, same result.

@@ -79,6 +79,14 @@ class RelationalSpec extends SparkSuite {
     assert(cube.length == rollup.length + 2) // +(null, 'O'), +(null, 'F')
   }
 
+  test("q27 HLL estimates land within 3x rsd of exact counts") {
+    val r = Relational.q27ApproxDistinct(t).head
+    val exactParts = t.lineitem.select("l_partkey").distinct().count()
+    val exactOrders = t.lineitem.select("l_orderkey").distinct().count()
+    assert(math.abs(r.getLong(0) - exactParts).toDouble / exactParts < 0.06)
+    assert(math.abs(r.getLong(1) - exactOrders).toDouble / exactOrders < 0.06)
+  }
+
   test("q17 session counts are at least 1 per active user") {
     val rows = Relational.q17Sessionize(t).collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
