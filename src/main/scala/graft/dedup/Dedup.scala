@@ -153,7 +153,7 @@ object Dedup {
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH sh AS (SELECT DISTINCT doc_id, substring(text, CAST(r.range AS INT), 5) AS shingle
-       | FROM documents JOIN range(1, 1024) r ON r.range <= greatest(length(text)-4, 1)),
+       | FROM documents JOIN range(1, 8192) r ON r.range <= greatest(length(text)-4, 1)),
        |h AS (SELECT doc_id, ${sqlH32("shingle")} AS h FROM sh),
        |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
        |bands AS (SELECT doc_id, $bandExprs FROM sig),
@@ -206,6 +206,11 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
       .localCheckpoint()
+    // no pairs → no components; also guards the null sum(lbl) below
+    if (labels.isEmpty) {
+      pairs.unpersist(); edges.unpersist()
+      return labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    }
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -226,6 +231,9 @@ object Dedup {
       converged = sumAfter == sumBefore
       rounds += 1
     }
+    // labels is localCheckpoint-materialized: the inputs' caches can go
+    pairs.unpersist()
+    edges.unpersist()
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -308,7 +316,7 @@ object Dedup {
   val ngramJaccardSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |g AS (SELECT DISTINCT doc_id, array_to_string(toks[CAST(r.range AS INT):CAST(r.range AS INT)+4], ' ') AS gram
-      | FROM d JOIN range(1, 1024) r ON r.range <= greatest(len(toks)-4, 1)),
+      | FROM d JOIN range(1, 8192) r ON r.range <= greatest(len(toks)-4, 1)),
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
       | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)

@@ -96,9 +96,12 @@ object Multimodal {
       .repartition(t.spark.sparkContext.defaultParallelism)
       .select($"doc_id", hex($"text".cast(BinaryType)).as("hx"))
       .select($"doc_id", explode(expr(
-        // frame count by integer arithmetic: (len + frameHex-1) div frameHex
-        s"transform(sequence(0, int((length(hx) + ${frameHex - 1}) div $frameHex) - 1), " +
-          s"i -> named_struct('frame_idx', i, 'frame', substring(hx, i * $frameHex + 1, $frameHex)))"
+        // frame count by integer arithmetic: (len + frameHex-1) div frameHex.
+        // Empty payloads must yield an empty array — sequence(0, -1)
+        // auto-reverses to [0, -1] in Spark and would emit a phantom frame.
+        s"if(length(hx) = 0, array(), " +
+          s"transform(sequence(0, int((length(hx) + ${frameHex - 1}) div $frameHex) - 1), " +
+          s"i -> named_struct('frame_idx', i, 'frame', substring(hx, i * $frameHex + 1, $frameHex))))"
       )).as("f"))
       .select($"doc_id", $"f.frame_idx".as("frame_idx"),
         md5($"f.frame".cast(BinaryType)).as("frame_md5"))
@@ -110,7 +113,7 @@ object Multimodal {
       |FROM (
       | SELECT doc_id, hex(CAST(text AS BLOB)) AS hx, CAST(r.range AS INT) AS frame_idx
       | FROM (SELECT doc_id, text FROM documents) d
-      | JOIN range(0, 1024) r ON r.range < (length(hex(CAST(d.text AS BLOB))) + 127) // 128)
+      | JOIN range(0, 8192) r ON r.range < (length(hex(CAST(d.text AS BLOB))) + 127) // 128)
       |WHERE frame_idx % 4 = 0""".stripMargin.replace("\n", " ")
 
   val binaryMetaSql: String =

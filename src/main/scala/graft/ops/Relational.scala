@@ -45,7 +45,9 @@ object Relational {
   def q1Agg(t: Tables): DataFrame = {
     import t.spark.implicits._
     t.lineitem
-      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      // to_timestamp resolves in the session timezone (UTC), unlike
+      // java.sql.Timestamp.valueOf which bakes in the JVM default TZ
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         count(lit(1)).as("count_order"),

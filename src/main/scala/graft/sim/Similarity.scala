@@ -29,19 +29,25 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.graftDot(a, b)
 
-  private def withNorm(t: Tables): DataFrame = {
-    graft.functions.GraftFunctions.register(t.spark)
-    import t.spark.implicits._
-    // repartition: the testdata table is one parquet file = one input
-    // split; pair-join work must spread across cores.
-    val e = t.embeddings
-      .repartition(t.spark.sparkContext.defaultParallelism)
-      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
-    // both sides of every pair join read this — persist (vectors+norm
-    // are 65 doubles/row; at 100 TB-corpus scale this is the normalized
-    // projection you'd materialize once anyway)
-    e.withColumn("nrm", sqrt(dot($"v", $"v"))).persist()
-  }
+  // One persisted normalized projection per (session, dir): four
+  // operators read it, and re-persisting per call would stack duplicate
+  // cache entries across a full Verify/Bench sweep.
+  private val normCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private def withNorm(t: Tables): DataFrame =
+    normCache.getOrElseUpdate((t.spark, t.dir), {
+      graft.functions.GraftFunctions.register(t.spark)
+      import t.spark.implicits._
+      // repartition: the testdata table is one parquet file = one input
+      // split; pair-join work must spread across cores.
+      val e = t.embeddings
+        .repartition(t.spark.sparkContext.defaultParallelism)
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      // vectors+norm are 65 doubles/row: the normalized projection any
+      // 100 TB similarity pipeline materializes once
+      e.withColumn("nrm", sqrt(dot($"v", $"v"))).persist()
+    })
 
   private val dotSql =
     "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"

@@ -48,10 +48,9 @@ object Repl {
           case List("quit") | List("exit") => running = false
           case List("put", path, name) =>
             val df =
-              if (path.endsWith(".csv"))
-                spark.read.option("header", "true").csv(path)
+              if (path.endsWith(".csv")) graft.io.GraftIO.readCsv(spark, path)
               else if (path.endsWith(".parquet")) spark.read.parquet(path)
-              else spark.read.text(path)
+              else graft.io.GraftIO.readLines(spark, path)
             df.createOrReplaceTempView(name)
             println(s"ok: $name (${df.count()} rows)")
           case List("get", name, path) =>

@@ -75,6 +75,18 @@ class DedupSpec extends SparkSuite {
     assert(!comp.contains(9L))
   }
 
+  test("clusters: corpus with no near-dups yields an empty result, not a crash") {
+    import spark.implicits._
+    val t4 = tempTables { dir =>
+      Seq(
+        (1L, "alpha bravo charlie delta echo", "en", "s", 0L),
+        (2L, "zulu yankee xray whiskey victor", "en", "s", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    assert(Dedup.clusters(t4).count() == 0)
+  }
+
   test("kept corpus: one survivor per distinct text") {
     val kept = Dedup.keptCorpus(t).collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L)) // doc 2 (dup of 1) dropped

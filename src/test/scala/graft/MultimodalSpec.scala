@@ -30,6 +30,21 @@ class MultimodalSpec extends SparkSuite {
     assert(meta == chars) // ASCII text: bytes == chars
   }
 
+  test("frame sampling: empty payloads yield zero frames (no phantom frame 0)") {
+    import spark.implicits._
+    val t2 = tempTables { dir =>
+      Seq(
+        (1L, "", "en", "s", 0L),
+        (2L, "x" * 200, "en", "s", 200L) // 400 hex chars → 4 frames → idx 0 kept
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val rows = Multimodal.frameSample(t2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(!rows.exists(_._1 == 1L))
+    assert(rows.count(_._1 == 2L) == 1 && rows.contains((2L, 0)))
+  }
+
   test("decode stub: stable width/height for same payload, varied across payloads") {
     val a = Multimodal.decodeStub("payload-a".getBytes)
     val b = Multimodal.decodeStub("payload-b".getBytes)
