@@ -47,6 +47,7 @@ object SparkEntry {
     "q24_union_all"   -> q(Relational.q24UnionAll),
     "q25_sql_interface" -> q(Relational.q25SqlInterface),
     "q26_pivot"       -> q(Relational.q26Pivot),
+    "q28_theta_join"  -> q(Relational.q28ThetaJoin),
     "q27_approx_distinct" -> q(Relational.q27ApproxDistinct),
     "mm_frame_sample" -> q(Multimodal.frameSample),
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q24_union_all"   -> Relational.q24Sql,
     "q25_sql_interface" -> Relational.q25Sql,
     "q26_pivot"       -> Relational.q26Sql,
+    "q28_theta_join"  -> Relational.q28Sql,
     // q27_approx_distinct: HLL sketch values are engine-specific — rows-only.
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "q21_above_avg"   -> Relational.q21Sql,

@@ -53,7 +53,12 @@ object Relational {
         count(lit(1)).as("count_order"),
         dsum($"l_quantity").as("sum_qty"),
         dsum($"l_extendedprice").as("sum_base_price"),
-        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+        // price and (1-discount) each have 2 decimals, so the product is
+        // exactly 4 — the scale-4 recast is lossless and keeps the
+        // unscaled sum under 2^53, where decimal→double conversion is
+        // exact in every engine (DuckDB's is 1-ulp-off above that).
+        sum((dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+          .cast(DecimalType(18, 4)))
           .cast(DoubleType).as("sum_disc_price")
       )
   }
@@ -62,7 +67,7 @@ object Relational {
     """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")
 
@@ -195,7 +200,9 @@ object Relational {
       .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+        // scale-4 recast before summing: see q1Agg sum_disc_price note
+        sum((dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+          .cast(DecimalType(18, 4)))
           .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items")
       )
@@ -203,7 +210,7 @@ object Relational {
 
   val q9Sql: String =
     """SELECT r_name, n_name,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       | count(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       | JOIN customer ON o_custkey = c_custkey
@@ -396,6 +403,28 @@ object Relational {
       approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
       approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"))
   }
+
+  /** Theta (non-equi) join: price-band self-join on part. Spark plans a
+    * BroadcastNestedLoopJoin — acceptable for a dimension table;
+    * at fact scale the standard move is banding the join key
+    * (floor(price/width) equi-join on adjacent bands) to restore a
+    * hash-partitionable key.
+    */
+  def q28ThetaJoin(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val a = t.part.select($"p_partkey".as("key_a"), $"p_retailprice".as("price_a"))
+    val b = t.part.select($"p_partkey".as("key_b"), $"p_retailprice".as("price_b"))
+    a.join(b, $"key_a" < $"key_b" &&
+        abs($"price_a" - $"price_b") < lit(0.5))
+      .select($"key_a", $"key_b", $"price_a", $"price_b")
+  }
+
+  val q28Sql: String =
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      | a.p_retailprice AS price_a, b.p_retailprice AS price_b
+      |FROM part a JOIN part b
+      | ON a.p_partkey < b.p_partkey
+      | AND abs(a.p_retailprice - b.p_retailprice) < CAST(0.5 AS DOUBLE)""".stripMargin.replace("\n", " ")
 
   /** The SQL-string interface (the reference's user surface is typed SQL
     * text, sdfs/src/main.rs:294-299): register the table as a view and

@@ -79,6 +79,13 @@ class RelationalSpec extends SparkSuite {
     assert(cube.length == rollup.length + 2) // +(null, 'O'), +(null, 'F')
   }
 
+  test("q28 theta join pairs are strictly inside the price band") {
+    val rows = Relational.q28ThetaJoin(t).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1) &&
+      math.abs(r.getDouble(2) - r.getDouble(3)) < 0.5))
+  }
+
   test("q27 HLL estimates land within 3x rsd of exact counts") {
     val r = Relational.q27ApproxDistinct(t).head
     val exactParts = t.lineitem.select("l_partkey").distinct().count()
