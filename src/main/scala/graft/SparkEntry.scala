@@ -48,6 +48,7 @@ object SparkEntry {
     "q25_sql_interface" -> q(Relational.q25SqlInterface),
     "q26_pivot"       -> q(Relational.q26Pivot),
     "q28_theta_join"  -> q(Relational.q28ThetaJoin),
+    "q29_running_sum" -> q(Relational.q29RunningSum),
     "q27_approx_distinct" -> q(Relational.q27ApproxDistinct),
     "mm_frame_sample" -> q(Multimodal.frameSample),
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
@@ -102,6 +103,7 @@ object SparkEntry {
     "q25_sql_interface" -> Relational.q25Sql,
     "q26_pivot"       -> Relational.q26Sql,
     "q28_theta_join"  -> Relational.q28Sql,
+    "q29_running_sum" -> Relational.q29Sql,
     // q27_approx_distinct: HLL sketch values are engine-specific — rows-only.
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "q21_above_avg"   -> Relational.q21Sql,

@@ -426,6 +426,27 @@ object Relational {
       | ON a.p_partkey < b.p_partkey
       | AND abs(a.p_retailprice - b.p_retailprice) < CAST(0.5 AS DOUBLE)""".stripMargin.replace("\n", " ")
 
+  /** Running (cumulative) revenue per customer in order-date order —
+    * the rows-between window frame. Every prefix sum is an exact
+    * decimal converted once to double (well under 2^53).
+    */
+  def q29RunningSum(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders.select(
+      $"o_custkey", $"o_orderkey",
+      sum(dec($"o_totalprice")).over(w).cast(DoubleType).as("running_spend"))
+  }
+
+  val q29Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin.replace("\n", " ")
+
   /** The SQL-string interface (the reference's user surface is typed SQL
     * text, sdfs/src/main.rs:294-299): register the table as a view and
     * run the statement through spark.sql — same planner, same result.
