@@ -86,6 +86,8 @@ object Multimodal {
   /** Frame-sampling plumbing (the video-style access pattern): the
     * payload is cut into fixed 64-byte frames and every 4th frame is
     * kept, one output row per sampled frame with a content digest.
+    * Frame count is capped at 8192 (512 KB of payload), matching the
+    * oracle's range(0, 8192) — a per-row work bound.
     * Runs on the hex projection so the same expression is exact in
     * DuckDB (which can't substring BLOBs).
     */
@@ -100,7 +102,7 @@ object Multimodal {
         // Empty payloads must yield an empty array — sequence(0, -1)
         // auto-reverses to [0, -1] in Spark and would emit a phantom frame.
         s"if(length(hx) = 0, array(), " +
-          s"transform(sequence(0, int((length(hx) + ${frameHex - 1}) div $frameHex) - 1), " +
+          s"transform(sequence(0, int(least((length(hx) + ${frameHex - 1}) div $frameHex, 8192)) - 1), " +
           s"i -> named_struct('frame_idx', i, 'frame', substring(hx, i * $frameHex + 1, $frameHex))))"
       )).as("f"))
       .select($"doc_id", $"f.frame_idx".as("frame_idx"),

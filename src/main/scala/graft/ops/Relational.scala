@@ -37,6 +37,19 @@ object Relational {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Exact discounted-revenue sum: price and (1-discount) each carry 2
+    * decimals, so their product is exactly 4 — the scale-4 recast is
+    * lossless and keeps the unscaled sum under 2^53, where
+    * decimal→double conversion is exact in every engine (DuckDB's is
+    * 1-ulp-off above that).
+    */
+  private def dsumDisc(price: Column, discount: Column): Column =
+    sum((dec(price) * (lit(1).cast(DecimalType(18, 4)) - dec(discount)))
+      .cast(DecimalType(18, 4))).cast(DoubleType)
+
+  private val dsumDiscSql =
+    "CAST(SUM(CAST(CAST(%s AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(%s AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE)"
+
   /** TPC-H Q1-style pricing summary: filter → hash aggregate with
     * map-side partials (the reference's Sdemo1map pre-aggregation
     * pattern, sdfs/executors/Sdemo1map.py:22-25, done natively by
@@ -53,21 +66,15 @@ object Relational {
         count(lit(1)).as("count_order"),
         dsum($"l_quantity").as("sum_qty"),
         dsum($"l_extendedprice").as("sum_base_price"),
-        // price and (1-discount) each have 2 decimals, so the product is
-        // exactly 4 — the scale-4 recast is lossless and keeps the
-        // unscaled sum under 2^53, where decimal→double conversion is
-        // exact in every engine (DuckDB's is 1-ulp-off above that).
-        sum((dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
-          .cast(DecimalType(18, 4)))
-          .cast(DoubleType).as("sum_disc_price")
+        dsumDisc($"l_extendedprice", $"l_discount").as("sum_disc_price")
       )
   }
 
   val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS count_order,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+      | ${dsumDiscSql.format("l_extendedprice", "l_discount")} AS sum_disc_price
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")
 
@@ -200,17 +207,14 @@ object Relational {
       .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        // scale-4 recast before summing: see q1Agg sum_disc_price note
-        sum((dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
-          .cast(DecimalType(18, 4)))
-          .cast(DoubleType).as("revenue"),
+        dsumDisc($"l_extendedprice", $"l_discount").as("revenue"),
         count(lit(1)).as("n_items")
       )
   }
 
   val q9Sql: String =
-    """SELECT r_name, n_name,
-      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    s"""SELECT r_name, n_name,
+      | ${dsumDiscSql.format("l_extendedprice", "l_discount")} AS revenue,
       | count(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       | JOIN customer ON o_custkey = c_custkey

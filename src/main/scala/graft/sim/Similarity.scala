@@ -31,9 +31,16 @@ object Similarity {
 
   // One persisted normalized projection per (session, dir): four
   // operators read it, and re-persisting per call would stack duplicate
-  // cache entries across a full Verify/Bench sweep.
+  // cache entries across a full Verify/Bench sweep. Assumes input dirs
+  // are immutable for the session (the testdata contract); call
+  // clearCaches() after rewriting a dir in a long-lived session.
   private val normCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  def clearCaches(): Unit = {
+    normCache.values.foreach(_.unpersist())
+    normCache.clear()
+  }
 
   private def withNorm(t: Tables): DataFrame =
     normCache.getOrElseUpdate((t.spark, t.dir), {

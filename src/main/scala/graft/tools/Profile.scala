@@ -38,7 +38,8 @@ object Profile {
     val hashed = shingles.distinct().select($"doc_id",
       conv(substring(md5($"shingle".cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
     time("shingles-md5")(hashed.count())
-    val aggs = (0 until 16).map(i => min((col("h") * (387461L + 2 * i) + 1104739L + i) % 4294967311L).as(s"m$i"))
+    val aggs = graft.dedup.Dedup.AB.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % graft.dedup.Dedup.P).as(s"m$i") }
     val sig = hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
     time("signatures")(sig.count())
     time("minhash-full")(graft.dedup.Dedup.minhashLsh(t).count())
