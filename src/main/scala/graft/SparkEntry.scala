@@ -49,6 +49,8 @@ object SparkEntry {
     "q26_pivot"       -> q(Relational.q26Pivot),
     "q28_theta_join"  -> q(Relational.q28ThetaJoin),
     "q29_running_sum" -> q(Relational.q29RunningSum),
+    "q30_grouped_list" -> q(Relational.q30GroupedList),
+    "q31_date_parts"  -> q(Relational.q31DateParts),
     "q27_approx_distinct" -> q(Relational.q27ApproxDistinct),
     "mm_frame_sample" -> q(Multimodal.frameSample),
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
@@ -104,6 +106,8 @@ object SparkEntry {
     "q26_pivot"       -> Relational.q26Sql,
     "q28_theta_join"  -> Relational.q28Sql,
     "q29_running_sum" -> Relational.q29Sql,
+    "q30_grouped_list" -> Relational.q30Sql,
+    "q31_date_parts"  -> Relational.q31Sql,
     // q27_approx_distinct: HLL sketch values are engine-specific — rows-only.
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "q21_above_avg"   -> Relational.q21Sql,

@@ -451,6 +451,49 @@ object Relational {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
       |FROM orders""".stripMargin.replace("\n", " ")
 
+  /** Grouped list aggregation. collect_list order is nondeterministic,
+    * so the output is the sorted, comma-joined string form — stable in
+    * both engines and comparator-proof (no array-typed cells).
+    */
+  def q30GroupedList(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .filter($"o_custkey" <= 20)
+      .groupBy($"o_custkey")
+      .agg(array_join(array_sort(collect_list($"o_orderkey".cast("string"))), ",")
+        .as("order_keys"))
+  }
+
+  val q30Sql: String =
+    """SELECT o_custkey,
+      | array_to_string(list_sort(list(CAST(o_orderkey AS VARCHAR))), ',') AS order_keys
+      |FROM orders WHERE o_custkey <= 20 GROUP BY o_custkey""".stripMargin.replace("\n", " ")
+
+  /** Date-part extraction: quarter, ISO weekday, month truncation, and
+    * whole-day differences — all integer/timestamp outputs. (Spark's
+    * dayofweek is 1=Sunday while DuckDB's is 0=Sunday; weekday()+1 ==
+    * isodow is the portable pair.)
+    */
+  def q31DateParts(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .filter($"o_orderkey" < 200)
+      .select(
+        $"o_orderkey",
+        quarter($"o_orderdate").as("q"),
+        (weekday($"o_orderdate") + 1).as("isodow"),
+        date_trunc("month", $"o_orderdate").as("order_month"),
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date"))
+          .as("days_to_2002"))
+  }
+
+  val q31Sql: String =
+    """SELECT o_orderkey, CAST(quarter(o_orderdate) AS INT) AS q,
+      | CAST(isodow(o_orderdate) AS INT) AS isodow,
+      | date_trunc('month', o_orderdate) AS order_month,
+      | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
+      |FROM orders WHERE o_orderkey < 200""".stripMargin.replace("\n", " ")
+
   /** The SQL-string interface (the reference's user surface is typed SQL
     * text, sdfs/src/main.rs:294-299): register the table as a view and
     * run the statement through spark.sql — same planner, same result.
