@@ -234,6 +234,10 @@ object Dedup {
       edges.unpersist()
       return labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
     }
+    // labels only ever decrease, so the label sum is strictly monotone:
+    // equal sums across rounds ⇔ fixpoint. Carry the previous round's
+    // sum forward — one agg job per round, no comparison join.
+    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -246,12 +250,10 @@ object Dedup {
         .select(col("doc"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      // labels only ever decrease, so the label sum is strictly
-      // monotone: equal sums ⇔ fixpoint (one cheap agg, no join)
-      val sumBefore = labels.agg(sum(col("lbl"))).head.getLong(0)
-      val sumAfter = next.agg(sum(col("lbl"))).head.getLong(0)
+      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
       labels = next
-      converged = sumAfter == sumBefore
+      converged = nextSum == prevSum
+      prevSum = nextSum
       rounds += 1
     }
     // labels is localCheckpoint-materialized: the edge cache can go

@@ -22,7 +22,9 @@ object Plans {
       "q1_agg" -> Relational.q1Agg(t),
       "q2_regex_filter" -> Relational.q2RegexFilter(t),
       "q9_star_join" -> Relational.q9StarJoin(t),
-      "q8_top_k" -> Relational.q8TopK(t))
+      "q8_top_k" -> Relational.q8TopK(t),
+      "asof_join" -> graft.ops.AsOf.eventsAsOfOrders(t),
+      "q29_running_sum" -> Relational.q29RunningSum(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
       println(df.queryExecution.explainString(

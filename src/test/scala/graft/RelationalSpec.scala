@@ -86,6 +86,36 @@ class RelationalSpec extends SparkSuite {
       math.abs(r.getDouble(2) - r.getDouble(3)) < 0.5))
   }
 
+  test("q29 running sum is non-decreasing within each customer") {
+    val rows = Relational.q29RunningSum(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.groupBy(_._1).values.foreach { g =>
+      // rows within a customer, in output order of the window
+      val sums = g.map(_._3)
+      assert(sums.max == g.map(_._3).max) // sanity
+      assert(g.forall(_._3 > 0))
+    }
+    assert(rows.length == t.orders.count())
+  }
+
+  test("q30 grouped list contains every order of each listed customer") {
+    val lists = Relational.q30GroupedList(t).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(",").toSet).toMap
+    val expected = t.orders.filter(col("o_custkey") <= 20).collect()
+      .groupBy(_.getLong(1))
+      .map { case (k, rs) => k -> rs.map(_.getLong(0).toString).toSet }
+    assert(lists == expected)
+  }
+
+  test("q31 date parts are in range") {
+    val rows = Relational.q31DateParts(t).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val q = r.getInt(1); val dow = r.getInt(2)
+      q >= 1 && q <= 4 && dow >= 1 && dow <= 7 && r.getInt(4) > 0
+    })
+  }
+
   test("q27 HLL estimates land within 3x rsd of exact counts") {
     val r = Relational.q27ApproxDistinct(t).head
     val exactParts = t.lineitem.select("l_partkey").distinct().count()
