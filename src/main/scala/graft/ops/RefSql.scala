@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's two-statement SQL dialect (sdfs/src/main.rs:294-299),
+  * compiled to Spark plans instead of hard-coded maple/juice pairs
+  * (sdfs/src/client.rs:505-541):
+  *
+  *   SELECT ALL FROM <ds> WHERE <regex>
+  *   SELECT ALL FROM <d1> <d2> WHERE <d1>.<f> = <d2>.<f>
+  *
+  * Line semantics: the reference matches the regex against the raw CSV
+  * line (sdfs/executors/selectmap.py:14). For a text view (single
+  * `value` column) the line IS the column; for a structured view the
+  * line is reconstructed as the comma-joined row (the reference's CSV
+  * convention, SURVEY.md §1.3). The join returns both rows' columns
+  * (documented Q2 assumption: inner, key equality).
+  */
+object RefSql {
+
+  private val FilterRe =
+    """(?i)SELECT\s+ALL\s+FROM\s+(\S+)\s+WHERE\s+(.+)""".r
+  private val JoinRe =
+    """(?i)SELECT\s+ALL\s+FROM\s+(\S+)\s+(\S+)\s+WHERE\s+(\S+)\.(\S+)\s*=\s*(\S+)\.(\S+)""".r
+
+  /** Attempts to parse+plan the reference dialect; None if the text is
+    * not one of the two statements (caller falls back to Spark SQL).
+    */
+  def compile(spark: SparkSession, stmt: String): Option[DataFrame] =
+    stmt.trim match {
+      case JoinRe(d1, d2, qd1, f1, qd2, f2) =>
+        // field qualifiers must name the two datasets (either order)
+        val (lf, rf) =
+          if (qd1.equalsIgnoreCase(d1) && qd2.equalsIgnoreCase(d2)) (f1, f2)
+          else if (qd1.equalsIgnoreCase(d2) && qd2.equalsIgnoreCase(d1)) (f2, f1)
+          else return None
+        val a = spark.table(d1)
+        val b = spark.table(d2)
+        // string-equality join on the named fields, full rows of both
+        // sides (disambiguated with dataset prefixes on collision)
+        val bCols = b.columns.toSet
+        val aRenamed = a.columns.foldLeft(a) { (df, c) =>
+          if (bCols.contains(c)) df.withColumnRenamed(c, s"${d1}_$c") else df
+        }
+        val lfCol = if (bCols.contains(lf)) s"${d1}_$lf" else lf
+        Some(aRenamed.join(b,
+          aRenamed(lfCol).cast("string") === b(rf).cast("string"), "inner"))
+      case FilterRe(ds, regex) =>
+        val df = spark.table(ds)
+        val line =
+          if (df.columns.sameElements(Array("value"))) col("value")
+          else concat_ws(",", df.columns.map(col): _*)
+        Some(df.filter(line.rlike(regex.trim)))
+      case _ => None
+    }
+}

@@ -14,14 +14,24 @@ import org.apache.spark.sql.SparkSession
   *   ls [name]                   list registered tables (the leader's
   *                               file-table analog, main.rs:246-248)
   *   delete <name>               drop the view (main.rs:243-245)
-  *   SELECT ...                  any Spark SQL (supersedes the
-  *                               reference's two statements)
+  *   maple <exe> <workers> <prefix> <view> [args...]
+  *                               run a named map executor (the
+  *                               reference's Python script names map to
+  *                               Scala lambdas — graft.mr.Executors);
+  *                               output registered as view <prefix>
+  *                               with (key, value) columns. Worker
+  *                               count is accepted and ignored — split
+  *                               sizing is the scheduler's job.
+  *   juice <exe> <workers> <prefix> <view> [delete?]
+  *                               fold the (key, value) view <prefix>
+  *                               with a named reduce executor; output
+  *                               registered as <view>
+  *   SELECT ALL FROM ds WHERE regex        (reference dialect)
+  *   SELECT ALL FROM d1 d2 WHERE d1.f = d2.f
+  *   SELECT ...                  any Spark SQL beyond the two
+  *                               reference statements
   *   explain SELECT ...          show the physical plan
   *   quit
-  *
-  * maple/juice jobs are the library surface (graft.mr.MapleJuice) —
-  * Scala lambdas rather than Python subprocess names, so they have no
-  * string form here.
   */
 object Repl {
   def main(args: Array[String]): Unit = {
@@ -64,11 +74,45 @@ object Repl {
           case List("delete", name) =>
             spark.catalog.dropTempView(name)
             println(s"ok: deleted $name")
+          case "maple" :: exe :: _ :: prefix :: view :: args =>
+            graft.mr.Executors.mapByName.get(exe) match {
+              case None =>
+                println(s"unknown map executor: $exe " +
+                  s"(known: ${graft.mr.Executors.mapByName.keys.mkString(", ")})")
+              case Some(udf) =>
+                import org.apache.spark.sql.functions.{col, concat_ws}
+                import spark.implicits._
+                val df = spark.table(view)
+                val lineCol =
+                  if (df.columns.sameElements(Array("value"))) col("value")
+                  else concat_ws(",", df.columns.map(col): _*)
+                val kv = graft.mr.MapleJuice.maple(
+                  df.select(lineCol.as("value")).as[String])(l => udf(l, args))
+                kv.toDF("key", "value").createOrReplaceTempView(prefix)
+                println(s"ok: maple $exe -> view $prefix (${spark.table(prefix).count()} pairs)")
+            }
+          case "juice" :: exe :: _ :: prefix :: out :: _ =>
+            graft.mr.Executors.reduceByName.get(exe) match {
+              case None =>
+                println(s"unknown reduce executor: $exe " +
+                  s"(known: ${graft.mr.Executors.reduceByName.keys.mkString(", ")})")
+              case Some(udf) =>
+                import spark.implicits._
+                val kv = spark.table(prefix)
+                  .select($"key", $"value").as[(String, String)]
+                val folded = graft.mr.MapleJuice.juice(kv)((k, vs) => udf(k, vs, Nil))
+                folded.toDF("key", "value").createOrReplaceTempView(out)
+                println(s"ok: juice $exe -> view $out (${spark.table(out).count()} rows)")
+            }
           case "explain" :: _ =>
             spark.sql(line.stripPrefix("explain").trim).explain("formatted")
           case _ if line.toUpperCase.startsWith("SELECT") ||
             line.toUpperCase.startsWith("WITH") =>
-            spark.sql(line).show(50, truncate = false)
+            // the reference's two-statement dialect first, Spark SQL else
+            graft.ops.RefSql.compile(spark, line) match {
+              case Some(df) => df.show(50, truncate = false)
+              case None => spark.sql(line).show(50, truncate = false)
+            }
           case other =>
             println(s"unknown command: ${other.headOption.getOrElse("")}")
         }
