@@ -28,6 +28,13 @@ object RefSql {
     * not one of the two statements (caller falls back to Spark SQL).
     */
   def compile(spark: SparkSession, stmt: String): Option[DataFrame] =
+    compileNamed(spark, stmt).map(_._1)
+
+  /** Like compile, but also yields the reference's output name for the
+    * result — `<ds>_filter` / `<d1>_<d2>_join` (README.md:114-127) —
+    * so callers can register it the way the reference persists it.
+    */
+  def compileNamed(spark: SparkSession, stmt: String): Option[(DataFrame, String)] =
     stmt.trim match {
       case JoinRe(d1, d2, qd1, f1, qd2, f2) =>
         // field qualifiers must name the two datasets (either order)
@@ -44,14 +51,15 @@ object RefSql {
           if (bCols.contains(c)) df.withColumnRenamed(c, s"${d1}_$c") else df
         }
         val lfCol = if (bCols.contains(lf)) s"${d1}_$lf" else lf
-        Some(aRenamed.join(b,
-          aRenamed(lfCol).cast("string") === b(rf).cast("string"), "inner"))
+        Some((aRenamed.join(b,
+          aRenamed(lfCol).cast("string") === b(rf).cast("string"), "inner"),
+          s"${d1}_${d2}_join"))
       case FilterRe(ds, regex) =>
         val df = spark.table(ds)
         val line =
           if (df.columns.sameElements(Array("value"))) col("value")
           else concat_ws(",", df.columns.map(col): _*)
-        Some(df.filter(line.rlike(regex.trim)))
+        Some((df.filter(line.rlike(regex.trim)), s"${ds}_filter"))
       case _ => None
     }
 }

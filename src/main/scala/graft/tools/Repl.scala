@@ -109,8 +109,13 @@ object Repl {
           case _ if line.toUpperCase.startsWith("SELECT") ||
             line.toUpperCase.startsWith("WITH") =>
             // the reference's two-statement dialect first, Spark SQL else
-            graft.ops.RefSql.compile(spark, line) match {
-              case Some(df) => df.show(50, truncate = false)
+            graft.ops.RefSql.compileNamed(spark, line) match {
+              case Some((df, outName)) =>
+                // the reference persists results as <ds>_filter /
+                // <d1>_<d2>_join files; register the same name as a view
+                df.createOrReplaceTempView(outName)
+                df.show(50, truncate = false)
+                println(s"ok: registered view $outName (retrieve with: get $outName <path>)")
               case None => spark.sql(line).show(50, truncate = false)
             }
           case other =>
