@@ -51,6 +51,8 @@ object SparkEntry {
     "q29_running_sum" -> q(Relational.q29RunningSum),
     "q30_grouped_list" -> q(Relational.q30GroupedList),
     "q31_date_parts"  -> q(Relational.q31DateParts),
+    "q32_fuzzy_name"  -> q(Relational.q32FuzzyName),
+    "q33_ntile"       -> q(Relational.q33Ntile),
     "q27_approx_distinct" -> q(Relational.q27ApproxDistinct),
     "mm_frame_sample" -> q(Multimodal.frameSample),
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
@@ -108,6 +110,8 @@ object SparkEntry {
     "q29_running_sum" -> Relational.q29Sql,
     "q30_grouped_list" -> Relational.q30Sql,
     "q31_date_parts"  -> Relational.q31Sql,
+    "q32_fuzzy_name"  -> Relational.q32Sql,
+    "q33_ntile"       -> Relational.q33Sql,
     // q27_approx_distinct: HLL sketch values are engine-specific — rows-only.
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "q21_above_avg"   -> Relational.q21Sql,

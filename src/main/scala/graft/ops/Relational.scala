@@ -494,6 +494,49 @@ object Relational {
       | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
       |FROM orders WHERE o_orderkey < 200""".stripMargin.replace("\n", " ")
 
+  /** Fuzzy string matching by edit distance — the string-side
+    * near-duplicate primitive (complements Dedup's token/shingle
+    * families). Levenshtein is integer DP: engine-identical. Probe
+    * subset × corpus with an integer threshold; at scale the probe side
+    * is the blocked candidate list, never the full cross product.
+    */
+  def q32FuzzyName(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val probes = t.part.filter($"p_partkey" % 50 === 0)
+      .select($"p_partkey".as("probe_key"), $"p_name".as("probe_name"))
+    val cands = t.part.select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"))
+    broadcast(probes).join(cands, $"probe_key" =!= $"cand_key")
+      .withColumn("dist", levenshtein($"probe_name", $"cand_name"))
+      .filter($"dist" <= 4)
+      .select($"probe_key", $"cand_key", $"dist")
+  }
+
+  val q32Sql: String =
+    """SELECT p.p_partkey AS probe_key, c.p_partkey AS cand_key,
+      | CAST(levenshtein(p.p_name, c.p_name) AS INT) AS dist
+      |FROM part p JOIN part c ON p.p_partkey <> c.p_partkey
+      |WHERE p.p_partkey % 50 = 0 AND levenshtein(p.p_name, c.p_name) <= 4""".stripMargin.replace("\n", " ")
+
+  /** Quantile bucketing and relative rank: ntile is integer;
+    * percent_rank is (rank-1)/(n-1), a single division of ints.
+    */
+  def q33Ntile(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    t.orders.select(
+      $"o_orderkey", $"o_orderpriority",
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"))
+  }
+
+  val q33Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      | CAST(ntile(4) OVER w AS INT) AS quartile,
+      | percent_rank() OVER w AS pct_rank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin.replace("\n", " ")
+
   /** The SQL-string interface (the reference's user surface is typed SQL
     * text, sdfs/src/main.rs:294-299): register the table as a view and
     * run the statement through spark.sql — same planner, same result.
