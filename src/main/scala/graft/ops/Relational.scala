@@ -416,7 +416,11 @@ object Relational {
     */
   def q28ThetaJoin(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val a = t.part.select($"p_partkey".as("key_a"), $"p_retailprice".as("price_a"))
+    // repartition: the streamed side of the nested-loop join sets the
+    // task count, and part is a single-file (one-split) table
+    val a = t.part
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select($"p_partkey".as("key_a"), $"p_retailprice".as("price_a"))
     val b = t.part.select($"p_partkey".as("key_b"), $"p_retailprice".as("price_b"))
     a.join(b, $"key_a" < $"key_b" &&
         abs($"price_a" - $"price_b") < lit(0.5))
@@ -504,10 +508,22 @@ object Relational {
     import t.spark.implicits._
     val probes = t.part.filter($"p_partkey" % 50 === 0)
       .select($"p_partkey".as("probe_key"), $"p_name".as("probe_name"))
-    val cands = t.part.select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"))
-    broadcast(probes).join(cands, $"probe_key" =!= $"cand_key")
-      .withColumn("dist", levenshtein($"probe_name", $"cand_name"))
-      .filter($"dist" <= 4)
+    // repartition: part is one parquet file = one input split, and the
+    // streamed side of the broadcast join sets the task count
+    val cands = t.part
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"))
+    // length-difference lower bound: |len(a)-len(b)| > k ⇒ dist > k.
+    // Pruning in the join condition skips the O(len²) DP for most pairs
+    // without changing the result (the oracle needs no mirror — it's
+    // implied by the threshold).
+    broadcast(probes).join(cands,
+        $"probe_key" =!= $"cand_key" &&
+          abs(length($"probe_name") - length($"cand_name")) <= 4)
+      // thresholded variant early-exits the DP (returns -1 above 4);
+      // kept rows carry the exact distance, same values as the oracle
+      .withColumn("dist", levenshtein($"probe_name", $"cand_name", 4))
+      .filter($"dist" =!= -1)
       .select($"probe_key", $"cand_key", $"dist")
   }
 
