@@ -19,10 +19,16 @@ object Executors {
   /** selectmap.py:4-19 — keep lines where the regex searches (not
     * anchors); single key "filtered".
     */
-  val selectMap: MapUdf = (line, args) => {
-    val p = java.util.regex.Pattern.compile(args.head)
-    if (p.matcher(line).find()) Iterator(("filtered", line)) else Iterator.empty
-  }
+  // per-args pattern memo: the lambda runs once per record, and
+  // Pattern.compile per line would dominate the map hot path
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def pattern(re: String): java.util.regex.Pattern =
+    patternCache.computeIfAbsent(re, java.util.regex.Pattern.compile(_))
+
+  val selectMap: MapUdf = (line, args) =>
+    if (pattern(args.head).matcher(line).find()) Iterator(("filtered", line))
+    else Iterator.empty
 
   /** selectreduce.py:4-16 — concatenate all matched chunks. */
   val selectReduce: ReduceUdf = (_, vs, _) => vs.map(v => ("filtered", v))
@@ -31,8 +37,12 @@ object Executors {
     * split (emitted here per token; Spark's partial aggregation is the
     * split-level combine).
     */
+  private val WordRe = java.util.regex.Pattern.compile("\\w+")
+
   val wordCountMap: MapUdf = (line, _) => {
-    val m = java.util.regex.Pattern.compile("\\w+").matcher(line.toLowerCase)
+    // Locale.ROOT: locale-independent lowering (tr_TR dotless-i etc.),
+    // matching both the reference's Python .lower() and Spark's lower()
+    val m = WordRe.matcher(line.toLowerCase(java.util.Locale.ROOT))
     Iterator.continually(m).takeWhile(_.find()).map(mm => (mm.group(), "1"))
   }
 
@@ -86,4 +96,31 @@ object Executors {
     "wordcountreduce.py" -> wordCountReduce,
     "Sdemo1reduce.py" -> sdemo1Reduce,
     "Hdemo1reduce.py" -> hdemo1Reduce)
+
+  /** Finalization stage: the reference's reduce executors do more than
+    * fold per key — wordcountreduce emits the grand total across its
+    * keys (wordcountreduce.py:15-19) and Sdemo1reduce formats each
+    * count as a percent of its keys' total (Sdemo1reduce.py:29-31).
+    * With the reference's single-reducer demo configuration "its keys"
+    * = all keys, which is what these finalizers reproduce over the
+    * folded (key, value) table.
+    */
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{col, format_string, lit, sum}
+  import org.apache.spark.sql.expressions.{Window => W}
+
+  val finalizeByName: Map[String, DataFrame => DataFrame] = Map(
+    "wordcountreduce.py" -> { df =>
+      df.agg(sum(col("value").cast("long")).cast("string").as("value"))
+        .select(lit("total").as("key"), col("value"))
+    },
+    "Sdemo1reduce.py" -> sdemo1Percent,
+    "Hdemo1reduce.py" -> sdemo1Percent)
+
+  private def sdemo1Percent(df: DataFrame): DataFrame =
+    df.select(col("key"),
+      format_string("%.2f%%",
+        col("value").cast("long") * lit(100.0) /
+          sum(col("value").cast("long")).over(W.partitionBy()))
+        .as("value"))
 }

@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object RefSql {
 
+  /** The raw-line view of a DataFrame under the reference's CSV
+    * convention: a text view's `value` column IS the line; a structured
+    * view rejoins its columns with commas, null-as-empty (Spark's CSV
+    * reader yields null for empty cells; concat_ws would silently DROP
+    * nulls and shift every later column).
+    */
+  def lineOf(df: DataFrame): org.apache.spark.sql.Column =
+    if (df.columns.sameElements(Array("value"))) col("value")
+    else concat_ws(",", df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+
   private val FilterRe =
     """(?i)SELECT\s+ALL\s+FROM\s+(\S+)\s+WHERE\s+(.+)""".r
   private val JoinRe =
@@ -45,21 +55,20 @@ object RefSql {
         val a = spark.table(d1)
         val b = spark.table(d2)
         // string-equality join on the named fields, full rows of both
-        // sides (disambiguated with dataset prefixes on collision)
-        val bCols = b.columns.toSet
+        // sides (disambiguated with dataset prefixes on collision —
+        // case-insensitively, matching Spark's default resolution)
+        val bCols = b.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        def collides(c: String) = bCols.contains(c.toLowerCase(java.util.Locale.ROOT))
         val aRenamed = a.columns.foldLeft(a) { (df, c) =>
-          if (bCols.contains(c)) df.withColumnRenamed(c, s"${d1}_$c") else df
+          if (collides(c)) df.withColumnRenamed(c, s"${d1}_$c") else df
         }
-        val lfCol = if (bCols.contains(lf)) s"${d1}_$lf" else lf
+        val lfCol = if (collides(lf)) s"${d1}_$lf" else lf
         Some((aRenamed.join(b,
           aRenamed(lfCol).cast("string") === b(rf).cast("string"), "inner"),
           s"${d1}_${d2}_join"))
       case FilterRe(ds, regex) =>
         val df = spark.table(ds)
-        val line =
-          if (df.columns.sameElements(Array("value"))) col("value")
-          else concat_ws(",", df.columns.map(col): _*)
-        Some((df.filter(line.rlike(regex.trim)), s"${ds}_filter"))
+        Some((df.filter(lineOf(df).rlike(regex.trim)), s"${ds}_filter"))
       case _ => None
     }
 }

@@ -75,21 +75,21 @@ object Repl {
             spark.catalog.dropTempView(name)
             println(s"ok: deleted $name")
           case "maple" :: exe :: _ :: prefix :: view :: args =>
+            val needsArg = Set("selectmap.py", "Sdemo1map.py", "Hdemo1map.py")
             graft.mr.Executors.mapByName.get(exe) match {
               case None =>
                 println(s"unknown map executor: $exe " +
                   s"(known: ${graft.mr.Executors.mapByName.keys.mkString(", ")})")
+              case Some(_) if needsArg(exe) && args.isEmpty =>
+                println(s"usage: maple $exe <workers> <prefix> <view> <arg> — $exe requires an argument")
               case Some(udf) =>
-                import org.apache.spark.sql.functions.{col, concat_ws}
                 import spark.implicits._
                 val df = spark.table(view)
-                val lineCol =
-                  if (df.columns.sameElements(Array("value"))) col("value")
-                  else concat_ws(",", df.columns.map(col): _*)
                 val kv = graft.mr.MapleJuice.maple(
-                  df.select(lineCol.as("value")).as[String])(l => udf(l, args))
-                kv.toDF("key", "value").createOrReplaceTempView(prefix)
-                println(s"ok: maple $exe -> view $prefix (${spark.table(prefix).count()} pairs)")
+                  df.select(graft.ops.RefSql.lineOf(df).as("value")).as[String])(l => udf(l, args))
+                val out = kv.toDF("key", "value").cache() // one job: count + later reads
+                out.createOrReplaceTempView(prefix)
+                println(s"ok: maple $exe -> view $prefix (${out.count()} pairs)")
             }
           case "juice" :: exe :: _ :: prefix :: out :: _ =>
             graft.mr.Executors.reduceByName.get(exe) match {
@@ -101,8 +101,14 @@ object Repl {
                 val kv = spark.table(prefix)
                   .select($"key", $"value").as[(String, String)]
                 val folded = graft.mr.MapleJuice.juice(kv)((k, vs) => udf(k, vs, Nil))
-                folded.toDF("key", "value").createOrReplaceTempView(out)
-                println(s"ok: juice $exe -> view $out (${spark.table(out).count()} rows)")
+                  .toDF("key", "value")
+                // reference reducers post-process their key set (grand
+                // totals / percent formatting) — apply the same stage
+                val finalized = graft.mr.Executors.finalizeByName
+                  .get(exe).map(f => f(folded)).getOrElse(folded)
+                  .cache()
+                finalized.createOrReplaceTempView(out)
+                println(s"ok: juice $exe -> view $out (${finalized.count()} rows)")
             }
           case "explain" :: _ =>
             spark.sql(line.stripPrefix("explain").trim).explain("formatted")
@@ -115,7 +121,8 @@ object Repl {
                 // <d1>_<d2>_join files; register the same name as a view
                 df.createOrReplaceTempView(outName)
                 df.show(50, truncate = false)
-                println(s"ok: registered view $outName (retrieve with: get $outName <path>)")
+                println(s"ok: (reference dialect) registered view $outName " +
+                  s"(retrieve with: get $outName <path>)")
               case None => spark.sql(line).show(50, truncate = false)
             }
           case other =>

@@ -67,6 +67,30 @@ class ExecutorsSpec extends SparkSuite {
     }
   }
 
+  test("finalize stage reproduces the reference reducers' output shapes") {
+    import spark.implicits._
+    withLogLevel {
+      val folded = Seq(("a", "3"), ("b", "1")).toDF("key", "value")
+      // wordcountreduce.py → single grand-total line
+      val total = graft.mr.Executors.finalizeByName("wordcountreduce.py")(folded)
+        .collect()
+      assert(total.toSeq.map(r => (r.getString(0), r.getString(1))) == Seq(("total", "4")))
+      // Sdemo1reduce.py → percent-of-total strings per key
+      val pct = graft.mr.Executors.finalizeByName("Sdemo1reduce.py")(folded)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(pct == Map("a" -> "75.00%", "b" -> "25.00%"))
+    }
+  }
+
+  test("lineOf keeps column positions for null (empty) CSV cells") {
+    import spark.implicits._
+    withLogLevel {
+      val df = Seq(("A", null: String, "B")).toDF("c1", "c2", "c3")
+      val line = df.select(RefSql.lineOf(df).as("l")).head.getString(0)
+      assert(line == "A,,B") // concat_ws alone would yield "A,B" (shifted)
+    }
+  }
+
   test("reference SQL dialect: filter statement on a text view") {
     withLogLevel {
       graft.io.GraftIO.readLines(spark, csvPath).createOrReplaceTempView("traffic")
