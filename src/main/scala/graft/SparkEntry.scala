@@ -53,6 +53,8 @@ object SparkEntry {
     "q31_date_parts"  -> q(Relational.q31DateParts),
     "q32_fuzzy_name"  -> q(Relational.q32FuzzyName),
     "q33_ntile"       -> q(Relational.q33Ntile),
+    "q34_funnel"      -> q(Relational.q34Funnel),
+    "q35_having"      -> q(Relational.q35Having),
     "q27_approx_distinct" -> q(Relational.q27ApproxDistinct),
     "mm_frame_sample" -> q(Multimodal.frameSample),
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
@@ -112,6 +114,8 @@ object SparkEntry {
     "q31_date_parts"  -> Relational.q31Sql,
     "q32_fuzzy_name"  -> Relational.q32Sql,
     "q33_ntile"       -> Relational.q33Sql,
+    "q34_funnel"      -> Relational.q34Sql,
+    "q35_having"      -> Relational.q35Sql,
     // q27_approx_distinct: HLL sketch values are engine-specific — rows-only.
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "q21_above_avg"   -> Relational.q21Sql,

@@ -553,6 +553,54 @@ object Relational {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin.replace("\n", " ")
 
+  /** Funnel analysis: users whose first purchase follows their first
+    * signup within 7 days. min() over timestamps is deterministic; the
+    * window comparison is interval arithmetic.
+    */
+  def q34Funnel(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val signups = t.events.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("first_signup"))
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .filter($"p_ts".isNull || $"p_ts" >= $"first_signup")
+      .groupBy($"user_id", $"first_signup")
+      .agg(min($"p_ts").as("first_purchase_after"))
+      .select(
+        $"user_id", $"first_signup", $"first_purchase_after",
+        ($"first_purchase_after".isNotNull &&
+          $"first_purchase_after" <= $"first_signup" + expr("INTERVAL 7 DAYS"))
+          .as("converted_7d"))
+  }
+
+  val q34Sql: String =
+    """SELECT user_id, first_signup, first_purchase_after,
+      | (first_purchase_after IS NOT NULL AND
+      |  first_purchase_after <= first_signup + INTERVAL 7 DAY) AS converted_7d
+      |FROM (
+      | SELECT s.user_id, s.first_signup, min(p.p_ts) AS first_purchase_after
+      | FROM (SELECT user_id, min(ts) AS first_signup FROM events
+      |       WHERE event_type = 'signup' GROUP BY user_id) s
+      | LEFT JOIN (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase') p
+      |  ON s.user_id = p.user_id
+      | WHERE p.p_ts IS NULL OR p.p_ts >= s.first_signup
+      | GROUP BY s.user_id, s.first_signup)""".stripMargin.replace("\n", " ")
+
+  /** HAVING — filter on aggregated values. */
+  def q35Having(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("qty"))
+      .filter($"n_lines" >= 40)
+  }
+
+  val q35Sql: String =
+    """SELECT l_partkey, count(*) AS n_lines,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40""".stripMargin.replace("\n", " ")
+
   /** The SQL-string interface (the reference's user surface is typed SQL
     * text, sdfs/src/main.rs:294-299): register the table as a view and
     * run the statement through spark.sql — same planner, same result.
