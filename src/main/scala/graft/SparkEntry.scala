@@ -77,6 +77,8 @@ object SparkEntry {
     "text_quality"    -> q(TextAnalysis.quality),
     "text_lang_id"    -> q(TextAnalysis.langId),
     "text_fingerprint" -> q(TextAnalysis.fingerprint),
+    // rows-only: winnowing selection isn't SQL-expressible; pinned by spec
+    "text_rolling_hash" -> q(graft.text.RollingHash.fingerprintTable),
     "text_token_count" -> q(TextAnalysis.tokenCount),
     "mm_binary_meta"  -> q(Multimodal.binaryMeta),
   )

@@ -57,6 +57,37 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: stands in for an image resize. Deterministic byte-
+    * stride downsample to the target byte budget — shape and size
+    * behavior of a real resize (output smaller, derived from input),
+    * content fake. Swap for a real scaler with the same signature.
+    */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (payload.length <= targetBytes) payload
+    else {
+      val out = new Array[Byte](targetBytes)
+      val stride = payload.length.toDouble / targetBytes
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = payload((i * stride).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Resize pass over a media table: per-partition batch processing,
+    * payloads replaced by their resized form plus the size metadata a
+    * downstream pipeline filters on.
+    */
+  def resizeAll(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[MediaRow] =
+      Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map(r => r.copy(payload = resizeStub(r.payload, targetBytes)))
+    }
+  }
+
   /** Synthesizes a media table from documents (text bytes as payload) —
     * the container has no real media, but the pipeline is the real one.
     */
