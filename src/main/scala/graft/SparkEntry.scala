@@ -71,7 +71,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard),
     "dedup_embedding" -> q(Similarity.embeddingNearDup),
     "ann_brute_force" -> q(Similarity.annBruteForce),
-    "ann_lsh"         -> q(Similarity.annLsh),
+    "ann_lsh"         -> q(Similarity.annLsh(_)),
     "ann_ivf"         -> q((t: Tables) => Similarity.annIvf(t)),
     "text_stats"      -> q(TextAnalysis.stats),
     "text_quality"    -> q(TextAnalysis.quality),

@@ -116,10 +116,17 @@ object Dedup {
   private val lshCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
-  def clearCaches(): Unit = lshCache.clear()
+  /** Releases both the memo map and the checkpoint blocks behind it.
+    * Callers invoke this only after a dir rewrite invalidates the cached
+    * results, so no live reference can legitimately outlast the call.
+    */
+  def clearCaches(): Unit = {
+    lshCache.values.foreach(_.unpersist())
+    lshCache.clear()
+  }
 
   def minhashLsh(t: Tables): DataFrame =
-    lshCache.getOrElseUpdate((t.spark, t.dir), minhashLshUncached(t).localCheckpoint())
+    lshCache.getOrElseUpdate((t.spark, t.dir), minhashLshUncached(t))
 
   private def minhashLshUncached(t: Tables): DataFrame = {
     // The signature table feeds the band join twice per band plus both
@@ -151,11 +158,16 @@ object Dedup {
     val matches = (0 until K)
       .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    // localCheckpoint here (not at the memo site) so the signature
+    // cache can be dropped as soon as the pair table is materialized
+    val out = cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("matches", matches)
       .filter(col("matches") >= MIN_MATCHES)
       .select(col("doc_a"), col("doc_b"),
         (col("matches") / lit(K.toDouble)).as("est_sim"))
+      .localCheckpoint()
+    sig.unpersist()
+    out
   }
 
   val minhashSql: String = {
@@ -310,9 +322,23 @@ object Dedup {
   // -------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact word-5-gram Jaccard pairs with similarity >= 0.1, thresholded
-    * in integer arithmetic (common*10 >= union). Candidate generation is
-    * the gram-bucket join — at scale the gram space is large enough that
-    * only genuinely overlapping docs collide.
+    * in integer arithmetic (common*10 >= union).
+    *
+    * Candidate generation is df-ordered PREFIX FILTERING (Chaudhuri et
+    * al. SSJoin / Bayardo All-Pairs), not a raw gram-bucket join: each
+    * doc's grams are sorted by (global document frequency asc, gram) and
+    * only the first n - ceil(θ·n) + 1 participate in the candidate
+    * self-join. Lossless for the θ=0.1 threshold: if both prefixes
+    * missed each other, the global ordering forces every common gram
+    * into ONE doc's suffix (a gram in A's prefix ∩ B's suffix and a
+    * gram in B's prefix ∩ A's suffix would each have to precede the
+    * other), so |A∩B| ≤ max(⌈θ|A|⌉, ⌈θ|B|⌉) - 1 — but J ≥ θ gives
+    * |A∩B| ≥ θ|A∪B| ≥ ⌈θ·max(|A|,|B|)⌉, a contradiction. The scale
+    * win: a stop-gram shared by 10⁶ docs
+    * sorts LAST globally, so it lands in a doc's prefix only when the
+    * doc has almost nothing rarer — the quadratic hot bucket the raw
+    * join suffers never forms. Exact common counts are then computed
+    * only for surviving candidate pairs.
     */
   def ngramJaccard(t: Tables): DataFrame = {
     import t.spark.implicits._
@@ -323,19 +349,39 @@ object Dedup {
           "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
       )).as("gram"))
       .distinct()
-      .persist() // feeds size agg + both join sides; avoid 3x recompute
+      .persist() // feeds df + size aggs + prefix + verification; avoid recompute
+    val gdf = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
     val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val ga = grams.toDF("doc_a", "gram")
-    val gb = grams.toDF("doc_b", "gram")
-    val common = ga.join(gb, ga("gram") === gb("gram") && ga("doc_a") < gb("doc_b"))
+    // prefix length n - ceil(n/10) + 1, all-integer; (df, gram) is a
+    // total order so the prefix is deterministic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df".asc, $"gram".asc)
+    val prefix = grams.join(gdf, "gram")
+      .withColumn("rk", row_number().over(w))
+      .join(sz, "doc_id")
+      .filter($"rk" <= $"n" - expr("(n + 9) div 10") + 1)
+      .select($"doc_id", $"gram")
+    val cand = prefix.toDF("doc_a", "gram")
+      .join(prefix.toDF("doc_b", "gram"), "gram")
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+      .distinct()
+    // exact |A∩B| per surviving candidate only: expand A's gram set per
+    // pair, keep the grams B also has
+    val common = cand
+      .join(grams.toDF("doc_a", "gram"), "doc_a")
+      .join(grams.toDF("doc_b", "gram"), Seq("doc_b", "gram"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-    common
+    val out = common
       .join(sz.toDF("doc_a", "na"), "doc_a")
       .join(sz.toDF("doc_b", "nb"), "doc_b")
       .filter(col("common") * 10 >= col("na") + col("nb") - col("common"))
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")))
           .as("jaccard"))
+      .localCheckpoint() // materialize so the gram cache can be released
+    grams.unpersist()
+    out
   }
 
   val ngramJaccardSql: String =

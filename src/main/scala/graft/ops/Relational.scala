@@ -337,7 +337,7 @@ object Relational {
   }
 
   val q17Sql: String =
-    """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM
       | (SELECT user_id, ts,
       |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |     OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE
@@ -408,22 +408,32 @@ object Relational {
       approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"))
   }
 
-  /** Theta (non-equi) join: price-band self-join on part. Spark plans a
-    * BroadcastNestedLoopJoin — acceptable for a dimension table;
-    * at fact scale the standard move is banding the join key
-    * (floor(price/width) equi-join on adjacent bands) to restore a
-    * hash-partitionable key.
+  /** Theta (non-equi) join: price-band self-join on part, executed as a
+    * banded equi-join. |price_a - price_b| < w implies the rows'
+    * floor(price/w) bands differ by at most 1, so one side emits its
+    * band plus both neighbors (explode ×3) and the join becomes a
+    * hash-partitionable equi-join on the band; the exact theta
+    * predicate is re-applied as a post-filter. Each qualifying pair
+    * joins exactly once (the three exploded bands are distinct and the
+    * build side carries a single band). This keeps the plan a
+    * hash/sort-merge join — shuffle on the band key — instead of the
+    * O(N²/cores) BroadcastNestedLoopJoin a raw theta join plans, so it
+    * survives a fact-scale self-join.
     */
   def q28ThetaJoin(t: Tables): DataFrame = {
     import t.spark.implicits._
-    // repartition: the streamed side of the nested-loop join sets the
-    // task count, and part is a single-file (one-split) table
+    val width = 0.5
+    // repartition: part is a single-file (one-split) table
+    val bandA = floor($"price_a" / width)
     val a = t.part
       .repartition(t.spark.sparkContext.defaultParallelism)
       .select($"p_partkey".as("key_a"), $"p_retailprice".as("price_a"))
-    val b = t.part.select($"p_partkey".as("key_b"), $"p_retailprice".as("price_b"))
-    a.join(b, $"key_a" < $"key_b" &&
-        abs($"price_a" - $"price_b") < lit(0.5))
+      .withColumn("band", explode(array(bandA - 1, bandA, bandA + 1)))
+    val b = t.part
+      .select($"p_partkey".as("key_b"), $"p_retailprice".as("price_b"))
+      .withColumn("band", floor($"price_b" / width))
+    a.join(b, "band")
+      .filter($"key_a" < $"key_b" && abs($"price_a" - $"price_b") < lit(width))
       .select($"key_a", $"key_b", $"price_a", $"price_b")
   }
 
@@ -500,26 +510,35 @@ object Relational {
 
   /** Fuzzy string matching by edit distance — the string-side
     * near-duplicate primitive (complements Dedup's token/shingle
-    * families). Levenshtein is integer DP: engine-identical. Probe
-    * subset × corpus with an integer threshold; at scale the probe side
-    * is the blocked candidate list, never the full cross product.
+    * families). Levenshtein is integer DP: engine-identical.
+    *
+    * Candidate generation is length-bucket blocking, not a cross
+    * product: dist ≤ 4 implies |len(a)-len(b)| ≤ 4, and with bucket
+    * width 5 (> threshold) the two rows' floor(len/5) buckets differ by
+    * at most 1 — so probes explode into {b-1, b, b+1} and equi-join the
+    * corpus on the bucket. Each pair joins at most once (corpus rows
+    * carry one bucket; the three exploded buckets are distinct). The
+    * plan is a hash join keyed on the bucket, O(pairs-per-bucket)
+    * instead of O(|probes|·N) nested-loop enumeration.
     */
   def q32FuzzyName(t: Tables): DataFrame = {
     import t.spark.implicits._
+    val bkt = floor(length($"probe_name") / lit(5))
     val probes = t.part.filter($"p_partkey" % 50 === 0)
       .select($"p_partkey".as("probe_key"), $"p_name".as("probe_name"))
+      .withColumn("blk", explode(array(bkt - 1, bkt, bkt + 1)))
     // repartition: part is one parquet file = one input split, and the
     // streamed side of the broadcast join sets the task count
     val cands = t.part
       .repartition(t.spark.sparkContext.defaultParallelism)
       .select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"))
+      .withColumn("blk", floor(length($"cand_name") / lit(5)))
     // length-difference lower bound: |len(a)-len(b)| > k ⇒ dist > k.
-    // Pruning in the join condition skips the O(len²) DP for most pairs
-    // without changing the result (the oracle needs no mirror — it's
-    // implied by the threshold).
-    broadcast(probes).join(cands,
-        $"probe_key" =!= $"cand_key" &&
-          abs(length($"probe_name") - length($"cand_name")) <= 4)
+    // The residual prune skips the O(len²) DP for cross-bucket pairs
+    // whose lengths still differ by >4.
+    broadcast(probes).join(cands, "blk")
+      .filter($"probe_key" =!= $"cand_key" &&
+        abs(length($"probe_name") - length($"cand_name")) <= 4)
       // thresholded variant early-exits the DP (returns -1 above 4);
       // kept rows carry the exact distance, same values as the oracle
       .withColumn("dist", levenshtein($"probe_name", $"cand_name", 4))

@@ -126,7 +126,7 @@ object Similarity {
     * 1 by construction → rows-only check (no SQL oracle); the
     * guarantee is that reported cosines are genuine.
     */
-  def annIvf(t: Tables, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  def annIvf(t: Tables, nlist: Int = 16, nprobe: Int = 8): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = withNorm(t)
@@ -147,8 +147,12 @@ object Similarity {
       .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
     val wCell = Window.partitionBy(col("probe_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
+    // rank cells by the SAME metric the quantizer assigns with
+    // (Euclidean): ||p-c||² = ||p||² - 2p·c + ||c||²; ||p||² is constant
+    // per probe, so -2p·c + ||c||² preserves the ranking
     val probeCells = probes.crossJoin(broadcast(cdf))
-      .withColumn("cdist", -dot(col("vp"), col("centroid"))) // max dot = min -dot
+      .withColumn("cdist",
+        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("vp"), col("centroid")))
       .withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= nprobe)
       .select(col("probe_id"), col("vp"), col("np"), col("cell"))
@@ -157,12 +161,17 @@ object Similarity {
       col("v").as("vc"), col("nrm").as("nc"), col("cell"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    probeCells.join(cands, Seq("cell"))
+    // top-5 per probe is tiny: materialize it so the cell-assignment
+    // cache can be released instead of accumulating across a sweep
+    val out = probeCells.join(cands, Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
+      .localCheckpoint()
+    assigned.unpersist()
+    out
   }
 
   /** LSH-bucketed ANN — the scale path. Multi-table random-hyperplane
@@ -176,9 +185,9 @@ object Similarity {
     * buckets. At 100 TB the bucket joins replace the quadratic
     * probe×corpus product with |bucket|-bounded work per table.
     */
-  def annLsh(t: Tables): DataFrame = {
-    val TABLES = 6
-    val PLANES = 6
+  def annLsh(t: Tables, tables: Int = 12, planes: Int = 4): DataFrame = {
+    val TABLES = tables
+    val PLANES = planes
     val e = withNorm(t)
     // Hyperplane weights are data-independent: derive them from md5 ONCE
     // on the driver and embed as array literals — never per row.
@@ -221,10 +230,14 @@ object Similarity {
       col("v").as("vc"), col("nrm").as("nc"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    cand.join(probes, "probe_id").join(cands, "cand_id")
+    // materialize the small top-5 result, then drop the bucket cache
+    val out = cand.join(probes, "probe_id").join(cands, "cand_id")
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
+      .localCheckpoint()
+    buckets.unpersist()
+    out
   }
 }

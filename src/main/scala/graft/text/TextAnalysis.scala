@@ -120,10 +120,10 @@ object TextAnalysis {
       |  WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang,
       | s_en, s_es, s_fr, s_de
       |FROM (SELECT doc_id,
-      |  sum(CASE WHEN tok IN ('the','a','and','of','is') THEN 1 ELSE 0 END) AS s_en,
-      |  sum(CASE WHEN tok IN ('el','la','de','y','es') THEN 1 ELSE 0 END) AS s_es,
-      |  sum(CASE WHEN tok IN ('le','une','et','est','dans') THEN 1 ELSE 0 END) AS s_fr,
-      |  sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS s_de
+      |  CAST(sum(CASE WHEN tok IN ('the','a','and','of','is') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+      |  CAST(sum(CASE WHEN tok IN ('el','la','de','y','es') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+      |  CAST(sum(CASE WHEN tok IN ('le','une','et','est','dans') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+      |  CAST(sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS BIGINT) AS s_de
       | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       | WHERE tok <> '' GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 

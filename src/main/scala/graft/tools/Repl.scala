@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   *   get <name> <local_path>     save table <name> as parquet
   *   ls [name]                   list registered tables (the leader's
   *                               file-table analog, main.rs:246-248)
+  *   store                       list the tables THIS node holds data
+  *                               for (the per-node file listing,
+  *                               server.rs:16-40, main.rs:249-251):
+  *                               registered tables plus whether their
+  *                               data is materialized in this JVM's
+  *                               block store or scanned on demand
   *   delete <name>               drop the view (main.rs:243-245)
   *   maple <exe> <workers> <prefix> <view> [args...]
   *                               run a named map executor (the
@@ -34,6 +40,19 @@ import org.apache.spark.sql.SparkSession
   *   quit
   */
 object Repl {
+
+  /** The `store` listing (reference server.rs:16-40): one line per
+    * registered table — name, type, and whether its data is held in
+    * this JVM's block store ("cached") or scanned on demand. Factored
+    * out of the command loop so specs can exercise it headlessly.
+    */
+  def storeListing(spark: SparkSession): Seq[String] =
+    spark.catalog.listTables().collect().toSeq.map { tb =>
+      val cached =
+        try spark.catalog.isCached(tb.name) catch { case _: Exception => false }
+      s"${tb.name}\t${tb.tableType}\t${if (cached) "cached" else "on-demand"}"
+    }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -45,7 +64,7 @@ object Repl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("graft> ready (put/get/ls/delete/SELECT/explain/quit)")
+    println("graft> ready (put/get/ls/store/delete/SELECT/explain/quit)")
 
     var running = true
     while (running) {
@@ -71,6 +90,8 @@ object Repl {
               .foreach(t => println(s"${t.name}\t${t.tableType}"))
           case List("ls", name) =>
             spark.table(name).printSchema()
+          case List("store") =>
+            storeListing(spark).foreach(println)
           case List("delete", name) =>
             spark.catalog.dropTempView(name)
             println(s"ok: deleted $name")

@@ -86,6 +86,20 @@ class RelationalSpec extends SparkSuite {
       math.abs(r.getDouble(2) - r.getDouble(3)) < 0.5))
   }
 
+  test("q28 banded plan is an equi-join, not a nested loop") {
+    val plan = Relational.q28ThetaJoin(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"banded theta join must not plan a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
+  test("q32 blocked plan is an equi-join, not a nested loop") {
+    val plan = Relational.q32FuzzyName(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"length-blocked fuzzy match must not plan a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("q29 running sum is non-decreasing within each customer") {
     val rows = Relational.q29RunningSum(t).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
