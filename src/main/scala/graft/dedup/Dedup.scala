@@ -350,15 +350,21 @@ object Dedup {
       )).as("gram"))
       .distinct()
       .persist() // feeds df + size aggs + prefix + verification; avoid recompute
-    val gdf = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
     val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // prefix length n - ceil(n/10) + 1, all-integer; (df, gram) is a
-    // total order so the prefix is deterministic
-    val w = org.apache.spark.sql.expressions.Window
+    // df and the per-doc prefix rank both come from windows (count over
+    // gram, row_number + count over doc_id) — two shuffles of the gram
+    // table total, vs groupBy-df + big join + window. The two doc_id
+    // windows share one exchange. Prefix length n - ceil(n/10) + 1,
+    // all-integer; (df, gram) is a total order so the prefix is
+    // deterministic.
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
+    val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df".asc, $"gram".asc)
-    val prefix = grams.join(gdf, "gram")
-      .withColumn("rk", row_number().over(w))
-      .join(sz, "doc_id")
+    val wDocAll = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val prefix = grams
+      .withColumn("df", count(lit(1)).over(wGram))
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(wDocAll))
       .filter($"rk" <= $"n" - expr("(n + 9) div 10") + 1)
       .select($"doc_id", $"gram")
     val cand = prefix.toDF("doc_a", "gram")
@@ -366,11 +372,20 @@ object Dedup {
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b")
       .distinct()
-    // exact |A∩B| per surviving candidate only: expand A's gram set per
-    // pair, keep the grams B also has
+      .persist() // feeds the doc-id semi-joins and the verification join
+    // exact |A∩B| only for docs that survived candidate generation:
+    // broadcast semi-joins cut the gram table to candidate docs before
+    // the pair expansion, so verification cost tracks candidates, not
+    // the corpus
+    val gramsA = grams
+      .join(broadcast(cand.select($"doc_a".as("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+      .toDF("doc_a", "gram")
+    val gramsB = grams
+      .join(broadcast(cand.select($"doc_b".as("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+      .toDF("doc_b", "gram")
     val common = cand
-      .join(grams.toDF("doc_a", "gram"), "doc_a")
-      .join(grams.toDF("doc_b", "gram"), Seq("doc_b", "gram"))
+      .join(gramsA, "doc_a")
+      .join(gramsB, Seq("doc_b", "gram"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     val out = common
       .join(sz.toDF("doc_a", "na"), "doc_a")
@@ -379,8 +394,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")))
           .as("jaccard"))
-      .localCheckpoint() // materialize so the gram cache can be released
+      .localCheckpoint() // materialize so the gram/cand caches can be released
     grams.unpersist()
+    cand.unpersist()
     out
   }
 

@@ -131,8 +131,17 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val e = withNorm(t)
     val withVec = e.withColumn("features", array_to_vector(col("v")))
+    // Fit the coarse quantizer on a sample: centroid quality needs a
+    // representative sample, not the corpus — at 100 TB fitting on the
+    // full data would be the pipeline's bottleneck. Random init (not
+    // k-means||) drops the multi-pass init jobs; 5 Lloyd iterations
+    // over the sample converge plenty for a coarse quantizer. Falls
+    // back to the full (tiny) corpus when the sample can't fill nlist.
+    val sample = withVec.sample(withReplacement = false, 0.25, seed = 7L)
+    val fitOn = if (sample.count() >= 10L * nlist) sample else withVec
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .fit(withVec)
+      .setInitMode("random")
+      .fit(fitOn)
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
       .persist()
