@@ -81,6 +81,9 @@ object SparkEntry {
     "text_rolling_hash" -> q(graft.text.RollingHash.fingerprintTable),
     "text_token_count" -> q(TextAnalysis.tokenCount),
     "mm_binary_meta"  -> q(Multimodal.binaryMeta),
+    "text_repetition" -> q(graft.pipeline.CorpusOps.repetition),
+    "corpus_sample"   -> q(graft.pipeline.CorpusOps.stratifiedSample),
+    "contamination"   -> q(graft.pipeline.CorpusOps.contamination),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -141,5 +144,8 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_token_count" -> TextAnalysis.tokenCountSql,
     "mm_binary_meta"  -> Multimodal.binaryMetaSql,
+    "text_repetition" -> graft.pipeline.CorpusOps.repetitionSql,
+    "corpus_sample"   -> graft.pipeline.CorpusOps.stratifiedSampleSql,
+    "contamination"   -> graft.pipeline.CorpusOps.contaminationSql,
   )
 }

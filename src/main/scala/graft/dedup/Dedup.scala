@@ -27,10 +27,10 @@ object Dedup {
   /** 32-bit hash of a string column via md5's first 8 hex chars —
     * byte-identical in DuckDB (`('0x'||substr(md5(x),1,8))::BIGINT`).
     */
-  private def h32(c: Column): Column =
+  private[graft] def h32(c: Column): Column =
     conv(substring(md5(c.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
 
-  private def sqlH32(x: String): String =
+  private[graft] def sqlH32(x: String): String =
     s"('0x'||substr(md5($x),1,8))::BIGINT"
 
   // ---------------------------------------------------------------- exact

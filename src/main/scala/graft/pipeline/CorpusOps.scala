@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.io.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and training: repetition filtering, deterministic
+  * stratified sampling, and benchmark-contamination detection. Not in
+  * the reference (SURVEY.md §2.5 territory) — first-class
+  * LLM-pipeline surface alongside graft.dedup / graft.text.
+  *
+  * All three are oracle-checkable: counts are integers, fractions are
+  * single IEEE divisions of exactly-representable integers, hashes are
+  * md5-derived (invariants 2-4 in CLAUDE.md). N-gram positions cap at
+  * 8191 starts, mirrored by the oracle's range(1, 8192) table
+  * (invariant 6).
+  */
+object CorpusOps {
+
+  /** Word n-gram starting positions, capped like Dedup.shingles. */
+  private def gramExpr(width: Int): String =
+    s"transform(sequence(1, least(greatest(size(split(text, ' '))-${width - 1}, 1), 8191)), " +
+      s"i -> concat_ws(' ', slice(split(text, ' '), i, $width)))"
+
+  private def gramSqlCte(width: Int): String =
+    s"""SELECT doc_id, array_to_string(toks[CAST(r.range AS INT):CAST(r.range AS INT)+${width - 1}], ' ') AS gram
+       | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
+       | JOIN range(1, 8192) r ON r.range <= greatest(len(toks)-${width - 1}, 1)""".stripMargin
+
+  // ------------------------------------------------------- repetition
+
+  /** Gopher-style repetition signals per document: the duplicate
+    * word-2-gram fraction ((total - distinct) / total) and the
+    * most-frequent-word fraction (max word count / total words). High
+    * values mark boilerplate/spam for downstream filtering. One
+    * explode + two doc-keyed aggregations — map-side combinable, one
+    * shuffle each, output rows = docs.
+    */
+  def repetition(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val docs = t.documents.repartition(t.spark.sparkContext.defaultParallelism)
+    val grams = docs
+      .select($"doc_id", explode(expr(gramExpr(2))).as("gram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), countDistinct($"gram").as("n_distinct"))
+    val words = docs
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(max($"cnt").as("top_cnt"), sum($"cnt").as("n_words"))
+    grams.join(words, "doc_id")
+      .select(
+        $"doc_id", $"n_grams",
+        (($"n_grams" - $"n_distinct").cast(DoubleType) / $"n_grams").as("dup_2gram_frac"),
+        ($"top_cnt".cast(DoubleType) / $"n_words").as("top_word_frac"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH g AS (${gramSqlCte(2)}),
+       |ga AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+       | FROM g GROUP BY doc_id),
+       |w AS (SELECT doc_id, word, count(*) AS cnt FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       | WHERE word <> '' GROUP BY doc_id, word),
+       |wa AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_words FROM w GROUP BY doc_id)
+       |SELECT ga.doc_id AS doc_id, n_grams,
+       | CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS dup_2gram_frac,
+       | CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac
+       |FROM ga JOIN wa ON ga.doc_id = wa.doc_id""".stripMargin.replace("\n", " ")
+
+  // --------------------------------------------------------- sampling
+
+  /** Deterministic stratified sampling — the domain-mixing primitive.
+    * Each source stratum gets a reproducible keep-rate in [10%, 50%)
+    * derived from md5(source); a document survives iff
+    * md5(doc_id) mod 100 < rate. Pure narrow map+filter: no shuffle,
+    * no RNG state, identical sample on every engine and every rerun —
+    * which is what makes 100 TB sampling auditable. Rates would come
+    * from a mixing config in production; hash-derived here keeps the
+    * operator self-contained.
+    */
+  def stratifiedSample(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val rate = (Dedup.h32($"source") % 40 + 10).as("rate_pct")
+    t.documents
+      .withColumn("rate_pct", rate)
+      .filter(Dedup.h32($"doc_id".cast(StringType)) % 100 < $"rate_pct")
+      .select($"doc_id", $"source", $"rate_pct")
+  }
+
+  val stratifiedSampleSql: String =
+    s"""SELECT doc_id, source, ${Dedup.sqlH32("source")} % 40 + 10 AS rate_pct
+       |FROM documents
+       |WHERE ${Dedup.sqlH32("CAST(doc_id AS VARCHAR)")} % 100 < ${Dedup.sqlH32("source")} % 40 + 10""".stripMargin
+      .replace("\n", " ")
+
+  // ---------------------------------------------------- contamination
+
+  /** Benchmark-contamination check (the GPT-3-style n-gram audit): how
+    * many of a training document's distinct word-4-grams appear in the
+    * held-out benchmark set (here: docs with doc_id % 97 == 0 stand in
+    * for the eval suite). Real pipelines use 13-grams over open text;
+    * width 4 plays the same role on the testdata's ~40-word vocabulary
+    * so the operator produces a non-degenerate result to check.
+    * Benchmark gram sets are small by construction — broadcast join, so
+    * the corpus is never shuffled on gram; the only wide op is the
+    * per-doc distinct/count. Emits docs with at least one colliding
+    * gram.
+    */
+  def contamination(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val docs = t.documents.repartition(t.spark.sparkContext.defaultParallelism)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(expr(gramExpr(4))).as("gram"))
+      .distinct()
+    val bench = grams(docs.filter($"doc_id" % 97 === 0)).select($"gram").distinct()
+    grams(docs.filter($"doc_id" % 97 =!= 0))
+      .join(broadcast(bench), "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_contam"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH g AS (SELECT DISTINCT doc_id, gram FROM (${gramSqlCte(4)})),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+       |SELECT doc_id, count(*) AS n_contam
+       |FROM g JOIN bench USING (gram)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY doc_id""".stripMargin.replace("\n", " ")
+}

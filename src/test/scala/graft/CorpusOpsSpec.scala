@@ -1,0 +1,70 @@
+package graft
+
+import graft.pipeline.CorpusOps
+
+class CorpusOpsSpec extends SparkSuite {
+
+  /** Constructed documents: doc 0 is a "benchmark" doc (0 % 97 == 0);
+    * doc 1 repeats one word heavily; doc 2 shares an 8-gram run with
+    * doc 0; doc 3 is fully distinct.
+    */
+  private lazy val t = {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tempTables { dir =>
+      Seq(
+        (0L, benchText, "en", "src0", benchText.length.toLong),
+        (1L, "spam spam spam spam spam ham", "en", "src1", 28L),
+        (2L, "intro " + benchText + " outro", "en", "src2", 10L),
+        (3L, "one two three four five six seven eight nine ten", "en", "src3", 49L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+  }
+
+  test("repetition: duplicate-2gram and top-word fractions are exact") {
+    val r = CorpusOps.repetition(t).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    // doc 1: 2-grams = [spam spam]x4, [spam ham] → 5 total, 2 distinct
+    val d1 = r(1L)
+    assert(d1.getLong(1) == 5)
+    assert(d1.getDouble(2) == 3.0 / 5.0)
+    assert(d1.getDouble(3) == 5.0 / 6.0) // "spam" 5 of 6 words
+    // doc 3: all words distinct → no duplicate 2-grams, top word 1/10
+    val d3 = r(3L)
+    assert(d3.getDouble(2) == 0.0)
+    assert(d3.getDouble(3) == 0.1)
+  }
+
+  test("stratified sample matches an independent md5 recompute") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val docs = t.documents.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.collect {
+      case (id, src) if h32(id.toString) % 100 < h32(src) % 40 + 10 => id
+    }.toSet
+    val got = CorpusOps.stratifiedSample(t).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // rates stay inside the declared [10, 50) band
+    val rates = CorpusOps.stratifiedSample(t).collect().map(_.getLong(2))
+    assert(rates.forall(r => r >= 10 && r < 50))
+  }
+
+  test("contamination flags the 4-gram overlap with the benchmark doc only") {
+    val rows = CorpusOps.contamination(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 2 contains the benchmark doc's full 10-word run → shares all
+    // seven of its distinct 4-grams
+    assert(rows.contains(2L))
+    assert(rows(2L) == 7L)
+    // docs 1 and 3 share no 4-gram with doc 0
+    assert(!rows.contains(1L) && !rows.contains(3L))
+    // the benchmark doc itself is never reported
+    assert(!rows.contains(0L))
+  }
+}
