@@ -84,6 +84,7 @@ object SparkEntry {
     "text_repetition" -> q(graft.pipeline.CorpusOps.repetition),
     "corpus_sample"   -> q(graft.pipeline.CorpusOps.stratifiedSample),
     "contamination"   -> q(graft.pipeline.CorpusOps.contamination),
+    "corpus_curated"  -> q(graft.pipeline.CorpusOps.curated),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +148,6 @@ object SparkEntry {
     "text_repetition" -> graft.pipeline.CorpusOps.repetitionSql,
     "corpus_sample"   -> graft.pipeline.CorpusOps.stratifiedSampleSql,
     "contamination"   -> graft.pipeline.CorpusOps.contaminationSql,
+    "corpus_curated"  -> graft.pipeline.CorpusOps.curatedSql,
   )
 }

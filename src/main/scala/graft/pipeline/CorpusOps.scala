@@ -40,7 +40,11 @@ object CorpusOps {
     * explode + two doc-keyed aggregations — map-side combinable, one
     * shuffle each, output rows = docs.
     */
-  def repetition(t: Tables): DataFrame = {
+  /** Integer repetition counts per doc — shared by `repetition` (which
+    * derives the fractions) and `curated` (which thresholds in integer
+    * arithmetic, per the oracle-determinism rules).
+    */
+  private def repetitionCounts(t: Tables): DataFrame = {
     import t.spark.implicits._
     val docs = t.documents.repartition(t.spark.sparkContext.defaultParallelism)
     val grams = docs
@@ -55,6 +59,11 @@ object CorpusOps {
       .groupBy($"doc_id")
       .agg(max($"cnt").as("top_cnt"), sum($"cnt").as("n_words"))
     grams.join(words, "doc_id")
+  }
+
+  def repetition(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    repetitionCounts(t)
       .select(
         $"doc_id", $"n_grams",
         (($"n_grams" - $"n_distinct").cast(DoubleType) / $"n_grams").as("dup_2gram_frac"),
@@ -133,4 +142,55 @@ object CorpusOps {
        |FROM g JOIN bench USING (gram)
        |WHERE doc_id % 97 <> 0
        |GROUP BY doc_id""".stripMargin.replace("\n", " ")
+
+  // ----------------------------------------------------- the full pass
+
+  /** The end-to-end curation pass — what a user actually runs before
+    * training: exact dedup (keep min doc_id per content hash) →
+    * repetition filter (dup-2gram fraction < 0.2 AND top-word fraction
+    * < 0.3, thresholded in integer arithmetic) → drop benchmark docs
+    * and anything contaminated by them → deterministic stratified
+    * sample. Emits (doc_id, source, n_words) — the surviving corpus
+    * with its token accounting. Every stage is one of the operators
+    * above, so the whole pass is the composition Catalyst sees and
+    * optimizes as a single plan; at 100 TB it is two doc-keyed
+    * shuffles (dedup window, repetition aggs) plus broadcast joins.
+    */
+  def curated(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val kept = Dedup.keptCorpus(t).select($"doc_id", $"source")
+    val contam = contamination(t).select($"doc_id")
+    kept
+      .join(repetitionCounts(t), "doc_id")
+      .filter(($"n_grams" - $"n_distinct") * 5 < $"n_grams" &&
+        $"top_cnt" * 10 < $"n_words" * 3)
+      .join(broadcast(contam), Seq("doc_id"), "left_anti")
+      .filter($"doc_id" % 97 =!= 0)
+      .filter(Dedup.h32($"doc_id".cast(StringType)) % 100 <
+        Dedup.h32($"source") % 40 + 10)
+      .select($"doc_id", $"source", $"n_words")
+  }
+
+  val curatedSql: String =
+    s"""WITH kept AS (SELECT doc_id, source FROM
+       |  (SELECT doc_id, source, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+       |   FROM documents) WHERE rn = 1),
+       |g2 AS (${gramSqlCte(2)}),
+       |ga AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+       | FROM g2 GROUP BY doc_id),
+       |w AS (SELECT doc_id, word, count(*) AS cnt FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       | WHERE word <> '' GROUP BY doc_id, word),
+       |wa AS (SELECT doc_id, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS n_words FROM w GROUP BY doc_id),
+       |g4 AS (SELECT DISTINCT doc_id, gram FROM (${gramSqlCte(4)})),
+       |bench AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % 97 = 0),
+       |contam AS (SELECT DISTINCT doc_id FROM g4 JOIN bench USING (gram) WHERE doc_id % 97 <> 0)
+       |SELECT k.doc_id AS doc_id, k.source AS source, n_words
+       |FROM kept k JOIN ga ON k.doc_id = ga.doc_id JOIN wa ON k.doc_id = wa.doc_id
+       |WHERE (n_grams - n_distinct) * 5 < n_grams
+       | AND top_cnt * 10 < n_words * 3
+       | AND k.doc_id % 97 <> 0
+       | AND k.doc_id NOT IN (SELECT doc_id FROM contam)
+       | AND ${Dedup.sqlH32("CAST(k.doc_id AS VARCHAR)")} % 100 < ${Dedup.sqlH32("k.source")} % 40 + 10""".stripMargin
+      .replace("\n", " ")
 }

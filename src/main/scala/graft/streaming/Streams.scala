@@ -18,6 +18,7 @@ import org.apache.spark.sql.types._
 object Streams {
 
   final case class Evt(user_id: Long, event_type: String, ts: Timestamp, value: Double)
+  final case class Doc(doc_id: Long, text: String, ts: Timestamp)
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               session_end: Timestamp, n_events: Long)
 
@@ -35,6 +36,22 @@ object Streams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("cnt"), col("sum_value"))
   }
+
+  /** Streaming exact dedup — the ingest-side twin of Dedup.exact for a
+    * continuously arriving corpus. Content fingerprint = md5(text);
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per
+    * fingerprint and evicts that fingerprint's state once the watermark
+    * passes the horizon, so state is bounded on an unbounded feed
+    * (a plain dropDuplicates would grow keyed state forever). Within
+    * the horizon dedup is exact; re-ingests arriving later than the
+    * horizon are the periodic batch `Dedup.exact` pass's to catch — the
+    * standard stream/batch split for 100 TB/day ingest.
+    */
+  def dedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text").cast(BinaryType)))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Event-time sessionization with explicit state: sessions close after
     * `gapMinutes` of per-user silence (state timeout = watermark-driven

@@ -55,6 +55,22 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rates.forall(r => r >= 10 && r < 50))
   }
 
+  test("curated pass composes dedup, repetition filter, decontamination, sampling") {
+    val curated = CorpusOps.curated(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    // doc 0 is a benchmark doc (excluded); doc 1 fails the repetition
+    // filter (top word 5/6); doc 2 is contaminated by doc 0's grams.
+    // doc 3 is clean — it survives iff its sampling hash keeps it.
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val sampled3 = h32("3") % 100 < h32("src3") % 40 + 10
+    val expected = if (sampled3) List((3L, "src3", 10L)) else Nil
+    assert(curated == expected)
+  }
+
   test("contamination flags the 4-gram overlap with the benchmark doc only") {
     val rows = CorpusOps.contamination(t).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

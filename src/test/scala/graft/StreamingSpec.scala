@@ -86,6 +86,31 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming dedup drops in-horizon re-ingests, keeps first arrivals") {
+    import spark.implicits._
+    withLogLevel {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Streams.Doc]
+      val q = Streams.dedupStream(input.toDF(), horizon = "1 hour")
+        .writeStream.format("memory").queryName("deduped")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          Streams.Doc(1, "hello world", ts(0)),
+          Streams.Doc(2, "something else", ts(1)))
+        q.processAllAvailable()
+        // doc 3 re-ingests doc 1's content inside the horizon → dropped;
+        // doc 4 is new → kept
+        input.addData(
+          Streams.Doc(3, "hello world", ts(10)),
+          Streams.Doc(4, "third text", ts(11)))
+        q.processAllAvailable()
+        val kept = spark.table("deduped").collect().map(_.getLong(0)).toSet
+        assert(kept == Set(1L, 2L, 4L))
+      } finally q.stop()
+    }
+  }
+
   test("batch and streaming hourly aggregations agree on the events table") {
     withLogLevel {
       val t = Tables(spark, "/root/testdata/sf0.001")
