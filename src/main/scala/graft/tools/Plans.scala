@@ -24,7 +24,11 @@ object Plans {
       "q9_star_join" -> Relational.q9StarJoin(t),
       "q8_top_k" -> Relational.q8TopK(t),
       "asof_join" -> graft.ops.AsOf.eventsAsOfOrders(t),
-      "q29_running_sum" -> Relational.q29RunningSum(t))
+      "q29_running_sum" -> Relational.q29RunningSum(t),
+      "q28_theta_join" -> Relational.q28ThetaJoin(t),
+      "q32_fuzzy_name" -> Relational.q32FuzzyName(t),
+      "contamination" -> graft.pipeline.CorpusOps.contamination(t),
+      "corpus_curated" -> graft.pipeline.CorpusOps.curated(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
       println(df.queryExecution.explainString(
