@@ -374,14 +374,16 @@ object Dedup {
       .distinct()
       .persist() // feeds the doc-id semi-joins and the verification join
     // exact |A∩B| only for docs that survived candidate generation:
-    // broadcast semi-joins cut the gram table to candidate docs before
-    // the pair expansion, so verification cost tracks candidates, not
-    // the corpus
+    // semi-joins cut the gram table to candidate docs before the pair
+    // expansion, so verification cost tracks candidates, not the
+    // corpus. No broadcast hint: the candidate-doc set is
+    // corpus-fraction-sized at scale, so the pick is left to AQE
+    // (broadcast while small, shuffled hash join once it is not).
     val gramsA = grams
-      .join(broadcast(cand.select($"doc_a".as("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+      .join(cand.select($"doc_a".as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .toDF("doc_a", "gram")
     val gramsB = grams
-      .join(broadcast(cand.select($"doc_b".as("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+      .join(cand.select($"doc_b".as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .toDF("doc_b", "gram")
     val common = cand
       .join(gramsA, "doc_a")

@@ -193,16 +193,18 @@ object Relational {
   val q8Sql: String =
     "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
 
-  /** Star join: revenue per region/nation. Dimension tables broadcast
-    * (nation/region/customer are tiny next to lineitem at any scale
-    * factor where lineitem dominates); fact-side joins shuffle on their
-    * keys and AQE handles skew.
+  /** Star join: revenue per region/nation. nation/region are broadcast
+    * by hint (fixed 25/5 rows at every scale factor). customer is NOT
+    * hinted: it grows linearly with SF, and a forced hint would pin a
+    * broadcast that AQE cannot demote at 100 TB. AQE still picks a
+    * broadcast hash join for customer at small SF on its own; at scale
+    * it falls back to a shuffled join on o_custkey.
     */
   def q9StarJoin(t: Tables): DataFrame = {
     import t.spark.implicits._
     t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")

@@ -154,7 +154,10 @@ object CorpusOps {
     * with its token accounting. Every stage is one of the operators
     * above, so the whole pass is the composition Catalyst sees and
     * optimizes as a single plan; at 100 TB it is two doc-keyed
-    * shuffles (dedup window, repetition aggs) plus broadcast joins.
+    * shuffles (dedup window, repetition aggs) plus joins keyed on
+    * doc_id. The contaminated-doc anti-join carries no broadcast
+    * hint: the list is corpus-fraction-sized, so AQE broadcasts it
+    * only while it is genuinely small.
     */
   def curated(t: Tables): DataFrame = {
     import t.spark.implicits._
@@ -164,7 +167,7 @@ object CorpusOps {
       .join(repetitionCounts(t), "doc_id")
       .filter(($"n_grams" - $"n_distinct") * 5 < $"n_grams" &&
         $"top_cnt" * 10 < $"n_words" * 3)
-      .join(broadcast(contam), Seq("doc_id"), "left_anti")
+      .join(contam, Seq("doc_id"), "left_anti")
       .filter($"doc_id" % 97 =!= 0)
       .filter(Dedup.h32($"doc_id".cast(StringType)) % 100 <
         Dedup.h32($"source") % 40 + 10)

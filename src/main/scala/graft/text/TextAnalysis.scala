@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -166,7 +165,13 @@ object TextAnalysis {
     * correctly-rounded-guaranteed across libms, so the oracle-safe form
     * keeps the arithmetic to exact integers and one division. Shape is
     * the real one: tf per (doc, term) from one explode+agg, df per term
-    * from a window over the tf table, N broadcast as a scalar.
+    * from a partial/final agg over the tf table joined back on term,
+    * N broadcast as a scalar. df is NOT a window over term: a window
+    * has no map-side combine, and a ubiquitous term ("the") would pin
+    * its entire posting list in one partition at 100 TB. The groupBy
+    * pre-aggregates each term to one row per map partition, so the
+    * shuffle carries term cardinality, not the posting lists, and the
+    * df table AQE-broadcasts back onto tf.
     */
   def tfidf(t: Tables): DataFrame = {
     import t.spark.implicits._
@@ -177,7 +182,8 @@ object TextAnalysis {
       .filter($"term" =!= "")
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
       .select($"doc_id", $"term", $"tf", $"df",
         (($"tf" * lit(n)).cast(DoubleType) / $"df").as("score"))
   }
