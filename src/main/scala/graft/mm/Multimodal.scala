@@ -7,10 +7,13 @@ import org.apache.spark.sql.types._
 import graft.io.Tables
 
 /** Multimodal columns: media as opaque `binary` payloads with typed
-  * metadata alongside. The decode step is STUBBED (no image/audio libs
-  * in this container — `decodeStub` is a deterministic fake); the
+  * metadata alongside. IMAGE decode is REAL: `decodeImage` reads
+  * PNG/JPEG/GIF/BMP headers via the JDK's `javax.imageio` (ships with
+  * the JRE — no external libs). Payloads no installed reader
+  * recognizes (audio/video/plain text — those codecs are not in this
+  * container) fall back to `decodeStub`, a deterministic fake; the
   * Spark-side plumbing — schema, per-partition batch processing,
-  * partition sizing — is real and tested.
+  * partition sizing — is real and tested either way.
   *
   * At 100 TB the shape matters: payloads stay columnar-binary in
   * parquet, decode runs per-partition (one library context per task,
@@ -24,9 +27,34 @@ object Multimodal {
   final case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
                                 width: Int, height: Int, sig: Long)
 
-  /** STUB: stands in for an image/audio decoder. Deterministic in the
-    * payload bytes so tests are stable. A real deployment swaps this
-    * for e.g. a JNI/ImageIO decode with the same signature.
+  /** Real image header decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP
+    * readers ship with the JRE). Reads only the header
+    * (`ImageReader.getWidth/getHeight`), never the pixel raster, so the
+    * per-payload cost is O(header) not O(pixels) — the bound that
+    * matters when this loop runs over 100 TB of media. Returns None
+    * when no installed reader recognizes the bytes (non-image kinds).
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] = {
+    import javax.imageio.ImageIO
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getWidth(0), r.getHeight(0)))
+        } catch { case _: java.io.IOException => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** STUB: stands in for the audio/video decoders this container lacks.
+    * Deterministic in the payload bytes so tests are stable. A real
+    * deployment swaps this for a codec call with the same signature.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
     var h = 1125899906842597L // FNV-ish fold, deterministic
@@ -45,9 +73,10 @@ object Multimodal {
     implicit val enc: org.apache.spark.sql.Encoder[MediaFeature] =
       Encoders.product[MediaFeature]
     media.mapPartitions { rows =>
-      // per-partition decoder context would initialize here
+      // per-partition decoder context: one ImageIO registry scan per
+      // task, not per row
       rows.map { r =>
-        val (w, h) = decodeStub(r.payload)
+        val (w, h) = decodeImage(r.payload).getOrElse(decodeStub(r.payload))
         var sig = 0L
         val n = math.min(r.payload.length, 64)
         var i = 0

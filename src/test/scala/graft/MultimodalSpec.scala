@@ -45,6 +45,28 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.count(_._1 == 2L) == 1 && rows.contains((2L, 0)))
   }
 
+  test("real image decode: a 2x3 PNG decodes to (2,3) end-to-end") {
+    System.setProperty("java.awt.headless", "true")
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def encode(fmt: String): Array[Byte] = {
+      val img = new BufferedImage(2, 3, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(1, 2, 0xff8040)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val png = encode("png")
+    assert(Multimodal.decodeImage(png).contains((2, 3)))
+    assert(Multimodal.decodeImage(encode("jpg")).contains((2, 3)))
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+
+    import spark.implicits._
+    val ds = Seq(Multimodal.MediaRow(7L, "image", png)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(f.width == 2 && f.height == 3 && f.n_bytes == png.length)
+  }
+
   test("decode stub: stable width/height for same payload, varied across payloads") {
     val a = Multimodal.decodeStub("payload-a".getBytes)
     val b = Multimodal.decodeStub("payload-b".getBytes)
