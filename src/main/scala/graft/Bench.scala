@@ -31,8 +31,12 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // stdout arrives wrapped in sbt's [info] prefixes; also write the
-    // line to a file so the driver gets the structured number directly
+    // sbt wraps stdout in [info] prefixes but leaves stderr bare —
+    // emit the line there too so a driver scraping the process output
+    // can parse it without stripping prefixes
+    System.err.println(json)
+    // and write it to a file so the structured number survives any
+    // log-routing choices (canonical artifact, see README)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))

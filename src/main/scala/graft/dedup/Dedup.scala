@@ -218,17 +218,109 @@ object Dedup {
       |WHERE rn = 1""".stripMargin.replace("\n", " ")
 
   /** Near-duplicate clusters: connected components over the MinHash-LSH
-    * pair graph by iterative min-label propagation (converges in
-    * O(component diameter) rounds; dup clusters are shallow, so the
-    * loop is bounded and each round is one shuffle — the
-    * simple-but-scalable form of the large-star/small-star algorithm).
-    * Cluster id = min doc_id in the component. The DuckDB oracle
-    * computes the same components with a recursive CTE — an independent
-    * algorithm arriving at the same fixpoint.
+    * pair graph by the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — converges in O(log n) rounds regardless of component
+    * diameter, vs O(diameter) for plain min-label propagation. Cluster
+    * id = min doc_id in the component. The DuckDB oracle computes the
+    * same components with a recursive CTE, and `ccMinLabel` is kept as
+    * a third independent algorithm (DedupSpec cross-checks all on the
+    * same pair graph).
     */
   def clusters(t: Tables): DataFrame = {
     // minhashLsh is cached per (session, dir) — no second pipeline run
-    val pairs = minhashLsh(t).select(col("doc_a"), col("doc_b"))
+    connectedComponents(minhashLsh(t).select(col("doc_a"), col("doc_b")))
+  }
+
+  /** Alternating large-star/small-star connected components over an
+    * undirected pair list (doc_a, doc_b) → (doc_id, cluster_id =
+    * component-min doc_id).
+    *
+    * Edges are kept canonically oriented (u, v) with u > v. Each round
+    * is one large-star then one small-star — two grouped min-aggs and
+    * two equi-joins keyed on node id, all map-side combinable, no step
+    * ever materializes a neighborhood in one task beyond the agg
+    * buffer. The fixpoint is the star graph (every node → its
+    * component min), detected by an (edge count, xxhash64 checksum)
+    * pair going stationary; `localCheckpoint` per round truncates the
+    * doubling lineage (see CLAUDE.md gotcha).
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val nodes = pairs.select(col("doc_a").as("doc"))
+      .union(pairs.select(col("doc_b").as("doc")))
+      .distinct()
+      .localCheckpoint()
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    if (edges.isEmpty) {
+      return nodes.select(col("doc").as("doc_id"), col("doc").as("cluster_id"))
+    }
+    var prev = (-1L, "")
+    var cur = edgeChecksum(edges)
+    var rounds = 0
+    while (cur != prev && rounds < 30) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      prev = cur
+      cur = edgeChecksum(edges)
+      rounds += 1
+    }
+    // star edges: (node, root). A node can transiently hold several
+    // smaller neighbors if the cap fired pre-fixpoint — min() keeps the
+    // output well-defined either way.
+    val roots = edges.groupBy(col("u").as("doc")).agg(min(col("v")).as("root"))
+    nodes.join(roots, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("root"), col("doc")).as("cluster_id"))
+  }
+
+  /** Large-star: center on each node u, connect every strictly larger
+    * neighbor to m(u) = min of the closed neighborhood. Preserves
+    * connectivity (every node keeps a path through its smaller
+    * neighbors' centers) and halves tall chains.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: center on each node u, connect all smaller neighbors
+    * and u itself to m(u) = min of the smaller neighborhood.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy("u").agg(min(col("v")).as("m"))
+    edges.join(m, "u")
+      .select(explode(array(
+        struct(col("v").as("a"), col("m").as("b")),
+        struct(col("u").as("a"), col("m").as("b")))).as("e"))
+      .select(col("e.a").as("u"), col("e.b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  // hash sum accumulates in DECIMAL(38,0): a Long sum of 64-bit hashes
+  // overflows under ANSI arithmetic
+  private def edgeChecksum(e: DataFrame): (Long, String) = {
+    val r = e.agg(count(lit(1)),
+      sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).head
+    (r.getLong(0), if (r.isNullAt(1)) "" else r.getDecimal(1).toPlainString)
+  }
+
+  /** Min-label propagation (the round-2 clusters implementation), kept
+    * as an independent cross-check for `connectedComponents`:
+    * O(component diameter) rounds, one shuffle per round. Fine for the
+    * shallow components dup clusters produce; the alternating
+    * algorithm above wins on deep chains.
+    */
+  private[graft] def ccMinLabel(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -240,8 +332,6 @@ object Dedup {
       .withColumn("lbl", col("doc"))
       .localCheckpoint()
     // no pairs → no components; also guards the null sum(lbl) below
-    // (pairs is a shared localCheckpoint — never unpersist it: its
-    // lineage is truncated, so the data is unrecoverable)
     if (labels.isEmpty) {
       edges.unpersist()
       return labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
@@ -252,7 +342,7 @@ object Dedup {
     var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < 40) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc", "doc_b")
           .withColumnRenamed("lbl", "nlbl"), Seq("doc_b"))
@@ -269,7 +359,6 @@ object Dedup {
       rounds += 1
     }
     // labels is localCheckpoint-materialized: the edge cache can go
-    // (pairs stays — it's the shared lineage-free checkpoint)
     edges.unpersist()
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
   }
@@ -374,20 +463,21 @@ object Dedup {
       .distinct()
       .persist() // feeds the doc-id semi-joins and the verification join
     // exact |A∩B| only for docs that survived candidate generation:
-    // semi-joins cut the gram table to candidate docs before the pair
-    // expansion, so verification cost tracks candidates, not the
-    // corpus. No broadcast hint: the candidate-doc set is
-    // corpus-fraction-sized at scale, so the pick is left to AQE
-    // (broadcast while small, shuffled hash join once it is not).
-    val gramsA = grams
-      .join(cand.select($"doc_a".as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .toDF("doc_a", "gram")
-    val gramsB = grams
-      .join(cand.select($"doc_b".as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .toDF("doc_b", "gram")
+    // ONE semi-join against the union of candidate doc ids cuts the
+    // gram table to candidate docs before the pair expansion (one pass
+    // over grams, not one per join side), so verification cost tracks
+    // candidates, not the corpus. No broadcast hint: the candidate-doc
+    // set is corpus-fraction-sized at scale, so the pick is left to
+    // AQE (broadcast while small, shuffled hash join once it is not).
+    val candDocs = cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
+      .distinct()
+    val gramsC = grams
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .persist() // read twice below (doc_a side and doc_b side)
     val common = cand
-      .join(gramsA, "doc_a")
-      .join(gramsB, Seq("doc_b", "gram"))
+      .join(gramsC.toDF("doc_a", "gram"), "doc_a")
+      .join(gramsC.toDF("doc_b", "gram"), Seq("doc_b", "gram"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     val out = common
       .join(sz.toDF("doc_a", "na"), "doc_a")
@@ -399,6 +489,7 @@ object Dedup {
       .localCheckpoint() // materialize so the gram/cand caches can be released
     grams.unpersist()
     cand.unpersist()
+    gramsC.unpersist()
     out
   }
 

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.Tables
+
+/** Prints the FINAL adaptive (post-AQE) physical plan of the queries
+  * whose join strategy is intentionally left to AQE — the static plan
+  * from `Plans` shows what the optimizer guessed; this shows what AQE
+  * actually ran, which is the evidence that un-hinted joins still end
+  * up broadcast while their build side is genuinely small.
+  */
+object AdaptivePlans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t = Tables(spark, sfDir)
+    val interesting: Seq[(String, DataFrame)] = Seq(
+      "q9_star_join" -> graft.ops.Relational.q9StarJoin(t),
+      "corpus_curated" -> graft.pipeline.CorpusOps.curated(t),
+      "dedup_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccard(t),
+      "text_tfidf" -> graft.text.TextAnalysis.tfidf(t))
+    interesting.foreach { case (name, df) =>
+      df.count() // materialize so AQE finalizes every stage
+      println(s"===== $name (final adaptive plan) =====")
+      println(df.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

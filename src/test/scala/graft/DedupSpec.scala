@@ -87,6 +87,33 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.clusters(t4).count() == 0)
   }
 
+  test("connected components: alternating star == min-label on a random pair graph") {
+    import spark.implicits._
+    // 60 nodes, md5-derived pseudo-random edges — several multi-node
+    // components plus singletons excluded from both outputs
+    val pairs = spark.range(0, 120)
+      .select((abs(xxhash64(col("id"))) % 60).as("doc_a"),
+        (abs(xxhash64(col("id") + 1000)) % 60).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val alt = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ml = Dedup.ccMinLabel(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt == ml)
+  }
+
+  test("connected components: a 200-deep chain collapses to one root in O(log) rounds") {
+    import spark.implicits._
+    // min-label needs ~200 rounds here; the alternating algorithm must
+    // finish inside its 30-round cap and label everything 0
+    val chain = spark.range(0, 200)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val comp = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.length == 201)
+    assert(comp.forall(_._2 == 0L))
+  }
+
   test("kept corpus: one survivor per distinct text") {
     val kept = Dedup.keptCorpus(t).collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L)) // doc 2 (dup of 1) dropped
