@@ -79,6 +79,8 @@ object SparkEntry {
     "text_fingerprint" -> q(TextAnalysis.fingerprint),
     // rows-only: winnowing selection isn't SQL-expressible; pinned by spec
     "text_rolling_hash" -> q(graft.text.RollingHash.fingerprintTable),
+    // ...but the pre-winnowing window-hash table is — value-checked here
+    "text_window_hashes" -> q(graft.text.RollingHash.windowHashStats),
     "text_token_count" -> q(TextAnalysis.tokenCount),
     "mm_binary_meta"  -> q(Multimodal.binaryMeta),
     "text_repetition" -> q(graft.pipeline.CorpusOps.repetition),
@@ -144,6 +146,7 @@ object SparkEntry {
     "text_lang_id"    -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_token_count" -> TextAnalysis.tokenCountSql,
+    "text_window_hashes" -> graft.text.RollingHash.windowHashStatsSql,
     "mm_binary_meta"  -> Multimodal.binaryMetaSql,
     "text_repetition" -> graft.pipeline.CorpusOps.repetitionSql,
     "corpus_sample"   -> graft.pipeline.CorpusOps.stratifiedSampleSql,

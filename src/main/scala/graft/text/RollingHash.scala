@@ -66,4 +66,50 @@ object RollingHash {
       .flatMap { case (id, text) => fingerprints(text).map(fp => (id, fp)) }
       .toDF("doc_id", "fingerprint")
   }
+
+  /** Oracle-backed companion to the winnowed fingerprints: per-doc
+    * aggregates (count / sum / min / max) of ALL window hashes — the
+    * pre-winnowing table, which IS pure integer arithmetic and so
+    * DuckDB-reproducible, unlike the winnowing selection itself. Start
+    * positions are capped at 8191 per the symmetric-cap invariant
+    * (never binds below ~8 KB docs; mirrored by the oracle's
+    * range(0, 8191)). Docs shorter than one window emit no row in
+    * either engine. Aggregates fit BIGINT exactly: each hash < M ≈
+    * 1e9, ≤ 8191 of them → sum < 2^43.
+    */
+  def windowHashStats(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        windowHashes(text).take(8191).map(h => (id, h))
+      }
+      .toDF("doc_id", "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hashes"), sum($"h").as("sum_h"),
+        min($"h").as("min_h"), max($"h").as("max_h"))
+  }
+
+  /** The same polynomial written out with precomputed B^k mod M
+    * literals — term sums stay far under 2^63, one final mod.
+    */
+  val windowHashStatsSql: String = {
+    val pows = Array.iterate(1L, Window)(p => p * B % M).reverse
+    val poly = pows.zipWithIndex
+      .map { case (p, j) =>
+        s"CAST(unicode(substr(text, i + ${j + 1}, 1)) AS BIGINT) * $p" }
+      .mkString(" + ")
+    s"""SELECT doc_id, count(*) AS n_hashes, sum(h) AS sum_h,
+       | min(h) AS min_h, max(h) AS max_h
+       |FROM (
+       | SELECT doc_id, ($poly) % $M AS h
+       | FROM (SELECT doc_id, text, CAST(r.range AS INT) AS i
+       |       FROM documents d JOIN range(0, 8191) r
+       |       ON r.range <= length(d.text) - $Window))
+       |GROUP BY doc_id""".stripMargin.replace("\n", " ")
+  }
 }
