@@ -87,6 +87,33 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.clusters(t4).count() == 0)
   }
 
+  test("prefix filtering is lossless: raw all-pairs join finds the same pairs at sf0.01") {
+    // empirical pin of the losslessness proof in Dedup.scala: the
+    // df-ordered prefix filter must not drop any pair the unfiltered
+    // gram self-join finds at threshold 0.1
+    val t01 = graft.io.Tables(spark, "/root/testdata/sf0.01")
+    val grams = t01.documents
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, least(greatest(size(split(text, ' '))-4, 1), 8191)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+      )).as("gram"))
+      .distinct()
+    val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val raw = grams.toDF("doc_a", "gram")
+      .join(grams.toDF("doc_b", "gram"), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(sz.toDF("doc_a", "na"), "doc_a")
+      .join(sz.toDF("doc_b", "nb"), "doc_b")
+      .filter(col("common") * 10 >= col("na") + col("nb") - col("common"))
+      .select("doc_a", "doc_b") // USING joins reorder columns
+    val rawPairs = raw.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = Dedup.ngramJaccard(t01).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == rawPairs)
+    assert(rawPairs.nonEmpty) // the fixture actually exercises the filter
+  }
+
   test("connected components: alternating star == min-label on a random pair graph") {
     import spark.implicits._
     // 60 nodes, md5-derived pseudo-random edges — several multi-node

@@ -26,6 +26,34 @@ class ScaleSpec extends SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("banded theta join: all-equal-price fixture splits the hot band via AQE skew join") {
+    // worst case from SCALING.md: every price identical → one band
+    // holds the entire table and the banded equi-join concentrates in
+    // a single shuffle partition. AQE's skew-split must carve that
+    // partition into bounded tasks; thresholds are lowered so the
+    // mechanism triggers at test scale.
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    s3.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+    s3.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s3.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+    s3.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import s3.implicits._
+    val n = 800
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    (1 to n).map(i => (i.toLong, 100.0)).toDF("p_partkey", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    val joined = graft.ops.Relational.q28ThetaJoin(Tables(s3, dir))
+    // materialize through the dataframe's OWN query execution so AQE
+    // finalizes the plan instance we assert on (count() would clone)
+    val rows = joined.queryExecution.executedPlan.execute().count()
+    assert(rows == n.toLong * (n - 1) / 2) // all pairs: every diff is 0 < width
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("skew=true"),
+      s"expected the hot band to be skew-split, got:\n$plan")
+  }
+
   test("bucketed tables sort-merge join without a shuffle exchange") {
     // default warehouse dir (./spark-warehouse, gitignored) — the
     // warehouse path is a static conf and can't change per-session
