@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.tools.Quiet.windowWarn()
     // Warmup at the smallest scale factor: JIT + whole-stage-codegen
     // compile per plan shape, so the timed runs measure steady state
     // (the plans are identical across sf dirs, only the input differs).

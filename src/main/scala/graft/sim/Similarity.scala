@@ -190,9 +190,21 @@ object Similarity {
     * with the probe in at least one table. Recall < 1 by construction,
     * so this entry is rows-only checked (no SQL oracle): the semantics
     * guarantee is "every reported neighbor's cosine is genuine", not
-    * "all top-k found". More tables → recall; more planes → smaller
-    * buckets. At 100 TB the bucket joins replace the quadratic
-    * probe×corpus product with |bucket|-bounded work per table.
+    * "all top-k found". At 100 TB the bucket joins replace the
+    * quadratic probe×corpus product with |bucket|-bounded work per
+    * table.
+    *
+    * Tuning the knobs: recall ≈ 1 - (1 - (1-θ/π)^planes)^tables for
+    * angular distance θ, so `planes` sets bucket selectivity
+    * (expected bucket fraction 2^-planes of the corpus per table) and
+    * `tables` buys back recall linearly in cost. Size planes so the
+    * expected bucket (N / 2^planes) fits a join task — at N = 10^10
+    * vectors, planes = 16–20 — then raise tables until the measured
+    * recall floor holds (AnnRecallSpec pins recall@5 ≥ 0.8 at the
+    * defaults 12×4 on the test corpus; re-measure after any knob
+    * change, the floor is the contract). Cost scales as
+    * tables × (N + probe·bucket) — recall is bought with table count,
+    * never with an unbounded candidate set.
     */
   def annLsh(t: Tables, tables: Int = 12, planes: Int = 4): DataFrame = {
     val TABLES = tables
