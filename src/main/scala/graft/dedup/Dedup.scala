@@ -440,18 +440,22 @@ object Dedup {
       .distinct()
       .persist() // feeds df + size aggs + prefix + verification; avoid recompute
     val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // df and the per-doc prefix rank both come from windows (count over
-    // gram, row_number + count over doc_id) — two shuffles of the gram
-    // table total, vs groupBy-df + big join + window. The two doc_id
-    // windows share one exchange. Prefix length n - ceil(n/10) + 1,
+    // df via groupBy + join-back, NOT count().over(partitionBy(gram)):
+    // a window has no map-side combine and a ubiquitous gram would pin
+    // its whole posting list in one unsplittable partition (the same
+    // hot-key shape fixed in text_tfidf). The groupBy partial-aggs each
+    // gram to one row per map partition; the join back is an equi-join
+    // on gram, so AQE skew-splits any residual hot key — or broadcasts
+    // the df table outright while it is small. The two doc_id windows
+    // share one exchange. Prefix length n - ceil(n/10) + 1,
     // all-integer; (df, gram) is a total order so the prefix is
     // deterministic.
-    val wGram = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df".asc, $"gram".asc)
     val wDocAll = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val dfTab = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
     val prefix = grams
-      .withColumn("df", count(lit(1)).over(wGram))
+      .join(dfTab, "gram")
       .withColumn("rk", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wDocAll))
       .filter($"rk" <= $"n" - expr("(n + 9) div 10") + 1)
