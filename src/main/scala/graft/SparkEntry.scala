@@ -55,6 +55,9 @@ object SparkEntry {
     "q33_ntile"       -> q(Relational.q33Ntile),
     "q34_funnel"      -> q(Relational.q34Funnel),
     "q35_having"      -> q(Relational.q35Having),
+    "q36_interval_join" -> q(Relational.q36IntervalJoin),
+    "q37_unpivot"     -> q(Relational.q37Unpivot),
+    "q38_grouping_sets" -> q(Relational.q38GroupingSets),
     "q27_approx_distinct" -> q(Relational.q27ApproxDistinct),
     "mm_frame_sample" -> q(Multimodal.frameSample),
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
@@ -124,6 +127,9 @@ object SparkEntry {
     "q33_ntile"       -> Relational.q33Sql,
     "q34_funnel"      -> Relational.q34Sql,
     "q35_having"      -> Relational.q35Sql,
+    "q36_interval_join" -> Relational.q36Sql,
+    "q37_unpivot"     -> Relational.q37Sql,
+    "q38_grouping_sets" -> Relational.q38Sql,
     // q27_approx_distinct: HLL sketch values are engine-specific — rows-only.
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "q21_above_avg"   -> Relational.q21Sql,

@@ -739,4 +739,83 @@ object Relational {
       | abs(o_totalprice - CAST(1000 AS DOUBLE)) AS price_delta,
       | CAST(length(o_orderpriority) AS INT) AS prio_len
       |FROM orders WHERE o_orderkey < 100""".stripMargin.replace("\n", " ")
+
+  /** Interval (time-range) join: click→purchase attribution — every
+    * purchase within 10 minutes after a click by the same user. Same
+    * banding technique as the theta join generalized to time: both
+    * sides key on (user_id, 10-minute epoch band), clicks explode to
+    * their own and the next band (a qualifying purchase is at most one
+    * band ahead), so the product is an equi-join AQE can skew-split —
+    * never a per-user cross product, never a nested loop. Gap computed
+    * in exact integer microseconds.
+    */
+  def q36IntervalJoin(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val width = 600L * 1000000L // 10 min in µs
+    val clicks = t.events
+      .filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id",
+        unix_micros($"ts").as("c_us"))
+      .withColumn("band", explode(array(
+        expr(s"c_us div ${width}L"), expr(s"c_us div ${width}L") + 1)))
+    val purchases = t.events
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        unix_micros($"ts").as("p_us"))
+      .withColumn("band", expr(s"p_us div ${width}L"))
+    clicks.join(purchases, Seq("user_id", "band"))
+      .filter($"p_us" >= $"c_us" && $"p_us" - $"c_us" < width)
+      .select($"user_id", $"click_id", $"purchase_id",
+        ($"p_us" - $"c_us").as("gap_us"))
+      .distinct() // a pair in both bands would otherwise double-count
+  }
+
+  val q36Sql: String =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id,
+      | p.event_id AS purchase_id,
+      | epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND epoch_us(p.ts) - epoch_us(c.ts) >= 0
+      | AND epoch_us(p.ts) - epoch_us(c.ts) < 600000000""".stripMargin.replace("\n", " ")
+
+  /** Unpivot (melt): wide numeric columns to (metric, val) rows — the
+    * inverse of q26's pivot. Narrow map, no shuffle.
+    */
+  def q37Unpivot(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .select($"p_partkey", $"p_retailprice",
+        $"p_size".cast(DoubleType).as("p_size"))
+      .unpivot(Array($"p_partkey"), "metric", "val")
+  }
+
+  val q37Sql: String =
+    """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part""".stripMargin.replace("\n", " ")
+
+  /** Explicit GROUPING SETS with grouping() indicator columns — the
+    * general form of q15's rollup / q22's cube. SQL-interface entry
+    * (the DataFrame API exposes only rollup/cube; grouping sets are a
+    * Catalyst Expand either way, one shuffle on the expanded keys).
+    */
+  def q38GroupingSets(t: Tables): DataFrame = {
+    t.orders.createOrReplaceTempView("orders_gs")
+    t.spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        | count(*) AS cnt
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  val q38Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      | CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      | count(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin.replace("\n", " ")
 }

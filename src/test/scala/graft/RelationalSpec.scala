@@ -100,6 +100,32 @@ class RelationalSpec extends SparkSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
 
+  test("q36 interval join: gaps in [0, 10min), cross-band pairs found exactly once") {
+    import spark.implicits._
+    val rows = Relational.q36IntervalJoin(t).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val gap = r.getLong(3); gap >= 0L && gap < 600000000L
+    })
+    // synthetic fixture: a click at 599s before a purchase (crosses the
+    // 600 s band boundary → found via the exploded band, exactly once),
+    // one at exactly 600 s (excluded), one 10 s after (excluded: gap<0)
+    val base = 1700000000000000L // µs, band-aligned offsets applied below
+    val dir = java.nio.file.Files.createTempDirectory("graft-iv").toString
+    Seq(
+      (1L, base + 1000000L, 7L, "click", 0.0, "{}"),
+      (2L, base + 600000000L, 7L, "purchase", 0.0, "{}"), // 599 s after 1
+      (3L, base + 601000000L, 7L, "click", 0.0, "{}"),    // 1 s later: gap<0 vs 2
+      (4L, base - 599000000L, 7L, "click", 0.0, "{}")     // exactly 600 s before 2? no: 1199 s
+    ).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = Relational.q36IntervalJoin(graft.io.Tables(spark, dir))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 599000000L)))
+  }
+
   test("q29 running sum is non-decreasing within each customer") {
     val rows = Relational.q29RunningSum(t).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
