@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_clusters"  -> q(Dedup.clusters),
     "dedup_minhash_lsh" -> q(Dedup.minhashLsh),
     "dedup_simhash"   -> q(Dedup.simhash),
+    "dedup_substring" -> q(Dedup.substringDup),
     "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard),
     "dedup_embedding" -> q(Similarity.embeddingNearDup),
     "ann_brute_force" -> q(Similarity.annBruteForce),
@@ -143,6 +144,7 @@ object SparkEntry {
     "dedup_clusters"  -> Dedup.clustersSql,
     "dedup_minhash_lsh" -> Dedup.minhashSql,
     "dedup_simhash"   -> Dedup.simhashSql,
+    "dedup_substring" -> Dedup.substringDupSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_embedding" -> Similarity.embeddingNearDupSql,
     "ann_brute_force" -> Similarity.annBruteForceSql,

@@ -373,6 +373,41 @@ object Dedup {
        | SELECT reach.doc, e.doc_b AS r FROM reach JOIN edges e ON e.doc_a = reach.r)
        |SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------- substring (span) dedup
+
+  /** Span-level exact-substring duplication: every 16-word span shared
+    * by ≥ 2 distinct documents, with its document and occurrence
+    * counts — the cross-doc repeated-passage detector from the
+    * exact-substring-dedup line of work (boilerplate, licenses, quoted
+    * chains that doc-level dedup misses). One narrow explode (positions
+    * capped at 8191 starts, invariant #6) followed by one md5-keyed
+    * groupBy — map-side combinable, the same canonical shape as exact
+    * dedup, so it scales exactly like a word count. Docs shorter than
+    * one window contribute their whole text as a single short span
+    * (mirrored by greatest(..., 1) on both engines).
+    */
+  def substringDup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, least(greatest(size(split(text, ' '))-15, 1), 8191)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 16)))"
+      )).as("span"))
+      .select($"doc_id", h32($"span").as("span_h"))
+      .groupBy($"span_h")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_spans"))
+      .filter($"n_docs" >= 2)
+  }
+
+  val substringDupSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, array_to_string(toks[CAST(r.range AS INT):CAST(r.range AS INT)+15], ' ') AS span
+       | FROM d JOIN range(1, 8192) r ON r.range <= greatest(len(toks)-15, 1))
+       |SELECT ${sqlH32("span")} AS span_h, count(DISTINCT doc_id) AS n_docs,
+       | count(*) AS n_spans
+       |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin.replace("\n", " ")
+
   // -------------------------------------------------------------- simhash
 
   /** 32-bit SimHash over the distinct token set: per-bit majority vote.

@@ -53,6 +53,34 @@ object Streams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream interval join — the streaming twin of
+    * Relational.q36IntervalJoin: purchases attribute to clicks of the
+    * same user within [click, click + windowMinutes). Both sides carry
+    * watermarks and the join condition brackets event time in both
+    * directions, so Spark derives state-eviction bounds: a click is
+    * buffered at most window + watermark before eviction, a purchase
+    * never waits on clicks older than the window — bounded state on an
+    * unbounded stream. Gap is exact integer microseconds, matching the
+    * batch operator column for column (run on batch DataFrames the
+    * watermark is a no-op and this IS the batch range join; the
+    * StreamingSpec agreement test exploits that).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      windowMinutes: Int = 10): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"$windowMinutes minutes")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", s"$windowMinutes minutes")
+    c.join(p, expr(
+      s"c_user = p_user AND p_ts >= c_ts AND " +
+        s"p_ts < c_ts + INTERVAL $windowMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Event-time sessionization with explicit state: sessions close after
     * `gapMinutes` of per-user silence (state timeout = watermark-driven
     * eviction). The streaming twin of Relational.q17Sessionize.

@@ -111,6 +111,46 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("stream-stream attribution join pairs within the window only") {
+    import spark.implicits._
+    withLogLevel {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val clicks = MemoryStream[(Long, Long, Timestamp)]
+      val purchases = MemoryStream[(Long, Long, Timestamp)]
+      val q = Streams.attributionJoin(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        purchases.toDF().toDF("event_id", "user_id", "ts"))
+        .writeStream.format("memory").queryName("attrib")
+        .outputMode("append").start()
+      try {
+        clicks.addData((100L, 1L, ts(0)), (101L, 2L, ts(0)))
+        // user 1 purchase 5 min after the click (in-window);
+        // user 2 purchase 20 min after (outside the 10-min window)
+        purchases.addData((200L, 1L, ts(5)), (201L, 2L, ts(20)))
+        q.processAllAvailable()
+        val got = spark.table("attrib").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == Set((100L, 200L, 300000000L)))
+      } finally q.stop()
+    }
+  }
+
+  test("batch and streaming attribution joins agree on the events table") {
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val batch = Relational.q36IntervalJoin(t).collect().map(key).toSet
+      // on batch inputs the watermark is a no-op and attributionJoin is
+      // the plain range join — must equal the banded batch operator
+      val stream = Streams.attributionJoin(
+        t.events.filter(col("event_type") === "click"),
+        t.events.filter(col("event_type") === "purchase"))
+        .collect().map(key).toSet
+      assert(stream == batch && batch.nonEmpty)
+    }
+  }
+
   test("batch and streaming hourly aggregations agree on the events table") {
     withLogLevel {
       val t = Tables(spark, "/root/testdata/sf0.001")
