@@ -58,6 +58,7 @@ object SparkEntry {
     "q36_interval_join" -> q(Relational.q36IntervalJoin),
     "q37_unpivot"     -> q(Relational.q37Unpivot),
     "q38_grouping_sets" -> q(Relational.q38GroupingSets),
+    "q39_five_number" -> q(Relational.q39FiveNumber),
     "q27_approx_distinct" -> q(Relational.q27ApproxDistinct),
     "mm_frame_sample" -> q(Multimodal.frameSample),
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q36_interval_join" -> Relational.q36Sql,
     "q37_unpivot"     -> Relational.q37Sql,
     "q38_grouping_sets" -> Relational.q38Sql,
+    "q39_five_number" -> Relational.q39Sql,
     // q27_approx_distinct: HLL sketch values are engine-specific — rows-only.
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "q21_above_avg"   -> Relational.q21Sql,

@@ -658,6 +658,48 @@ object Relational {
       | FROM orders)
       |WHERE rn = (n + 1) // 2""".stripMargin.replace("\n", " ")
 
+  /** Exact grouped five-number summary (min/q1/median/q3/max) by
+    * rank-index selection — q20's discrete-median generalized: quantile
+    * q picks the element at rank 1 + (n-1)·q (integer arithmetic, no
+    * interpolation, so the value always exists in the data and both
+    * engines select the identical row via the total tiebreak order).
+    * One shuffle on the group key; per-group sort streams within the
+    * partition, never a global sort.
+    */
+  def q39FiveNumber(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+      .withColumn("stat", expr(
+        """CASE rn WHEN 1 THEN 'min'
+          | WHEN 1 + (n - 1) div 4 THEN 'q1'
+          | WHEN 1 + (n - 1) div 2 THEN 'median'
+          | WHEN 1 + ((n - 1) * 3) div 4 THEN 'q3'
+          | WHEN n THEN 'max' END""".stripMargin))
+      .filter($"stat".isNotNull)
+      // tiny groups collapse labels onto one rank; CASE keeps the first
+      // match only — identical first-match semantics in both engines
+      .select($"o_orderpriority", $"stat", $"o_totalprice".as("value"))
+  }
+
+  val q39Sql: String =
+    """SELECT o_orderpriority, stat, o_totalprice AS value FROM (
+      | SELECT o_orderpriority, o_totalprice, rn, n,
+      |  CASE rn WHEN 1 THEN 'min'
+      |   WHEN 1 + (n - 1) // 4 THEN 'q1'
+      |   WHEN 1 + (n - 1) // 2 THEN 'median'
+      |   WHEN 1 + ((n - 1) * 3) // 4 THEN 'q3'
+      |   WHEN n THEN 'max' END AS stat
+      | FROM (
+      |  SELECT o_orderpriority, o_totalprice,
+      |   row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+      |   count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders))
+      |WHERE stat IS NOT NULL""".stripMargin.replace("\n", " ")
+
   /** Orders above their customer's average price (correlated-aggregate
     * pattern via window, not a subquery re-scan). The average is an
     * exact decimal sum divided once in double.
