@@ -87,11 +87,13 @@ object SparkEntry {
     // ...but the pre-winnowing window-hash table is — value-checked here
     "text_window_hashes" -> q(graft.text.RollingHash.windowHashStats),
     "text_token_count" -> q(TextAnalysis.tokenCount),
+    "text_scrub"      -> q(TextAnalysis.scrub),
     "mm_binary_meta"  -> q(Multimodal.binaryMeta),
     "text_repetition" -> q(graft.pipeline.CorpusOps.repetition),
     "corpus_sample"   -> q(graft.pipeline.CorpusOps.stratifiedSample),
     "contamination"   -> q(graft.pipeline.CorpusOps.contamination),
     "corpus_curated"  -> q(graft.pipeline.CorpusOps.curated),
+    "corpus_token_budget" -> q(graft.pipeline.CorpusOps.tokenBudget),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,11 +158,13 @@ object SparkEntry {
     "text_lang_id"    -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_token_count" -> TextAnalysis.tokenCountSql,
+    "text_scrub"      -> TextAnalysis.scrubSql,
     "text_window_hashes" -> graft.text.RollingHash.windowHashStatsSql,
     "mm_binary_meta"  -> Multimodal.binaryMetaSql,
     "text_repetition" -> graft.pipeline.CorpusOps.repetitionSql,
     "corpus_sample"   -> graft.pipeline.CorpusOps.stratifiedSampleSql,
     "contamination"   -> graft.pipeline.CorpusOps.contaminationSql,
     "corpus_curated"  -> graft.pipeline.CorpusOps.curatedSql,
+    "corpus_token_budget" -> graft.pipeline.CorpusOps.tokenBudgetSql,
   )
 }

@@ -196,4 +196,42 @@ object CorpusOps {
        | AND k.doc_id NOT IN (SELECT doc_id FROM contam)
        | AND ${Dedup.sqlH32("CAST(k.doc_id AS VARCHAR)")} % 100 < ${Dedup.sqlH32("k.source")} % 40 + 10""".stripMargin
       .replace("\n", " ")
+
+  // ---------------------------------------------------- mixture budget
+
+  /** Data-mixture summary — the token-accounting table a training run
+    * budgets from: per source, document and whitespace-token counts,
+    * the source's share of the total token budget, and the running
+    * cumulative tokens in (tokens desc, source asc) order (the order
+    * sources get packed into a mixture). The heavy agg is one
+    * map-side-combinable groupBy(source); the share/cumsum windows run
+    * over the aggregated rows — source-cardinality input, not corpus
+    * rows, so the single-partition window is a non-issue at any scale.
+    * Share = one IEEE division of two exact longs.
+    */
+  def tokenBudget(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perSource = t.documents
+      .select($"source",
+        size(filter(split($"text", " "), x => x =!= "")).as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
+    val wCum = Window.orderBy($"n_tokens".desc, $"source".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSource
+      .withColumn("share",
+        $"n_tokens".cast(DoubleType) / sum($"n_tokens").over(Window.partitionBy()))
+      .withColumn("cum_tokens", sum($"n_tokens").over(wCum))
+  }
+
+  val tokenBudgetSql: String =
+    """SELECT source, n_docs, n_tokens,
+      | CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share,
+      | sum(n_tokens) OVER (ORDER BY n_tokens DESC, source ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |FROM (
+      | SELECT source, count(*) AS n_docs,
+      |  sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_tokens
+      | FROM documents GROUP BY source)""".stripMargin.replace("\n", " ")
 }

@@ -161,6 +161,33 @@ object TextAnalysis {
       | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens
       |FROM documents""".stripMargin.replace("\n", " ")
 
+  /** Token-level scrub — the cleaning transform of a training-data
+    * pipeline (stopword removal here; the same shape drops PII tokens,
+    * URLs, or blocklisted terms at 100 TB). Pure list operations on the
+    * token array — no regex dialect to disagree across engines — and a
+    * narrow per-row map: zero shuffle, scales with bytes scanned.
+    * Emits the cleaned text plus the audit count of removed tokens.
+    */
+  def scrub(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val toks = filter(split($"text", " "), x => x =!= "")
+    val kept = filter(split($"text", " "),
+      x => x =!= "" && x =!= "a" && x =!= "the")
+    t.documents.select(
+      $"doc_id",
+      array_join(kept, " ").as("scrubbed"),
+      (size(toks) - size(kept)).cast(IntegerType).as("n_removed"))
+  }
+
+  val scrubSql: String =
+    """SELECT doc_id,
+      | array_to_string(list_filter(string_split(text, ' '),
+      |   x -> x <> '' AND x <> 'a' AND x <> 'the'), ' ') AS scrubbed,
+      | CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |   - len(list_filter(string_split(text, ' '),
+      |       x -> x <> '' AND x <> 'a' AND x <> 'the')) AS INT) AS n_removed
+      |FROM documents""".stripMargin.replace("\n", " ")
+
   /** TF-IDF with a linear idf (N/df instead of log(N/df)): log is not
     * correctly-rounded-guaranteed across libms, so the oracle-safe form
     * keeps the arithmetic to exact integers and one division. Shape is
