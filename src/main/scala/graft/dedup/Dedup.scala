@@ -76,15 +76,15 @@ object Dedup {
     * per-document work that also keeps skew from mega-documents out of
     * the shuffle. The testdata
     * documents table is a single parquet file = one input split, so the
-    * explode would otherwise run on one core; repartition first (at
-    * real scale the input arrives pre-split and this is a no-op cost).
+    * explode would otherwise run on one core; widen() repartitions
+    * only in that case (at real scale the input arrives pre-split and
+    * widen is the identity — no shuffle).
     */
   private def shingles(t: Tables): DataFrame = {
     import t.spark.implicits._
     // No distinct: min() over the shingle multiset equals min() over the
     // set, so dedup would only add a 200x-rows shuffle for nothing.
-    t.documents
-      .repartition(t.spark.sparkContext.defaultParallelism)
+    t.widen(t.documents)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, least(greatest(length(text)-4, 1), 8191)), i -> substring(text, i, 5))"
       )).as("shingle"))
@@ -388,8 +388,7 @@ object Dedup {
     */
   def substringDup(t: Tables): DataFrame = {
     import t.spark.implicits._
-    t.documents
-      .repartition(t.spark.sparkContext.defaultParallelism)
+    t.widen(t.documents)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, least(greatest(size(split(text, ' '))-15, 1), 8191)), " +
           "i -> concat_ws(' ', slice(split(text, ' '), i, 16)))"
@@ -416,8 +415,7 @@ object Dedup {
     */
   def simhash(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val toks = t.documents
-      .repartition(t.spark.sparkContext.defaultParallelism)
+    val toks = t.widen(t.documents)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .filter($"tok" =!= "")
       .distinct()
@@ -466,8 +464,7 @@ object Dedup {
     */
   def ngramJaccard(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val grams = t.documents
-      .repartition(t.spark.sparkContext.defaultParallelism)
+    val grams = t.widen(t.documents)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, least(greatest(size(split(text, ' '))-4, 1), 8191)), " +
           "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"

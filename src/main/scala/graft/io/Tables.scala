@@ -16,6 +16,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Widen a narrow scan to the session's parallelism ONLY when the
+    * source yielded fewer splits. The testdata tables are single small
+    * parquet files = one input split, which would serialize every
+    * downstream per-row map on one core; at real scale
+    * `files.maxPartitionBytes` already yields thousands of splits and
+    * this is the identity — never an unconditional full-corpus
+    * shuffle. Partition count comes from the planned scan (no job
+    * runs).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as a
     * raw long (spark.sql.legacy.parquet.nanosAsLong=true — set in
     * Verify/Bench/test sessions). Spark timestamps are microsecond

@@ -154,8 +154,7 @@ object Multimodal {
   def frameSample(t: Tables): DataFrame = {
     import t.spark.implicits._
     val frameHex = 128 // 64 bytes
-    t.documents
-      .repartition(t.spark.sparkContext.defaultParallelism)
+    t.widen(t.documents)
       .select($"doc_id", hex($"text".cast(BinaryType)).as("hx"))
       .select($"doc_id", explode(expr(
         // frame count by integer arithmetic: (len + frameHex-1) div frameHex.

@@ -425,10 +425,9 @@ object Relational {
   def q28ThetaJoin(t: Tables): DataFrame = {
     import t.spark.implicits._
     val width = 0.5
-    // repartition: part is a single-file (one-split) table
+    // widen: part is a single-file (one-split) table locally
     val bandA = floor($"price_a" / width)
-    val a = t.part
-      .repartition(t.spark.sparkContext.defaultParallelism)
+    val a = t.widen(t.part)
       .select($"p_partkey".as("key_a"), $"p_retailprice".as("price_a"))
       .withColumn("band", explode(array(bandA - 1, bandA, bandA + 1)))
     val b = t.part
@@ -529,10 +528,9 @@ object Relational {
     val probes = t.part.filter($"p_partkey" % 50 === 0)
       .select($"p_partkey".as("probe_key"), $"p_name".as("probe_name"))
       .withColumn("blk", explode(array(bkt - 1, bkt, bkt + 1)))
-    // repartition: part is one parquet file = one input split, and the
+    // widen: part is one parquet file = one input split locally, and the
     // streamed side of the broadcast join sets the task count
-    val cands = t.part
-      .repartition(t.spark.sparkContext.defaultParallelism)
+    val cands = t.widen(t.part)
       .select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"))
       .withColumn("blk", floor(length($"cand_name") / lit(5)))
     // length-difference lower bound: |len(a)-len(b)| > k ⇒ dist > k.

@@ -46,7 +46,7 @@ object CorpusOps {
     */
   private def repetitionCounts(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val docs = t.documents.repartition(t.spark.sparkContext.defaultParallelism)
+    val docs = t.widen(t.documents)
     val grams = docs
       .select($"doc_id", explode(expr(gramExpr(2))).as("gram"))
       .groupBy($"doc_id")
@@ -124,7 +124,7 @@ object CorpusOps {
     */
   def contamination(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val docs = t.documents.repartition(t.spark.sparkContext.defaultParallelism)
+    val docs = t.widen(t.documents)
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), explode(expr(gramExpr(4))).as("gram"))
       .distinct()

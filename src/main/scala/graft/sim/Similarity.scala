@@ -46,10 +46,9 @@ object Similarity {
     normCache.getOrElseUpdate((t.spark, t.dir), {
       graft.functions.GraftFunctions.register(t.spark)
       import t.spark.implicits._
-      // repartition: the testdata table is one parquet file = one input
+      // widen: the testdata table is one parquet file = one input
       // split; pair-join work must spread across cores.
-      val e = t.embeddings
-        .repartition(t.spark.sparkContext.defaultParallelism)
+      val e = t.widen(t.embeddings)
         .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
       // vectors+norm are 65 doubles/row: the normalized projection any
       // 100 TB similarity pipeline materializes once

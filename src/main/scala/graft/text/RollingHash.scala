@@ -59,8 +59,7 @@ object RollingHash {
     import t.spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-    t.documents
-      .repartition(t.spark.sparkContext.defaultParallelism)
+    t.widen(t.documents)
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .flatMap { case (id, text) => fingerprints(text).map(fp => (id, fp)) }
@@ -81,8 +80,7 @@ object RollingHash {
     import t.spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-    t.documents
-      .repartition(t.spark.sparkContext.defaultParallelism)
+    t.widen(t.documents)
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .flatMap { case (id, text) =>

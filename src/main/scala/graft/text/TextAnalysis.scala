@@ -203,8 +203,7 @@ object TextAnalysis {
   def tfidf(t: Tables): DataFrame = {
     import t.spark.implicits._
     val n = t.documents.count() // tiny scalar; at scale this is a cheap count job
-    val tf = t.documents
-      .repartition(t.spark.sparkContext.defaultParallelism)
+    val tf = t.widen(t.documents)
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .filter($"term" =!= "")
       .groupBy($"doc_id", $"term")
