@@ -26,6 +26,22 @@ class ScaleSpec extends SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("tfidf computes df via partial aggregate, not a term-partitioned window") {
+    val plan = graft.text.TextAnalysis.tfidf(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"df must not be a window over term (hot-term single partition):\n$plan")
+    assert(plan.contains("partial_count"), plan) // map-side combine present
+  }
+
+  test("q9 broadcast hints: fixed-size dims only, customer unhinted") {
+    // exactly two ResolvedHints (nation, region); customer's physical
+    // strategy is left to stats/AQE so it can demote at scale
+    val analyzed = graft.ops.Relational.q9StarJoin(t)
+      .queryExecution.analyzed.toString
+    val hints = "(?i)resolvedhint".r.findAllIn(analyzed).length
+    assert(hints == 2, s"expected 2 hints (nation, region), got $hints:\n$analyzed")
+  }
+
   test("banded theta join: all-equal-price fixture splits the hot band via AQE skew join") {
     // worst case from SCALING.md: every price identical → one band
     // holds the entire table and the banded equi-join concentrates in
