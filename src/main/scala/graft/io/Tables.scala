@@ -92,6 +92,19 @@ object GraftIO {
       .map(_._1).toDF("value")
   }
 
+  /** JSON-lines read (one JSON object per text line — the common
+    * training-data interchange format). Schema inference samples the
+    * data unless a schema is supplied; compressed inputs (.gz etc.)
+    * decode transparently via the text source's codec handling. The
+    * reference's record model is one text line (SURVEY.md §1.1), so
+    * JSONL is its structured sibling: line = record, fields typed.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
   /** `put` analog: durable write, parquet (engine default). */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

@@ -50,6 +50,27 @@ class IoSpec extends SparkSuite {
     assert(!spark.catalog.listTables().collect().exists(_.name == "nation_v"))
   }
 
+  test("jsonl read: plain and gzip inputs parse to identical typed rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val lines = Seq(
+      """{"id": 1, "text": "alpha", "score": 0.5}""",
+      """{"id": 2, "text": "beta", "score": 1.25}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/docs.jsonl.gz"))
+    gz.write(String.join("\n", lines: _*).getBytes("UTF-8")); gz.close()
+
+    val plain = GraftIO.readJsonl(spark, s"$dir/docs.jsonl")
+      .select("id", "text", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val zipped = GraftIO.readJsonl(spark, s"$dir/docs.jsonl.gz")
+      .select("id", "text", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(plain == Set((1L, "alpha", 0.5), (2L, "beta", 1.25)))
+    assert(zipped == plain)
+  }
+
   test("line reader yields one row per line (record = text line)") {
     val df = GraftIO.readLines(spark,
       getClass.getClassLoader.getResource("Traffic_Signal_Intersections.csv").getPath)
