@@ -28,7 +28,11 @@ object Plans {
       "q28_theta_join" -> Relational.q28ThetaJoin(t),
       "q32_fuzzy_name" -> Relational.q32FuzzyName(t),
       "contamination" -> graft.pipeline.CorpusOps.contamination(t),
-      "corpus_curated" -> graft.pipeline.CorpusOps.curated(t))
+      "corpus_curated" -> graft.pipeline.CorpusOps.curated(t),
+      "q36_interval_join" -> Relational.q36IntervalJoin(t),
+      "q39_five_number" -> Relational.q39FiveNumber(t),
+      "dedup_substring" -> graft.dedup.Dedup.substringDup(t),
+      "text_tfidf" -> graft.text.TextAnalysis.tfidf(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
       println(df.queryExecution.explainString(
