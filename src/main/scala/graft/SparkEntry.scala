@@ -60,6 +60,8 @@ object SparkEntry {
     "q38_grouping_sets" -> q(Relational.q38GroupingSets),
     "q39_five_number" -> q(Relational.q39FiveNumber),
     "q27_approx_distinct" -> q(Relational.q27ApproxDistinct),
+    // rows-only like q27: sketch internals are engine-specific (spec-pinned)
+    "q40_approx_quantile" -> q(Relational.q40ApproxQuantile),
     "mm_frame_sample" -> q(Multimodal.frameSample),
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
     "q22_cube"        -> q(Relational.q22Cube),

@@ -698,6 +698,24 @@ object Relational {
       |  FROM orders))
       |WHERE stat IS NOT NULL""".stripMargin.replace("\n", " ")
 
+  /** Approximate grouped quantiles via the percentile_approx sketch —
+    * the mergeable-sketch family member alongside q27's HLL. Sketch
+    * internals are engine-specific, so this entry is rows-only checked
+    * (no SQL oracle); RelationalSpec pins the rank error against the
+    * exact q39 selection instead. One map-side-combinable sketch
+    * aggregation: at 100 TB partial sketches merge, nothing sorts, and
+    * the answer costs one pass where q39's exact form pays a per-group
+    * sort — the classic exactness/cost dial.
+    */
+  def q40ApproxQuantile(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders.groupBy($"o_orderpriority")
+      .agg(
+        percentile_approx($"o_totalprice", lit(0.25), lit(10000)).as("p25"),
+        percentile_approx($"o_totalprice", lit(0.5), lit(10000)).as("p50"),
+        percentile_approx($"o_totalprice", lit(0.75), lit(10000)).as("p75"))
+  }
+
   /** Orders above their customer's average price (correlated-aggregate
     * pattern via window, not a subquery re-scan). The average is an
     * exact decimal sum divided once in double.

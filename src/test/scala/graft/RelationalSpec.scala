@@ -164,6 +164,24 @@ class RelationalSpec extends SparkSuite {
     assert(math.abs(r.getLong(1) - exactOrders).toDouble / exactOrders < 0.06)
   }
 
+  test("q40 approx quantiles land within 2% rank error of exact") {
+    val vals = t.orders.select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val approx = Relational.q40ApproxQuantile(t).collect()
+    assert(approx.length == vals.size)
+    approx.foreach { r =>
+      val xs = vals(r.getString(0))
+      val n = xs.length
+      Seq((r.getDouble(1), 0.25), (r.getDouble(2), 0.5), (r.getDouble(3), 0.75))
+        .foreach { case (v, q) =>
+          val rank = xs.count(_ <= v).toDouble / n
+          assert(math.abs(rank - q) <= 0.02 + 1.0 / n,
+            s"group ${r.getString(0)} q=$q value=$v rank=$rank")
+        }
+    }
+  }
+
   test("q17 session counts are at least 1 per active user") {
     val rows = Relational.q17Sessionize(t).collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
