@@ -26,6 +26,15 @@ class ScaleSpec extends SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("widen repartitions narrow scans only — identity when already parallel") {
+    import spark.implicits._
+    val narrow = spark.range(0, 100, 1, 1).toDF("id")
+    assert(t.widen(narrow).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    val wide = spark.range(0, 100, 1, 8).toDF("id")
+    assert(t.widen(wide) eq wide) // same reference: no shuffle inserted
+  }
+
   test("tfidf computes df via partial aggregate, not a term-partitioned window") {
     val plan = graft.text.TextAnalysis.tfidf(t).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
