@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> q(Dedup.minhashLsh),
     "dedup_simhash"   -> q(Dedup.simhash),
     "dedup_substring" -> q(Dedup.substringDup),
+    "dedup_simhash_hamming" -> q(Dedup.simhashHamming),
     "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard),
     "dedup_embedding" -> q(Similarity.embeddingNearDup),
     "ann_brute_force" -> q(Similarity.annBruteForce),
@@ -151,6 +152,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minhashSql,
     "dedup_simhash"   -> Dedup.simhashSql,
     "dedup_substring" -> Dedup.substringDupSql,
+    "dedup_simhash_hamming" -> Dedup.simhashHammingSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_embedding" -> Similarity.embeddingNearDupSql,
     "ann_brute_force" -> Similarity.annBruteForceSql,

@@ -441,6 +441,53 @@ object Dedup {
        |SELECT doc_id, $fp AS simhash FROM agg""".stripMargin.replace("\n", " ")
   }
 
+  /** SimHash near-dup pairs at Hamming distance ≤ 2 via pigeonhole
+    * blocking (the Manku et al., WWW'07 technique, rescaled: their
+    * 64-bit ham ≤ 3 is ~95% bit agreement, which for our 32-bit
+    * fingerprint is ham ≤ 2): split the fingerprint into 4 byte
+    * blocks — any pair within distance 2 must agree on at least one
+    * block (pigeonhole: 3 flipped bits < 4 blocks, with margin), so
+    * candidates come from 4 equi-join buckets over (block index,
+    * block value), never an all-pairs scan.
+    * Verification is one codegen'd bit_count(xor) per candidate. At
+    * 100 TB this is the standard simhash dedup shape: fingerprints are
+    * one long per doc, the bucket join is Σ|bucket|² like LSH, and a
+    * mega-bucket (boilerplate fleets sharing a block) AQE-skew-splits.
+    */
+  def simhashHamming(t: Tables): DataFrame = {
+    // fingerprints feed 4 bucket keys + both verification sides —
+    // persist instead of recomputing the token pipeline per branch
+    val fp = simhash(t).persist()
+    val blocks = fp.select(col("doc_id"), col("simhash"), explode(expr(
+      "transform(sequence(0, 3), i -> " +
+        "named_struct('blk', i, 'key', shiftright(simhash, i * 8) & 255))"
+    )).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.blk").as("blk"), col("b.key").as("key"))
+    val out = blocks.toDF("doc_a", "fa", "blk", "key")
+      .join(blocks.toDF("doc_b", "fb", "blk", "key"), Seq("blk", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("fa"), col("fb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(fa ^ fb) AS INT)"))
+      .filter(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .localCheckpoint()
+    fp.unpersist()
+    out
+  }
+
+  val simhashHammingSql: String =
+    s"""WITH fp AS ($simhashSql),
+       |b AS (SELECT doc_id, simhash, CAST(r.range AS INT) AS blk,
+       |  (simhash >> (CAST(r.range AS INT) * 8)) & 255 AS key
+       | FROM fp CROSS JOIN range(0, 4) r),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  a.simhash AS fa, c.simhash AS fb
+       | FROM b a JOIN b c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= 2""".stripMargin.replace("\n", " ")
+
   // -------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact word-5-gram Jaccard pairs with similarity >= 0.1, thresholded

@@ -57,6 +57,7 @@ object Profile {
     val gb = grams.toDF("doc_b", "gram")
     time("gram-selfjoin")(ga.join(gb, ga("gram") === gb("gram") && ga("doc_a") < gb("doc_b")).count())
     time("ngram-full")(graft.dedup.Dedup.ngramJaccard(t).count())
+    time("simhash-hamming-full")(graft.dedup.Dedup.simhashHamming(t).count())
     time("ann-lsh-full")(graft.sim.Similarity.annLsh(t).count())
 
     val e = t.embeddings.select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))

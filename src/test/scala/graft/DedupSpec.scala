@@ -114,6 +114,25 @@ class DedupSpec extends SparkSuite {
     assert(rawPairs.nonEmpty) // the fixture actually exercises the filter
   }
 
+  test("simhash hamming pairs: identical docs at distance 0; blocking loses nothing vs all-pairs") {
+    val t01 = graft.io.Tables(spark, "/root/testdata/sf0.001")
+    val got = Dedup.simhashHamming(t01).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // brute-force reference over the fingerprint table
+    val fps = Dedup.simhash(t01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 2
+    } yield (a, b) -> h).toMap
+    assert(got == want)
+    // the constructed identical pair from the shared fixture collides at 0
+    val t4 = t // docs 1 and 2 identical
+    val self = Dedup.simhashHamming(t4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(self.get((1L, 2L)).contains(0))
+  }
+
   test("connected components: alternating star == min-label on a random pair graph") {
     import spark.implicits._
     // 60 nodes, md5-derived pseudo-random edges — several multi-node
