@@ -59,6 +59,7 @@ object SparkEntry {
     "q37_unpivot"     -> q(Relational.q37Unpivot),
     "q38_grouping_sets" -> q(Relational.q38GroupingSets),
     "q39_five_number" -> q(Relational.q39FiveNumber),
+    "q41_gap_fill"    -> q(Relational.q41GapFill),
     "q27_approx_distinct" -> q(Relational.q27ApproxDistinct),
     // rows-only like q27: sketch internals are engine-specific (spec-pinned)
     "q40_approx_quantile" -> q(Relational.q40ApproxQuantile),
@@ -138,6 +139,7 @@ object SparkEntry {
     "q37_unpivot"     -> Relational.q37Sql,
     "q38_grouping_sets" -> Relational.q38Sql,
     "q39_five_number" -> Relational.q39Sql,
+    "q41_gap_fill"    -> Relational.q41Sql,
     // q27_approx_distinct: HLL sketch values are engine-specific — rows-only.
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "q21_above_avg"   -> Relational.q21Sql,

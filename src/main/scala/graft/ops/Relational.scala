@@ -698,6 +698,44 @@ object Relational {
       |  FROM orders))
       |WHERE stat IS NOT NULL""".stripMargin.replace("\n", " ")
 
+  /** Time-series resample + forward fill: each user's events collapse
+    * to exact hourly totals, the hours between the user's first and
+    * last activity become a dense grid (sequence + explode — rows
+    * bounded by span, not corpus), and empty hours carry the last
+    * observed total forward via last(ignoreNulls) over an ordered
+    * per-user window. One groupBy + one per-user window shuffle; the
+    * gap-filling pattern every downstream time-series consumer needs.
+    */
+  def q41GapFill(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val hourly = t.events
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+      .agg(dsum($"value").as("obs"))
+    val grid = hourly.groupBy($"user_id")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"user_id",
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val w = Window.partitionBy($"user_id").orderBy($"hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select($"user_id", $"hour",
+        last($"obs", ignoreNulls = true).over(w).as("filled_value"),
+        $"obs".isNotNull.as("is_observed"))
+  }
+
+  val q41Sql: String =
+    """WITH hourly AS (
+      | SELECT user_id, date_trunc('hour', ts) AS hour,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS obs
+      | FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds)
+      |SELECT g.user_id AS user_id, g.hour AS hour,
+      | last_value(h.obs IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      | h.obs IS NOT NULL AS is_observed
+      |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin.replace("\n", " ")
+
   /** Approximate grouped quantiles via the percentile_approx sketch —
     * the mergeable-sketch family member alongside q27's HLL. Sketch
     * internals are engine-specific, so this entry is rows-only checked

@@ -182,6 +182,26 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("q41 gap fill: contiguous hourly grid, forward fill never null") {
+    val byUser = Relational.q41GapFill(t).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getDouble(2), r.getBoolean(3)))
+      .groupBy(_._1).values
+    assert(byUser.nonEmpty)
+    byUser.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._4) // grid starts at the first OBSERVED hour
+      // dense grid: consecutive hours differ by exactly 3600 s
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 - a._2 == 3600000L)
+        case _ =>
+      }
+      // forward fill: defined everywhere after the first observation
+      assert(sorted.forall(r => !r._3.isNaN))
+      assert(sorted.exists(!_._4) || sorted.forall(_._4)) // gaps allowed, not required
+    }
+  }
+
   test("q17 session counts are at least 1 per active user") {
     val rows = Relational.q17Sessionize(t).collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
