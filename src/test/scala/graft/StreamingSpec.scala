@@ -135,6 +135,37 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("attribution join drops a purchase arriving after the watermark passed its click") {
+    import spark.implicits._
+    withLogLevel {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val clicks = MemoryStream[(Long, Long, Timestamp)]
+      val purchases = MemoryStream[(Long, Long, Timestamp)]
+      val q = Streams.attributionJoin(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        purchases.toDF().toDF("event_id", "user_id", "ts"))
+        .writeStream.format("memory").queryName("attrib_late")
+        .outputMode("append").start()
+      try {
+        clicks.addData((100L, 1L, ts(0)))
+        purchases.addData((900L, 9L, ts(0))) // unrelated user, advances p-side time
+        q.processAllAvailable()
+        // advance BOTH event-time watermarks far past the click's window
+        clicks.addData((101L, 8L, ts(120)))
+        purchases.addData((901L, 9L, ts(120)))
+        q.processAllAvailable()
+        // in-window by event time (5 min after click 100) but arrives
+        // after the watermark evicted that click's state → dropped
+        purchases.addData((200L, 1L, ts(5)))
+        q.processAllAvailable()
+        val pairs = spark.table("attrib_late").collect()
+          .map(r => (r.getLong(1), r.getLong(2))).toSet
+        assert(!pairs.contains((100L, 200L)),
+          s"late purchase must be dropped, got $pairs")
+      } finally q.stop()
+    }
+  }
+
   test("batch and streaming attribution joins agree on the events table") {
     withLogLevel {
       val t = Tables(spark, "/root/testdata/sf0.001")
