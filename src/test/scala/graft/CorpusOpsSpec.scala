@@ -71,6 +71,35 @@ class CorpusOpsSpec extends SparkSuite {
     assert(curated == expected)
   }
 
+  test("token budget: shares sum to 1, cumulative reaches the grand total in packing order") {
+    val rows = CorpusOps.tokenBudget(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.length == 4) // one row per source
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
+    val packed = rows.sortBy(r => (-r._3, r._1))
+    assert(packed.last._5 == rows.map(_._3).sum) // cum of last == total
+    assert(packed.map(_._5).toSeq == packed.map(_._3).scanLeft(0L)(_ + _).tail.toSeq)
+  }
+
+  test("scrub removes exactly the stopword tokens and counts them") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.TextAnalysis.scrub(t).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(!rows.values.exists { case (txt, _) =>
+      txt.split(" ").exists(w => w == "a" || w == "the") })
+    // fixture has no stopwords -> identity scrub, zero removed
+    assert(rows.values.forall(_._2 == 0))
+    // and a doc WITH stopwords gets them cut
+    val t2 = tempTables { dir =>
+      import spark.implicits._
+      Seq((1L, "the quick a fox the end", "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val r2 = graft.text.TextAnalysis.scrub(t2).collect().head
+    assert(r2.getString(1) == "quick fox end" && r2.getInt(2) == 3)
+  }
+
   test("contamination flags the 4-gram overlap with the benchmark doc only") {
     val rows = CorpusOps.contamination(t).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
