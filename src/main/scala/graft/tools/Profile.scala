@@ -56,6 +56,24 @@ object Profile {
     val ga = grams.toDF("doc_a", "gram")
     val gb = grams.toDF("doc_b", "gram")
     time("gram-selfjoin")(ga.join(gb, ga("gram") === gb("gram") && ga("doc_a") < gb("doc_b")).count())
+    // prefix-filter pipeline sub-stages (mirrors Dedup.ngramJaccard)
+    val gramsP = grams.persist()
+    time("ngram-grams-persist")(gramsP.count())
+    val dfTab = gramsP.groupBy($"gram").agg(count(lit(1)).as("df"))
+    time("ngram-df-agg")(dfTab.count())
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df".asc, $"gram".asc)
+    val wDocAll = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val prefix = gramsP.join(dfTab, "gram")
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(wDocAll))
+      .filter($"rk" <= $"n" - expr("(n + 9) div 10") + 1)
+      .select($"doc_id", $"gram")
+    time("ngram-prefix")(prefix.count())
+    time("ngram-prefix-selfjoin")(prefix.toDF("doc_a", "gram")
+      .join(prefix.toDF("doc_b", "gram"), "gram")
+      .filter($"doc_a" < $"doc_b").select($"doc_a", $"doc_b").distinct().count())
+    gramsP.unpersist()
     time("ngram-full")(graft.dedup.Dedup.ngramJaccard(t).count())
     time("simhash-hamming-full")(graft.dedup.Dedup.simhashHamming(t).count())
     time("ann-lsh-full")(graft.sim.Similarity.annLsh(t).count())
