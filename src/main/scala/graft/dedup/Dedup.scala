@@ -525,20 +525,22 @@ object Dedup {
     // hot-key shape fixed in text_tfidf). The groupBy partial-aggs each
     // gram to one row per map partition; the join back is an equi-join
     // on gram, so AQE skew-splits any residual hot key — or broadcasts
-    // the df table outright while it is small. The two doc_id windows
-    // share one exchange. Prefix length n - ceil(n/10) + 1,
-    // all-integer; (df, gram) is a total order so the prefix is
-    // deterministic.
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df".asc, $"gram".asc)
-    val wDocAll = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    // the df table outright while it is small. The per-doc prefix then
+    // comes from ONE doc-keyed groupBy: each doc's (df, gram) list is
+    // ≤ 8191 entries by the position cap, so array_sort + slice inside
+    // the row replaces a WindowExec sort of the whole gram table —
+    // same single shuffle, no sort machinery. Prefix length
+    // n - ceil(n/10) + 1, all-integer; (df, gram) is a total order so
+    // the prefix is deterministic.
     val dfTab = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
     val prefix = grams
       .join(dfTab, "gram")
-      .withColumn("rk", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(wDocAll))
-      .filter($"rk" <= $"n" - expr("(n + 9) div 10") + 1)
-      .select($"doc_id", $"gram")
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"df", $"gram")).as("lst"))
+      .select($"doc_id", explode(expr(
+        "slice(array_sort(lst), 1, size(lst) - (size(lst) + 9) div 10 + 1)"
+      )).as("e"))
+      .select($"doc_id", $"e.gram".as("gram"))
     val cand = prefix.toDF("doc_a", "gram")
       .join(prefix.toDF("doc_b", "gram"), "gram")
       .filter($"doc_a" < $"doc_b")

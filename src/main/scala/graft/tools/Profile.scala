@@ -61,14 +61,13 @@ object Profile {
     time("ngram-grams-persist")(gramsP.count())
     val dfTab = gramsP.groupBy($"gram").agg(count(lit(1)).as("df"))
     time("ngram-df-agg")(dfTab.count())
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df".asc, $"gram".asc)
-    val wDocAll = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
     val prefix = gramsP.join(dfTab, "gram")
-      .withColumn("rk", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(wDocAll))
-      .filter($"rk" <= $"n" - expr("(n + 9) div 10") + 1)
-      .select($"doc_id", $"gram")
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"df", $"gram")).as("lst"))
+      .select($"doc_id", explode(expr(
+        "slice(array_sort(lst), 1, size(lst) - (size(lst) + 9) div 10 + 1)"
+      )).as("e"))
+      .select($"doc_id", $"e.gram".as("gram"))
     time("ngram-prefix")(prefix.count())
     time("ngram-prefix-selfjoin")(prefix.toDF("doc_a", "gram")
       .join(prefix.toDF("doc_b", "gram"), "gram")
