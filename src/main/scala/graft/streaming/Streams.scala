@@ -53,6 +53,33 @@ object Streams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming ingest curation — the stream-side sibling of
+    * CorpusOps.curated for a continuously arriving corpus: exact
+    * in-horizon dedup (bounded state via dropDuplicatesWithinWatermark),
+    * the Gopher-style repetition gate evaluated STATELESSLY (a document
+    * arrives as one row, so the duplicate-bigram fraction is a pure
+    * array expression on that row — no shuffle, no state), and
+    * decontamination as a stream-static left-outer join + null filter
+    * against the audit's contaminated-id list (stream-static left_anti
+    * is unsupported; outer+isNull is the standard equivalent, and the
+    * static side re-broadcasts per micro-batch). Append-mode,
+    * watermark-bounded — safe on an unbounded ingest feed; the
+    * periodic batch `curated` pass remains the cross-horizon backstop.
+    */
+  def curatedStream(docs: DataFrame, contamIds: DataFrame,
+                    horizon: String = "1 hour"): DataFrame = {
+    val g2 = expr(
+      "transform(sequence(1, greatest(size(filter(split(text, ' '), x -> x != '')) - 1, 1)), " +
+        "i -> concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), i, 2)))")
+    dedupStream(docs, horizon)
+      .withColumn("g2", g2)
+      .filter((size(col("g2")) - size(array_distinct(col("g2")))) * 5 < size(col("g2")))
+      .join(contamIds.select(col("doc_id").as("c_id")),
+        col("doc_id") === col("c_id"), "left_outer")
+      .filter(col("c_id").isNull)
+      .select(col("doc_id"), col("text"), col("ts"))
+  }
+
   /** Stream-stream interval join — the streaming twin of
     * Relational.q36IntervalJoin: purchases attribute to clicks of the
     * same user within [click, click + windowMinutes). Both sides carry

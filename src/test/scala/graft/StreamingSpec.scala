@@ -111,6 +111,29 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming curation: dedup + repetition gate + decontamination on ingest") {
+    import spark.implicits._
+    withLogLevel {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val contam = Seq(4L).toDF("doc_id")
+      val input = MemoryStream[Streams.Doc]
+      val q = Streams.curatedStream(input.toDF(), contam)
+        .writeStream.format("memory").queryName("curated_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          Streams.Doc(1, "good doc words vary nicely here", ts(0)),
+          Streams.Doc(2, "good doc words vary nicely here", ts(1)), // dup of 1
+          Streams.Doc(3, "spam spam spam spam spam spam", ts(2)),   // repetition
+          Streams.Doc(4, "contaminated but otherwise fine text", ts(3)), // in contam list
+          Streams.Doc(5, "another perfectly varied document arrives", ts(4)))
+        q.processAllAvailable()
+        val kept = spark.table("curated_stream").collect().map(_.getLong(0)).toSet
+        assert(kept == Set(1L, 5L))
+      } finally q.stop()
+    }
+  }
+
   test("stream-stream attribution join pairs within the window only") {
     import spark.implicits._
     withLogLevel {
