@@ -528,15 +528,17 @@ object Relational {
     val probes = t.part.filter($"p_partkey" % 50 === 0)
       .select($"p_partkey".as("probe_key"), $"p_name".as("probe_name"))
       .withColumn("blk", explode(array(bkt - 1, bkt, bkt + 1)))
-    // widen: part is one parquet file = one input split locally, and the
-    // streamed side of the broadcast join sets the task count
+    // widen: part is one parquet file = one input split locally
     val cands = t.widen(t.part)
       .select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"))
       .withColumn("blk", floor(length($"cand_name") / lit(5)))
     // length-difference lower bound: |len(a)-len(b)| > k ⇒ dist > k.
     // The residual prune skips the O(len²) DP for cross-bucket pairs
     // whose lengths still differ by >4.
-    broadcast(probes).join(cands, "blk")
+    // No broadcast hint: probes are a fixed FRACTION of part (N/50), so
+    // they grow with the corpus. AQE broadcasts while small and falls
+    // back to a shuffled hash join on blk at scale.
+    probes.join(cands, "blk")
       .filter($"probe_key" =!= $"cand_key" &&
         abs(length($"probe_name") - length($"cand_name")) <= 4)
       // thresholded variant early-exits the DP (returns -1 above 4);

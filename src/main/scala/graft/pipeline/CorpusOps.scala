@@ -228,10 +228,10 @@ object CorpusOps {
   val tokenBudgetSql: String =
     """SELECT source, n_docs, n_tokens,
       | CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share,
-      | sum(n_tokens) OVER (ORDER BY n_tokens DESC, source ASC
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      | CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       |FROM (
       | SELECT source, count(*) AS n_docs,
-      |  sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_tokens
+      |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
       | FROM documents GROUP BY source)""".stripMargin.replace("\n", " ")
 }

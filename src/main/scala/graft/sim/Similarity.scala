@@ -96,7 +96,11 @@ object Similarity {
     val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
+    // No broadcast hint: probes = N/13 of the corpus, a growing input —
+    // an un-demotable hint would OOM at scale where AQE merely degrades
+    // to a nested-loop it can size itself (brute force is the documented
+    // small-Q baseline; IVF/LSH are the scale paths).
+    probes.join(cands, col("probe_id") =!= col("cand_id"))
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)

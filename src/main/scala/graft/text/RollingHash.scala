@@ -101,7 +101,7 @@ object RollingHash {
       .map { case (p, j) =>
         s"CAST(unicode(substr(text, i + ${j + 1}, 1)) AS BIGINT) * $p" }
       .mkString(" + ")
-    s"""SELECT doc_id, count(*) AS n_hashes, sum(h) AS sum_h,
+    s"""SELECT doc_id, count(*) AS n_hashes, CAST(sum(h) AS BIGINT) AS sum_h,
        | min(h) AS min_h, max(h) AS max_h
        |FROM (
        | SELECT doc_id, ($poly) % $M AS h

@@ -51,6 +51,20 @@ class ScaleSpec extends SparkSuite {
     assert(hints == 2, s"expected 2 hints (nation, region), got $hints:\n$analyzed")
   }
 
+  test("corpus-growing probe sets carry no forced broadcast hint") {
+    // q32 probes = part/50 and ann_brute probes = embeddings/13 — fixed
+    // FRACTIONS of the corpus, so a forced hint would be un-demotable
+    // OOM at scale. Pin both analyzed plans hint-free (AQE owns the
+    // physical strategy).
+    for ((name, df) <- Seq(
+        "q32_fuzzy_name" -> graft.ops.Relational.q32FuzzyName(t),
+        "ann_brute_force" -> graft.sim.Similarity.annBruteForce(t))) {
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.toLowerCase.contains("resolvedhint"),
+        s"$name must not force a broadcast on a corpus fraction:\n$analyzed")
+    }
+  }
+
   test("banded theta join: all-equal-price fixture splits the hot band via AQE skew join") {
     // worst case from SCALING.md: every price identical → one band
     // holds the entire table and the banded equi-join concentrates in

@@ -62,6 +62,24 @@ def main():
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             n_fail += 1
             continue
+        # dtype-KIND compare: the driver hashes stringified values, so
+        # int64 "123" vs float64 "123.0" mismatch even when equal (the
+        # DuckDB sum(BIGINT)->HUGEINT->float64 trap). Width differences
+        # (int32 vs int64) stringify identically and are fine.
+        kind_bad = None
+        for c in got.columns if len(got) else []:
+            gk, wk = got[c].dtype.kind, want[c].dtype.kind
+            gk = 'i' if gk == 'u' else gk
+            wk = 'i' if wk == 'u' else wk
+            if gk != wk and not (len(got) and got[c].isna().all() and want[c].isna().all()):
+                kind_bad = (c, got[c].dtype, want[c].dtype)
+                break
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind col {kind_bad[0]}: "
+                  f"spark={kind_bad[1]} duckdb={kind_bad[2]} "
+                  f"(cast the oracle aggregate — sum(BIGINT) is HUGEINT)")
+            n_fail += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             n_fail += 1
