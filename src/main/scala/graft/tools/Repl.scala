@@ -21,16 +21,23 @@ import org.apache.spark.sql.SparkSession
   *                               block store or scanned on demand
   *   delete <name>               drop the view (main.rs:243-245)
   *   maple <exe> <workers> <prefix> <view> [args...]
-  *                               run a named map executor (the
-  *                               reference's Python script names map to
-  *                               Scala lambdas — graft.mr.Executors);
-  *                               output registered as view <prefix>
-  *                               with (key, value) columns. Worker
-  *                               count is accepted and ignored — split
-  *                               sizing is the scheduler's job.
+  *                               run a map executor: the reference's
+  *                               demo script names map to Scala lambdas
+  *                               (graft.mr.Executors); ANY OTHER <exe>
+  *                               that exists as a file runs as a
+  *                               subprocess pipe (graft.mr.PipeExec —
+  *                               .py under python3, else the file
+  *                               itself; stdin=records,
+  *                               stdout=key\tvalue). Output registered
+  *                               as view <prefix> with (key, value)
+  *                               columns. Worker count is accepted and
+  *                               ignored — split sizing is the
+  *                               scheduler's job.
   *   juice <exe> <workers> <prefix> <view> [delete?]
   *                               fold the (key, value) view <prefix>
-  *                               with a named reduce executor; output
+  *                               with a named reduce executor (or a
+  *                               user script path, piped with one
+  *                               key's lines contiguous); output
   *                               registered as <view>
   *   SELECT ALL FROM ds WHERE regex        (reference dialect)
   *   SELECT ALL FROM d1 d2 WHERE d1.f = d2.f
@@ -52,6 +59,72 @@ object Repl {
         try spark.catalog.isCached(tb.name) catch { case _: Exception => false }
       s"${tb.name}\t${tb.tableType}\t${if (cached) "cached" else "on-demand"}"
     }
+
+  /** `maple <exe> ...` body, factored out so specs can run executors
+    * headlessly. Resolution order mirrors the reference's "run any
+    * script" contract (sdfs/src/server.rs:371-387): a pre-registered
+    * lambda name wins (the reference's own demo scripts); otherwise an
+    * existing file path runs as a subprocess via [[graft.mr.PipeExec]].
+    * Returns the status line the REPL prints.
+    */
+  def runMaple(spark: SparkSession, exe: String, prefix: String,
+      view: String, args: Seq[String]): String = {
+    import spark.implicits._
+    val needsArg = Set("selectmap.py", "Sdemo1map.py", "Hdemo1map.py")
+    val df = spark.table(view)
+    val lines = df.select(graft.ops.RefSql.lineOf(df).as("value")).as[String]
+    graft.mr.Executors.mapByName.get(exe) match {
+      case Some(_) if needsArg(exe) && args.isEmpty =>
+        s"usage: maple $exe <workers> <prefix> <view> <arg> — $exe requires an argument"
+      case Some(udf) =>
+        val kv = graft.mr.MapleJuice.maple(lines)(l => udf(l, args))
+        val out = kv.toDF("key", "value").cache() // one job: count + later reads
+        out.createOrReplaceTempView(prefix)
+        s"ok: maple $exe -> view $prefix (${out.count()} pairs)"
+      case None if new java.io.File(exe).isFile =>
+        val out = graft.mr.PipeExec.pipeMaple(lines, exe, args)
+          .toDF("key", "value").cache()
+        out.createOrReplaceTempView(prefix)
+        s"ok: maple $exe (pipe) -> view $prefix (${out.count()} pairs)"
+      case None =>
+        s"unknown map executor: $exe (known: " +
+          s"${graft.mr.Executors.mapByName.keys.mkString(", ")}; " +
+          "or pass a path to your own script — .py runs under python3, " +
+          "anything else must be executable; stdin=records, stdout=key\\tvalue)"
+    }
+  }
+
+  /** `juice <exe> ...` body — registry lambda or user-script pipe, same
+    * resolution as [[runMaple]]. Pipe reducers see one key's lines
+    * contiguous and keys sorted per partition (Hadoop-Streaming
+    * contract).
+    */
+  def runJuice(spark: SparkSession, exe: String, prefix: String,
+      out: String, args: Seq[String]): String = {
+    import spark.implicits._
+    val kv = spark.table(prefix).select($"key", $"value").as[(String, String)]
+    graft.mr.Executors.reduceByName.get(exe) match {
+      case Some(udf) =>
+        val folded = graft.mr.MapleJuice.juice(kv)((k, vs) => udf(k, vs, Nil))
+          .toDF("key", "value")
+        // reference reducers post-process their key set (grand
+        // totals / percent formatting) — apply the same stage
+        val finalized = graft.mr.Executors.finalizeByName
+          .get(exe).map(f => f(folded)).getOrElse(folded)
+          .cache()
+        finalized.createOrReplaceTempView(out)
+        s"ok: juice $exe -> view $out (${finalized.count()} rows)"
+      case None if new java.io.File(exe).isFile =>
+        val folded = graft.mr.PipeExec.pipeJuice(kv, exe, args)
+          .toDF("key", "value").cache()
+        folded.createOrReplaceTempView(out)
+        s"ok: juice $exe (pipe) -> view $out (${folded.count()} rows)"
+      case None =>
+        s"unknown reduce executor: $exe (known: " +
+          s"${graft.mr.Executors.reduceByName.keys.mkString(", ")}; " +
+          "or pass a path to your own script)"
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -96,41 +169,9 @@ object Repl {
             spark.catalog.dropTempView(name)
             println(s"ok: deleted $name")
           case "maple" :: exe :: _ :: prefix :: view :: args =>
-            val needsArg = Set("selectmap.py", "Sdemo1map.py", "Hdemo1map.py")
-            graft.mr.Executors.mapByName.get(exe) match {
-              case None =>
-                println(s"unknown map executor: $exe " +
-                  s"(known: ${graft.mr.Executors.mapByName.keys.mkString(", ")})")
-              case Some(_) if needsArg(exe) && args.isEmpty =>
-                println(s"usage: maple $exe <workers> <prefix> <view> <arg> — $exe requires an argument")
-              case Some(udf) =>
-                import spark.implicits._
-                val df = spark.table(view)
-                val kv = graft.mr.MapleJuice.maple(
-                  df.select(graft.ops.RefSql.lineOf(df).as("value")).as[String])(l => udf(l, args))
-                val out = kv.toDF("key", "value").cache() // one job: count + later reads
-                out.createOrReplaceTempView(prefix)
-                println(s"ok: maple $exe -> view $prefix (${out.count()} pairs)")
-            }
+            println(runMaple(spark, exe, prefix, view, args))
           case "juice" :: exe :: _ :: prefix :: out :: _ =>
-            graft.mr.Executors.reduceByName.get(exe) match {
-              case None =>
-                println(s"unknown reduce executor: $exe " +
-                  s"(known: ${graft.mr.Executors.reduceByName.keys.mkString(", ")})")
-              case Some(udf) =>
-                import spark.implicits._
-                val kv = spark.table(prefix)
-                  .select($"key", $"value").as[(String, String)]
-                val folded = graft.mr.MapleJuice.juice(kv)((k, vs) => udf(k, vs, Nil))
-                  .toDF("key", "value")
-                // reference reducers post-process their key set (grand
-                // totals / percent formatting) — apply the same stage
-                val finalized = graft.mr.Executors.finalizeByName
-                  .get(exe).map(f => f(folded)).getOrElse(folded)
-                  .cache()
-                finalized.createOrReplaceTempView(out)
-                println(s"ok: juice $exe -> view $out (${finalized.count()} rows)")
-            }
+            println(runJuice(spark, exe, prefix, out, Nil))
           case "explain" :: _ =>
             spark.sql(line.stripPrefix("explain").trim).explain("formatted")
           case _ if line.toUpperCase.startsWith("SELECT") ||

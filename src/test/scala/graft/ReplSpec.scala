@@ -5,6 +5,48 @@ package graft
   */
 class ReplSpec extends SparkSuite {
 
+  test("unregistered user script runs end-to-end via the pipe executor") {
+    // The reference's extension point is "run ANY script as map/reduce"
+    // (sdfs/src/server.rs:371-387). Exercise it with scripts the repo
+    // has never seen: a sh tokenizer map and an awk summing reduce,
+    // driven through the same runMaple/runJuice paths the REPL uses.
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    withLogLevel {
+      val dir = Files.createTempDirectory("graft-pipe")
+      val mapSh = dir.resolve("usermap.sh")
+      Files.write(mapSh,
+        "#!/bin/sh\ntr ' ' '\\n' | grep -v '^$' | sed 's/$/\\t1/'\n".getBytes)
+      val redSh = dir.resolve("userreduce.sh")
+      Files.write(redSh,
+        "#!/bin/sh\nawk -F'\\t' '{c[$1]+=$2} END {for (k in c) print k\"\\t\"c[k]}'\n".getBytes)
+      Seq(mapSh, redSh).foreach(_.toFile.setExecutable(true))
+
+      Seq("a b b", "c a", "b").toDF("value")
+        .createOrReplaceTempView("pipe_in")
+      try {
+        val m = graft.tools.Repl.runMaple(spark, mapSh.toString,
+          "pipe_kv", "pipe_in", Nil)
+        assert(m.contains("(pipe)"), m)
+        val j = graft.tools.Repl.runJuice(spark, redSh.toString,
+          "pipe_kv", "pipe_out", Nil)
+        assert(j.contains("(pipe)"), j)
+        val got = spark.table("pipe_out")
+          .select($"key", $"value".cast("long").as("n"))
+          .as[(String, Long)].collect().toMap
+        assert(got == Map("a" -> 2L, "b" -> 3L, "c" -> 1L), got)
+        // a nonexistent path still reports the registry, not a crash
+        val miss = graft.tools.Repl.runMaple(spark, "no_such.py",
+          "x", "pipe_in", Nil)
+        assert(miss.startsWith("unknown map executor"), miss)
+      } finally {
+        Seq("pipe_in", "pipe_kv", "pipe_out")
+          .foreach(spark.catalog.dropTempView(_))
+        Seq(mapSh, redSh, dir).foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("store lists registered tables with cache status") {
     import spark.implicits._
     withLogLevel {
