@@ -158,7 +158,13 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_embedding" -> Similarity.embeddingNearDupSql,
     "ann_brute_force" -> Similarity.annBruteForceSql,
-    // ann_lsh: recall<1 by construction — rows-only check, no SQL oracle.
+    // ann_lsh IS oracle-checkable despite recall<1: the md5-derived
+    // hyperplanes re-derive in SQL, so both engines bucket identically
+    // and the reported neighbor set + cosines hash-compare exactly.
+    "ann_lsh"         -> Similarity.annLshSql,
+    // ann_ivf: KMeans quantizer isn't SQL-expressible — rows-only at
+    // the driver; AnnRecallSpec independently re-verifies every
+    // reported cosine and the rank order (plain-Scala fold).
     "text_stats"      -> TextAnalysis.statsSql,
     "text_quality"    -> TextAnalysis.qualitySql,
     "text_lang_id"    -> TextAnalysis.langIdSql,

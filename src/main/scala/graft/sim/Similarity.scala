@@ -209,6 +209,51 @@ object Similarity {
     * tables × (N + probe·bucket) — recall is bought with table count,
     * never with an unbounded candidate set.
     */
+  /** Full value-level DuckDB oracle for [[annLsh]] at the default
+    * knobs. Possible because the pipeline has zero data-dependent
+    * state: hyperplanes re-derive in SQL from the same md5 recipe
+    * (`('0x'||substr(md5(seed||':'||i),1,8))::BIGINT / 2^32 - 0.5` is
+    * bitwise the Scala derivation — h32/2^32 is a dyadic exact double),
+    * bucket bits are sign tests on `list_dot_product` (sequential fold,
+    * accumulation-order-identical to Spark's `aggregate(zip_with(..))`),
+    * and the top-5 carries a total tiebreak. Recall < 1 doesn't matter:
+    * the oracle runs the SAME bucketing, so both engines report the
+    * same neighbor set — this checks every reported cosine and rank,
+    * not recall.
+    */
+  val annLshSql: String = {
+    val T = 12; val P = 4
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |hp AS (
+       | SELECT CAST(s.range AS INT) AS seed,
+       |  list(('0x'||substr(md5(s.range||':'||i.range),1,8))::BIGINT / 4294967296.0 - 0.5
+       |       ORDER BY i.range) AS w
+       | FROM range(0,${T * P}) s, range(0,64) i GROUP BY s.range),
+       |proj AS (
+       | SELECT e.vec_id, hp.seed // $P AS tb, hp.seed % $P AS j,
+       |  list_dot_product(e.v, hp.w) AS p
+       | FROM e CROSS JOIN hp),
+       |b AS (
+       | SELECT vec_id, tb,
+       |  CAST(sum(CASE WHEN p >= 0 THEN 1 << j ELSE 0 END) AS INT) AS bk
+       | FROM proj GROUP BY vec_id, tb),
+       |cand AS (
+       | SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+       | FROM b p JOIN b c ON p.tb = c.tb AND p.bk = c.bk
+       | WHERE p.vec_id % 13 = 0 AND p.vec_id <> c.vec_id),
+       |scored AS (
+       | SELECT cand.probe_id, cand.cand_id,
+       |  list_dot_product(pe.v, ce.v) /
+       |   (sqrt(list_dot_product(pe.v, pe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+       | FROM cand JOIN e pe ON cand.probe_id = pe.vec_id
+       |           JOIN e ce ON cand.cand_id = ce.vec_id)
+       |SELECT probe_id, cand_id, rnk, cos FROM (
+       | SELECT probe_id, cand_id, cos,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id ASC) AS rnk
+       | FROM scored)
+       |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
+  }
+
   def annLsh(t: Tables, tables: Int = 12, planes: Int = 4): DataFrame = {
     val TABLES = tables
     val PLANES = planes
