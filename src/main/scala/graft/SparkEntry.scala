@@ -98,6 +98,10 @@ object SparkEntry {
     "contamination"   -> q(graft.pipeline.CorpusOps.contamination),
     "corpus_curated"  -> q(graft.pipeline.CorpusOps.curated),
     "corpus_token_budget" -> q(graft.pipeline.CorpusOps.tokenBudget),
+    "q42_sliding_window" -> q(Relational.q42SlidingWindow),
+    "q43_full_outer"  -> q(Relational.q43FullOuter),
+    "corpus_budget_sample" -> q(graft.pipeline.CorpusOps.budgetSample),
+    "text_vocab_coverage" -> q(TextAnalysis.vocabCoverage),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,5 +182,9 @@ object SparkEntry {
     "contamination"   -> graft.pipeline.CorpusOps.contaminationSql,
     "corpus_curated"  -> graft.pipeline.CorpusOps.curatedSql,
     "corpus_token_budget" -> graft.pipeline.CorpusOps.tokenBudgetSql,
+    "q42_sliding_window" -> Relational.q42Sql,
+    "q43_full_outer"  -> Relational.q43Sql,
+    "corpus_budget_sample" -> graft.pipeline.CorpusOps.budgetSampleSql,
+    "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
   )
 }

@@ -541,6 +541,8 @@ object Dedup {
         "slice(array_sort(lst), 1, size(lst) - (size(lst) + 9) div 10 + 1)"
       )).as("e"))
       .select($"doc_id", $"e.gram".as("gram"))
+      .persist() // BOTH sides of the candidate self-join read it: without
+                 // this the df-join + per-doc sort pipeline runs twice
     val cand = prefix.toDF("doc_a", "gram")
       .join(prefix.toDF("doc_b", "gram"), "gram")
       .filter($"doc_a" < $"doc_b")
@@ -573,6 +575,7 @@ object Dedup {
           .as("jaccard"))
       .localCheckpoint() // materialize so the gram/cand caches can be released
     grams.unpersist()
+    prefix.unpersist()
     cand.unpersist()
     gramsC.unpersist()
     out

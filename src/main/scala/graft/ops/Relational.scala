@@ -916,4 +916,60 @@ object Relational {
       | count(*) AS cnt
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin.replace("\n", " ")
+
+  /** Sliding (hopping) time windows — the overlapping-window variant
+    * q16's tumbling hour lacks: 30-minute windows every 10 minutes, so
+    * each event lands in exactly 3 windows. Spark's `window(ts, len,
+    * slide)` replicates the row per overlapping window BEFORE the
+    * aggregation, so the shuffle still carries map-side-combined
+    * partials (3× the tumbling row count, window-cardinality output) —
+    * the same shape Structured Streaming uses for hopping windows.
+    * Window starts are epoch-aligned in both engines (the 10-min grid).
+    */
+  def q42SlidingWindow(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .groupBy(window($"ts", "30 minutes", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"))
+      .select($"w.start".as("win_start"), $"event_type", $"cnt", $"sum_value")
+  }
+
+  // every event is in windows starting at bucket(ts) - k·10min, k=0..2
+  val q42Sql: String =
+    """SELECT make_timestamp((epoch_us(ts) // 600000000 - r.range) * 600000000) AS win_start,
+      | event_type, count(*) AS cnt,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN range(0, 3) r ON true
+      |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
+  /** Full outer join — the join-matrix entry the suite lacked (inner
+    * q3, semi q13, anti q14, theta q28, interval q36, as-of). Both
+    * sides are filtered aggregates so each genuinely has keys the
+    * other misses; the unmatched sides' NULL counts are coalesced to
+    * -1 because the oracle compare materializes nullable int columns
+    * as float64 (NaN) — the engine semantics under test are the
+    * outer-join ones, not NULL transport. One shuffle per side on the
+    * (tiny) nation key; at scale a full outer join is the same
+    * sort-merge/hash machinery as inner with both-side retention.
+    */
+  def q43FullOuter(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val s = t.supplier.filter($"s_acctbal" > 9000)
+      .groupBy($"s_nationkey".as("nk")).agg(count(lit(1)).as("s_cnt"))
+    val c = t.customer.filter($"c_acctbal" > 9900)
+      .groupBy($"c_nationkey".as("nk")).agg(count(lit(1)).as("c_cnt"))
+    s.join(c, Seq("nk"), "full_outer")
+      .select($"nk", coalesce($"s_cnt", lit(-1L)).as("s_cnt"),
+        coalesce($"c_cnt", lit(-1L)).as("c_cnt"))
+  }
+
+  val q43Sql: String =
+    """SELECT coalesce(s.nk, c.nk) AS nk,
+      | coalesce(s_cnt, -1) AS s_cnt, coalesce(c_cnt, -1) AS c_cnt
+      |FROM (SELECT s_nationkey AS nk, count(*) AS s_cnt FROM supplier
+      |      WHERE s_acctbal > 9000 GROUP BY 1) s
+      |FULL OUTER JOIN
+      |     (SELECT c_nationkey AS nk, count(*) AS c_cnt FROM customer
+      |      WHERE c_acctbal > 9900 GROUP BY 1) c
+      |ON s.nk = c.nk""".stripMargin.replace("\n", " ")
 }

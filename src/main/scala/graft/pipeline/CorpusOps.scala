@@ -225,6 +225,44 @@ object CorpusOps {
       .withColumn("cum_tokens", sum($"n_tokens").over(wCum))
   }
 
+  /** Token-budget-matched downsampling — cap every source at (about)
+    * BUDGET whitespace tokens, the mixture-construction primitive that
+    * turns `tokenBudget`'s accounting into an actual sampled corpus.
+    * Per-source keep rate = min(1, BUDGET / T_s); a doc survives iff
+    * h32(doc_id) < (BUDGET << 32) / T_s — deterministic, auditable,
+    * integer-only (the constant BUDGET·2^32 ≈ 3.4e12 never overflows,
+    * and the division by T_s floors identically in both engines).
+    * T_s comes from one map-side-combinable groupBy(source) joined
+    * back (source-cardinality table — AQE broadcasts it); the filter
+    * is a narrow map. At 100 TB this is exactly how mixtures are cut:
+    * no shuffle of the corpus, one tiny aggregate, one hash compare
+    * per row.
+    */
+  private val Budget = 800L
+
+  def budgetSample(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val toks = t.documents.select($"doc_id", $"source",
+      size(filter(split($"text", " "), x => x =!= "")).cast("long").as("n_toks"))
+    val perSource = toks.groupBy($"source").agg(sum($"n_toks").as("t_s"))
+    toks.join(perSource, "source")
+      .filter(Dedup.h32($"doc_id".cast("string")) <
+        (lit(Budget) * lit(4294967296L)) / $"t_s")
+      .select($"doc_id", $"source", $"n_toks")
+  }
+
+  val budgetSampleSql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, source,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+       | FROM documents),
+       |per_source AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS t_s
+       | FROM toks GROUP BY source)
+       |SELECT doc_id, toks.source AS source, n_toks
+       |FROM toks JOIN per_source ON toks.source = per_source.source
+       |WHERE ${Dedup.sqlH32("CAST(doc_id AS VARCHAR)")} < ($Budget * 4294967296) // t_s""".stripMargin
+      .replace("\n", " ")
+
   val tokenBudgetSql: String =
     """SELECT source, n_docs, n_tokens,
       | CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share,

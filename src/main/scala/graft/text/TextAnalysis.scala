@@ -223,6 +223,55 @@ object TextAnalysis {
       |   (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
       |  WHERE term <> '' GROUP BY doc_id, term))""".stripMargin.replace("\n", " ")
 
+  /** Top-K-vocabulary coverage — the common-word-ratio quality signal
+    * LM pipelines use (a doc whose tokens rarely land in the corpus's
+    * head vocabulary is boilerplate, code, or another language). Vocab
+    * = the K most frequent tokens globally with a total (count desc,
+    * token asc) tiebreak; per doc, coverage = in-vocab occurrences /
+    * total occurrences — one integer division. Shape at 100 TB: one
+    * map-side-combinable token count, a top-K (per-partition heaps,
+    * no global sort), and a semi-join of the token stream against a
+    * BY-CONSTRUCTION K-row vocab (AQE broadcasts it — bounded, so a
+    * hint would also be legal here; left to AQE for uniformity).
+    * K=10 because the synthetic corpus has ~31 distinct tokens; real
+    * corpora use K=10^4-10^5 — same plan, still bounded.
+    */
+  private val VocabK = 10
+
+  def vocabCoverage(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val toks = t.documents
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok".asc)
+      .limit(VocabK)
+      .select($"tok")
+    val iv = toks.join(vocab, Seq("tok"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("iv_cnt"))
+    // left join + coalesce: a doc with zero in-vocab tokens still reports
+    toks.groupBy($"doc_id").agg(count(lit(1)).as("n_toks"))
+      .join(iv, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_toks",
+        coalesce($"iv_cnt", lit(0L)).as("in_vocab"),
+        (coalesce($"iv_cnt", lit(0L)).cast(DoubleType) / $"n_toks").as("coverage"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+       |vocab AS (SELECT tok FROM (
+       | SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+       | ORDER BY cnt DESC, tok ASC LIMIT $VocabK)),
+       |iv AS (SELECT doc_id, count(*) AS iv_cnt FROM tk
+       | WHERE tok IN (SELECT tok FROM vocab) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_toks FROM tk GROUP BY doc_id)
+       |SELECT tot.doc_id AS doc_id, n_toks,
+       | coalesce(iv_cnt, 0) AS in_vocab,
+       | CAST(coalesce(iv_cnt, 0) AS DOUBLE) / n_toks AS coverage
+       |FROM tot LEFT JOIN iv ON iv.doc_id = tot.doc_id""".stripMargin.replace("\n", " ")
+
   /** Presentation-edge formatting used by reference-parity goldens
     * (Sdemo1reduce.py:29-31 emits "{:.2f}%"). Kept out of operator
     * output schemas: Java and C printf disagree on midpoint rounding.

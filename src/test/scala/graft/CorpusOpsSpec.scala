@@ -55,6 +55,42 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rates.forall(r => r >= 10 && r < 50))
   }
 
+  test("budget sample matches an independent integer-arithmetic recompute") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val docs = t.documents.selectExpr("doc_id", "source",
+      "cast(size(filter(split(text, ' '), x -> x != '')) as long) n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ts = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val expected = docs.collect {
+      case (id, src, _) if h32(id.toString) < 800L * 4294967296L / ts(src) => id
+    }.toSet
+    val got = CorpusOps.budgetSample(t).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // fixture sources are all under the 800-token budget: kept whole
+    // (threshold exceeds the h32 range, rate = 1)
+    assert(ts.values.forall(_ < 800L))
+    assert(got == docs.map(_._1).toSet)
+  }
+
+  test("vocab coverage: bounds, totals, and a doc of only head tokens") {
+    val rows = graft.text.TextAnalysis.vocabCoverage(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 4) // every doc reports, even zero-coverage ones
+    rows.foreach { case (id, n, iv, cov) =>
+      assert(iv >= 0 && iv <= n, s"doc $id in_vocab $iv out of [0,$n]")
+      assert(cov == iv.toDouble / n)
+    }
+    // doc 1 = "spam spam spam spam spam ham": "spam" (count 5) tops the
+    // vocab; "ham" (count 1) loses the tie-break to the ten count-2
+    // bench words → coverage 5/6
+    val d1 = rows.find(_._1 == 1L).get
+    assert(d1._2 == 6L && d1._3 == 5L && d1._4 == 5.0 / 6.0)
+  }
+
   test("curated pass composes dedup, repetition filter, decontamination, sampling") {
     val curated = CorpusOps.curated(t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList

@@ -202,6 +202,33 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("q42 sliding windows: every event lands in exactly 3 windows, starts 10-min aligned") {
+    val rows = Relational.q42SlidingWindow(t).collect()
+    val totalCnt = rows.map(r => r.getLong(2)).sum
+    assert(totalCnt == 3L * t.events.count(),
+      s"30min/10min hop must replicate each event 3x, got $totalCnt")
+    rows.foreach { r =>
+      val ts = r.getTimestamp(0)
+      assert(ts.getTime % 600000L == 0, s"window start $ts not on the 10-min grid")
+    }
+  }
+
+  test("q43 full outer keeps unmatched keys from BOTH sides, -1 marking the absent one") {
+    import spark.implicits._
+    val rows = Relational.q43FullOuter(t).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // independent recompute of each side
+    val s = t.supplier.filter($"s_acctbal" > 9000).groupBy($"s_nationkey")
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val c = t.customer.filter($"c_acctbal" > 9900).groupBy($"c_nationkey")
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == (s.keySet ++ c.keySet))
+    rows.foreach { case (nk, sc, cc) =>
+      assert(sc == s.getOrElse(nk, -1L) && cc == c.getOrElse(nk, -1L))
+      assert(sc != -1L || cc != -1L) // a row never materializes from nothing
+    }
+  }
+
   test("q17 session counts are at least 1 per active user") {
     val rows = Relational.q17Sessionize(t).collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
