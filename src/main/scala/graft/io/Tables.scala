@@ -109,6 +109,18 @@ object GraftIO {
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC read/write — the second Spark-native columnar format, for
+    * interchange with ORC-standardized warehouses. Same pushdown
+    * properties as parquet (column pruning + predicate pushdown reach
+    * the stripe level), so every operator here runs unchanged on ORC
+    * inputs.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Durable shuffle-output analog of the reference's `{prefix}_{key}`
     * intermediate files (sdfs/src/helpers.rs:14-20): one directory per
     * key value via partitioned write.

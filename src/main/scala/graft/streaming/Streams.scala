@@ -37,6 +37,23 @@ object Streams {
         col("cnt"), col("sum_value"))
   }
 
+  /** Hopping (sliding) 30-min/10-min windowed counts — the streaming
+    * twin of Relational.q42SlidingWindow. Each event contributes to
+    * len/slide = 3 open windows; the watermark closes a window once
+    * event time passes its end + 1 hour, so open state is bounded at
+    * 3 windows per (grid slot, type) regardless of stream length.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+  }
+
   /** Streaming exact dedup — the ingest-side twin of Dedup.exact for a
     * continuously arriving corpus. Content fingerprint = md5(text);
     * `dropDuplicatesWithinWatermark` keeps the first arrival per

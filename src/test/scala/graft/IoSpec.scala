@@ -71,6 +71,20 @@ class IoSpec extends SparkSuite {
     assert(zipped == plain)
   }
 
+  test("orc round-trip preserves rows and pushes column pruning to the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "score")
+    GraftIO.writeOrc(df, s"$dir/t.orc")
+    val back = GraftIO.readOrc(spark, s"$dir/t.orc")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    // projection reaches the ORC scan: ReadSchema carries only `id`
+    val plan = back.select($"id").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
+  }
+
   test("line reader yields one row per line (record = text line)") {
     val df = GraftIO.readLines(spark,
       getClass.getClassLoader.getResource("Traffic_Signal_Intersections.csv").getPath)

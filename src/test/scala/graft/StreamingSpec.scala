@@ -42,6 +42,39 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming hopping windows agree with the batch q42 plan on the same data") {
+    import spark.implicits._
+    withLogLevel {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val evts = Seq(
+        Evt(1, "click", ts(5), 1.0), Evt(2, "click", ts(14), 2.0),
+        Evt(1, "view", ts(27), 3.0), Evt(2, "view", ts(55), 4.0))
+      val input = MemoryStream[Evt]
+      val q = Streams.hoppingCounts(input.toDF())
+        .writeStream.format("memory").queryName("hopping")
+        .outputMode("append").start()
+      try {
+        input.addData(evts: _*)
+        q.processAllAvailable()
+        input.addData(Evt(9, "click", ts(600), 0.0)) // watermark past all windows
+        q.processAllAvailable()
+        val stream = spark.table("hopping")
+          .filter($"win_start" < lit(ts(90)))
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        // batch twin over the identical rows (drop the watermark pusher)
+        val batch = Streams.hoppingCounts(evts.toDF())
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        assert(stream == batch, s"stream $stream != batch $batch")
+        // each event appears in exactly 3 windows
+        assert(batch.toSeq.map(_._3).sum == 3L * evts.length)
+      } finally q.stop()
+    }
+  }
+
   test("streaming sessionization closes sessions on gap timeout") {
     import spark.implicits._
     withLogLevel {
