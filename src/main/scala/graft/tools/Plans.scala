@@ -32,7 +32,11 @@ object Plans {
       "q36_interval_join" -> Relational.q36IntervalJoin(t),
       "q39_five_number" -> Relational.q39FiveNumber(t),
       "dedup_substring" -> graft.dedup.Dedup.substringDup(t),
-      "text_tfidf" -> graft.text.TextAnalysis.tfidf(t))
+      "text_tfidf" -> graft.text.TextAnalysis.tfidf(t),
+      "q42_sliding_window" -> Relational.q42SlidingWindow(t),
+      "q43_full_outer" -> Relational.q43FullOuter(t),
+      "corpus_budget_sample" -> graft.pipeline.CorpusOps.budgetSample(t),
+      "text_vocab_coverage" -> graft.text.TextAnalysis.vocabCoverage(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
       println(df.queryExecution.explainString(
