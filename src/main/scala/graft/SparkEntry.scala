@@ -102,6 +102,9 @@ object SparkEntry {
     "q43_full_outer"  -> q(Relational.q43FullOuter),
     "corpus_budget_sample" -> q(graft.pipeline.CorpusOps.budgetSample),
     "text_vocab_coverage" -> q(TextAnalysis.vocabCoverage),
+    "q44_histogram"   -> q(Relational.q44Histogram),
+    "corpus_profile"  -> q(graft.pipeline.CorpusOps.profile),
+    "mm_resize_meta"  -> q((t: Tables) => Multimodal.resizeMeta(t)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +189,8 @@ object SparkEntry {
     "q43_full_outer"  -> Relational.q43Sql,
     "corpus_budget_sample" -> graft.pipeline.CorpusOps.budgetSampleSql,
     "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
+    "q44_histogram"   -> Relational.q44Sql,
+    "corpus_profile"  -> graft.pipeline.CorpusOps.profileSql,
+    "mm_resize_meta"  -> Multimodal.resizeMetaSql,
   )
 }

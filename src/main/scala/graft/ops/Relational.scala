@@ -972,4 +972,28 @@ object Relational {
       |     (SELECT c_nationkey AS nk, count(*) AS c_cnt FROM customer
       |      WHERE c_acctbal > 9900 GROUP BY 1) c
       |ON s.nk = c.nk""".stripMargin.replace("\n", " ")
+
+  /** Fixed-width histogram — the distribution-profiling primitive
+    * (skew diagnosis, partition sizing, band-width selection for the
+    * q28 theta join all start from one of these). Bucket id is
+    * trunc(price / width) capped at the last bucket: pure integer/IEEE
+    * arithmetic, so the histogram is one map-side-combinable groupBy
+    * with bucket-cardinality output — the cheapest possible wide op at
+    * any corpus size. Spark's int cast truncates; DuckDB's CAST
+    * rounds, so the oracle spells trunc() explicitly.
+    */
+  def q44Histogram(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .select(least(($"o_totalprice" / lit(30000.0)).cast(IntegerType), lit(19))
+        .as("bucket"), $"o_totalprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("sum_price"))
+  }
+
+  val q44Sql: String =
+    """SELECT least(CAST(trunc(o_totalprice / 30000.0) AS INT), 19) AS bucket,
+      | count(*) AS cnt,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin.replace("\n", " ")
 }

@@ -225,6 +225,43 @@ object CorpusOps {
       .withColumn("cum_tokens", sum($"n_tokens").over(wCum))
   }
 
+  /** Per-column data profile — the expectations check every pipeline
+    * runs before training on a new drop: null counts and distinct
+    * cardinalities for each metadata column, plus the row count. ONE
+    * pass over the table computes every statistic (a single aggregate
+    * with partial/final combine; countDistinct adds one Expand), then
+    * `stack` pivots the scalar row to one row per column — no second
+    * scan, no per-column jobs. At 100 TB swap countDistinct for
+    * approx_count_distinct and the plan shape is unchanged.
+    */
+  def profile(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents.agg(
+      count(lit(1)).as("n_rows"),
+      count(when($"text".isNull, 1)).as("text_null"),
+      countDistinct($"text").as("text_distinct"),
+      count(when($"lang".isNull, 1)).as("lang_null"),
+      countDistinct($"lang").as("lang_distinct"),
+      count(when($"source".isNull, 1)).as("source_null"),
+      countDistinct($"source").as("source_distinct"))
+      .select(expr(
+        "stack(3, 'text', text_null, text_distinct," +
+          " 'lang', lang_null, lang_distinct," +
+          " 'source', source_null, source_distinct)" +
+          " AS (col_name, n_null, n_distinct)"),
+        $"n_rows")
+  }
+
+  val profileSql: String =
+    """SELECT 'text' AS col_name, count(*) FILTER (text IS NULL) AS n_null,
+      | count(DISTINCT text) AS n_distinct, count(*) AS n_rows FROM documents
+      |UNION ALL
+      |SELECT 'lang', count(*) FILTER (lang IS NULL),
+      | count(DISTINCT lang), count(*) FROM documents
+      |UNION ALL
+      |SELECT 'source', count(*) FILTER (source IS NULL),
+      | count(DISTINCT source), count(*) FROM documents""".stripMargin.replace("\n", " ")
+
   /** Token-budget-matched downsampling — cap every source at (about)
     * BUDGET whitespace tokens, the mixture-construction primitive that
     * turns `tokenBudget`'s accounting into an actual sampled corpus.

@@ -91,6 +91,16 @@ class CorpusOpsSpec extends SparkSuite {
     assert(d1._2 == 6L && d1._3 == 5L && d1._4 == 5.0 / 6.0)
   }
 
+  test("profile reports one row per column with exact nulls/distincts") {
+    val rows = CorpusOps.profile(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("text", "lang", "source"))
+    // fixture: 4 docs, no nulls, all texts distinct, 1 lang, 4 sources
+    assert(rows("text") == ((0L, 4L, 4L)))
+    assert(rows("lang") == ((0L, 1L, 4L)))
+    assert(rows("source") == ((0L, 4L, 4L)))
+  }
+
   test("curated pass composes dedup, repetition filter, decontamination, sampling") {
     val curated = CorpusOps.curated(t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList

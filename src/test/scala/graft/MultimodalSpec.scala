@@ -67,6 +67,22 @@ class MultimodalSpec extends SparkSuite {
     assert(f.width == 2 && f.height == 3 && f.n_bytes == png.length)
   }
 
+  test("resizeMeta digests match a driver-side resizeStub recompute") {
+    val got = Multimodal.resizeMeta(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val docs = t.documents.selectExpr("doc_id", "cast(text as binary) p").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, p) =>
+      val resized = Multimodal.resizeStub(p, 64)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(resized)
+        .map("%02x".format(_)).mkString
+      val (nIn, nOut, gotMd5) = got(id)
+      assert(nIn == p.length && nOut == math.min(p.length, 64))
+      assert(gotMd5 == md, s"doc $id resize digest mismatch")
+    }
+  }
+
   test("decode stub: stable width/height for same payload, varied across payloads") {
     val a = Multimodal.decodeStub("payload-a".getBytes)
     val b = Multimodal.decodeStub("payload-b".getBytes)

@@ -229,6 +229,14 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("q44 histogram: buckets in [0,19], counts cover every order") {
+    val rows = Relational.q44Histogram(t).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.forall { case (b, _, _) => b >= 0 && b <= 19 })
+    assert(rows.map(_._2).sum == t.orders.count())
+    assert(rows.forall(_._3 > 0.0))
+  }
+
   test("q17 session counts are at least 1 per active user") {
     val rows = Relational.q17Sessionize(t).collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
