@@ -51,6 +51,14 @@ class ScaleSpec extends SparkSuite {
     assert(hints == 2, s"expected 2 hints (nation, region), got $hints:\n$analyzed")
   }
 
+  test("vocab top-K plans as TakeOrdered (per-partition heaps), not a global sort") {
+    val plan = graft.text.TextAnalysis.vocabCoverage(t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K vocab must use per-partition heaps:\n$plan")
+    assert(!plan.contains("GlobalLimit"), plan)
+  }
+
   test("corpus-growing probe sets carry no forced broadcast hint") {
     // q32 probes = part/50 and ann_brute probes = embeddings/13 — fixed
     // FRACTIONS of the corpus, so a forced hint would be un-demotable

@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Bit-determinism check for the rows-only queries: compare two
+independent Verify dumps ORDER BY ALL. Usage:
+  python3 tools/determinism.py <outDirA> <outDirB> [query ...]
+Defaults to the rows-only set."""
+import sys
+import duckdb
+
+ROWS_ONLY = ["ann_ivf", "q27_approx_distinct", "q40_approx_quantile",
+             "text_rolling_hash"]
+
+def main():
+    a, b = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:] or ROWS_ONLY
+    con = duckdb.connect()
+    bad = 0
+    for n in names:
+        # EXCEPT ALL is multiset difference — order-insensitive; with the
+        # row-count equality below it proves the dumps are identical
+        q = (f"SELECT * FROM read_parquet('{a}/{n}/*.parquet')"
+             f" EXCEPT ALL "
+             f"SELECT * FROM read_parquet('{b}/{n}/*.parquet')")
+        diff = con.execute(q).fetchall()
+        n_a = con.execute(f"SELECT count(*) FROM read_parquet('{a}/{n}/*.parquet')").fetchone()[0]
+        n_b = con.execute(f"SELECT count(*) FROM read_parquet('{b}/{n}/*.parquet')").fetchone()[0]
+        if diff or n_a != n_b:
+            print(f"NONDETERMINISTIC {n}: rows {n_a} vs {n_b}, {len(diff)} differing")
+            bad += 1
+        else:
+            print(f"DETERMINISTIC {n} ({n_a} rows)")
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    main()
