@@ -103,6 +103,8 @@ object SparkEntry {
     "corpus_budget_sample" -> q(graft.pipeline.CorpusOps.budgetSample),
     "text_vocab_coverage" -> q(TextAnalysis.vocabCoverage),
     "q44_histogram"   -> q(Relational.q44Histogram),
+    "q45_except_all"  -> q(Relational.q45ExceptAll),
+    "q46_intersect_all" -> q(Relational.q46IntersectAll),
     "corpus_profile"  -> q(graft.pipeline.CorpusOps.profile),
     "mm_resize_meta"  -> q((t: Tables) => Multimodal.resizeMeta(t)),
   )
@@ -190,6 +192,8 @@ object SparkEntry {
     "corpus_budget_sample" -> graft.pipeline.CorpusOps.budgetSampleSql,
     "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "q44_histogram"   -> Relational.q44Sql,
+    "q45_except_all"  -> Relational.q45Sql,
+    "q46_intersect_all" -> Relational.q46Sql,
     "corpus_profile"  -> graft.pipeline.CorpusOps.profileSql,
     "mm_resize_meta"  -> Multimodal.resizeMetaSql,
   )

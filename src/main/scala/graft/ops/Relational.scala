@@ -996,4 +996,43 @@ object Relational {
       | count(*) AS cnt,
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1""".stripMargin.replace("\n", " ")
+
+  /** Multiset (ALL) set operations — the bag-semantics counterparts of
+    * q11/q12's distinct INTERSECT/EXCEPT. `exceptAll` keeps
+    * max(m−n, 0) copies per row, `intersectAll` min(m, n): both plan
+    * as one shuffle on the full row with counted buckets — same
+    * exchange as the distinct forms, no extra pass for the
+    * multiplicity arithmetic. Post-aggregated per key so the output is
+    * group-cardinality, with the multiset cardinality preserved in
+    * `cnt`.
+    */
+  def q45ExceptAll(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val all = t.lineitem.select($"l_suppkey")
+    val heavy = t.lineitem.filter($"l_quantity" > 25).select($"l_suppkey")
+    all.exceptAll(heavy)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+  }
+
+  val q45Sql: String =
+    """SELECT l_suppkey, count(*) AS cnt FROM (
+      | SELECT l_suppkey FROM lineitem
+      | EXCEPT ALL
+      | SELECT l_suppkey FROM lineitem WHERE l_quantity > 25)
+      |GROUP BY 1""".stripMargin.replace("\n", " ")
+
+  def q46IntersectAll(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val cheap = t.lineitem.filter($"l_discount" < 0.05).select($"l_suppkey")
+    val returned = t.lineitem.filter($"l_returnflag" === "R").select($"l_suppkey")
+    cheap.intersectAll(returned)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+  }
+
+  val q46Sql: String =
+    """SELECT l_suppkey, count(*) AS cnt FROM (
+      | SELECT l_suppkey FROM lineitem WHERE l_discount < 0.05
+      | INTERSECT ALL
+      | SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+      |GROUP BY 1""".stripMargin.replace("\n", " ")
 }

@@ -237,6 +237,27 @@ class RelationalSpec extends SparkSuite {
     assert(rows.forall(_._3 > 0.0))
   }
 
+  test("q45/q46 multiset semantics: max(m-n,0) and min(m,n) per key") {
+    import spark.implicits._
+    def occ(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy($"l_suppkey").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = occ(t.lineitem.select($"l_suppkey"))
+    val n = occ(t.lineitem.filter($"l_quantity" > 25).select($"l_suppkey"))
+    val except = Relational.q45ExceptAll(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedExcept = m.map { case (k, mc) =>
+      k -> math.max(mc - n.getOrElse(k, 0L), 0L) }.filter(_._2 > 0)
+    assert(except == expectedExcept)
+    val a = occ(t.lineitem.filter($"l_discount" < 0.05).select($"l_suppkey"))
+    val b = occ(t.lineitem.filter($"l_returnflag" === "R").select($"l_suppkey"))
+    val inter = Relational.q46IntersectAll(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedInter = a.map { case (k, ac) =>
+      k -> math.min(ac, b.getOrElse(k, 0L)) }.filter(_._2 > 0)
+    assert(inter == expectedInter)
+  }
+
   test("q17 session counts are at least 1 per active user") {
     val rows = Relational.q17Sessionize(t).collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
