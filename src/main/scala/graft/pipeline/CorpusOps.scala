@@ -283,8 +283,12 @@ object CorpusOps {
       size(filter(split($"text", " "), x => x =!= "")).cast("long").as("n_toks"))
     val perSource = toks.groupBy($"source").agg(sum($"n_toks").as("t_s"))
     toks.join(perSource, "source")
+      // `div`, not `/`: Spark's `/` on longs is true (double) division,
+      // which would make the threshold an IEEE quotient while the
+      // oracle floors — integer div on both sides keeps the predicate
+      // exact (invariant 3)
       .filter(Dedup.h32($"doc_id".cast("string")) <
-        (lit(Budget) * lit(4294967296L)) / $"t_s")
+        expr(s"($Budget * 4294967296) div t_s"))
       .select($"doc_id", $"source", $"n_toks")
   }
 

@@ -26,7 +26,12 @@ object AdaptivePlans {
       "q9_star_join" -> graft.ops.Relational.q9StarJoin(t),
       "corpus_curated" -> graft.pipeline.CorpusOps.curated(t),
       "dedup_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccard(t),
-      "text_tfidf" -> graft.text.TextAnalysis.tfidf(t))
+      "text_tfidf" -> graft.text.TextAnalysis.tfidf(t),
+      // round 4: de-hinted corpus-fraction probe sets — evidence AQE
+      // still broadcasts them at local scale (and could demote at 100x)
+      "q32_fuzzy_name" -> graft.ops.Relational.q32FuzzyName(t),
+      "ann_brute_force" -> graft.sim.Similarity.annBruteForce(t),
+      "corpus_budget_sample" -> graft.pipeline.CorpusOps.budgetSample(t))
     interesting.foreach { case (name, df) =>
       df.count() // materialize so AQE finalizes every stage
       println(s"===== $name (final adaptive plan) =====")
