@@ -104,6 +104,8 @@ object SparkEntry {
     "text_vocab_coverage" -> q(TextAnalysis.vocabCoverage),
     "q44_histogram"   -> q(Relational.q44Histogram),
     "q45_except_all"  -> q(Relational.q45ExceptAll),
+    "corpus_split"    -> q(graft.pipeline.CorpusOps.assignSplits),
+    "corpus_split_leakage" -> q(graft.pipeline.CorpusOps.splitLeakage),
     "q46_intersect_all" -> q(Relational.q46IntersectAll),
     "corpus_profile"  -> q(graft.pipeline.CorpusOps.profile),
     "mm_resize_meta"  -> q((t: Tables) => Multimodal.resizeMeta(t)),
@@ -193,6 +195,8 @@ object SparkEntry {
     "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "q44_histogram"   -> Relational.q44Sql,
     "q45_except_all"  -> Relational.q45Sql,
+    "corpus_split"    -> graft.pipeline.CorpusOps.splitSql,
+    "corpus_split_leakage" -> graft.pipeline.CorpusOps.splitLeakageSql,
     "q46_intersect_all" -> Relational.q46Sql,
     "corpus_profile"  -> graft.pipeline.CorpusOps.profileSql,
     "mm_resize_meta"  -> Multimodal.resizeMetaSql,

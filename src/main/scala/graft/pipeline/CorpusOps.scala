@@ -262,6 +262,63 @@ object CorpusOps {
       |SELECT 'source', count(*) FILTER (source IS NULL),
       | count(DISTINCT source), count(*) FROM documents""".stripMargin.replace("\n", " ")
 
+  /** Deterministic train/val/test split — assignment is a pure
+    * function of doc_id (salted md5, 80/10/10 on h mod 100), so the
+    * split is reproducible from the raw corpus alone: no RNG state, no
+    * shuffle, membership auditable per doc at 100 TB exactly like the
+    * stratified sample. The salt keeps the split independent of every
+    * other h32-derived decision (sampling, budget) — the same doc can
+    * be sampled AND assigned without correlation.
+    */
+  def assignSplits(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val r = Dedup.h32(concat($"doc_id".cast("string"), lit(":split"))) % 100
+    t.documents.select($"doc_id", $"source",
+      when(r < 80, "train").when(r < 90, "val").otherwise("test").as("split"))
+  }
+
+  val splitSql: String = {
+    val h = s"${Dedup.sqlH32("CAST(doc_id AS VARCHAR)||':split'")} % 100"
+    s"""SELECT doc_id, source,
+       | CASE WHEN $h < 80 THEN 'train' WHEN $h < 90 THEN 'val'
+       |  ELSE 'test' END AS split
+       |FROM documents""".stripMargin.replace("\n", " ")
+  }
+
+  /** Split-leakage audit: near-duplicate pairs (MinHash+LSH) that
+    * straddle split boundaries — each train/test near-dup pair is a
+    * leaked eval answer. Composes the memoized pair table with the
+    * split assignment (two doc-keyed joins on an already-tiny pair
+    * list) and aggregates to an unordered split-pair matrix; at 100 TB
+    * the cost is the dedup pass you run anyway, plus join work
+    * proportional to the PAIR count, not the corpus.
+    */
+  def splitLeakage(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val s = assignSplits(t).select($"doc_id", $"split")
+    Dedup.minhashLsh(t)
+      .join(s.toDF("doc_a", "split_a"), "doc_a")
+      .join(s.toDF("doc_b", "split_b"), "doc_b")
+      .select(least($"split_a", $"split_b").as("split_x"),
+        greatest($"split_a", $"split_b").as("split_y"))
+      .groupBy($"split_x", $"split_y")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val splitLeakageSql: String = {
+    val h = s"${Dedup.sqlH32("CAST(doc_id AS VARCHAR)||':split'")} % 100"
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (${Dedup.minhashSql})),
+       |s AS (SELECT doc_id,
+       | CASE WHEN $h < 80 THEN 'train' WHEN $h < 90 THEN 'val'
+       |  ELSE 'test' END AS split
+       | FROM documents)
+       |SELECT least(sa.split, sb.split) AS split_x,
+       | greatest(sa.split, sb.split) AS split_y, count(*) AS n_pairs
+       |FROM pairs JOIN s sa ON pairs.doc_a = sa.doc_id
+       |           JOIN s sb ON pairs.doc_b = sb.doc_id
+       |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+  }
+
   /** Token-budget-matched downsampling — cap every source at (about)
     * BUDGET whitespace tokens, the mixture-construction primitive that
     * turns `tokenBudget`'s accounting into an actual sampled corpus.

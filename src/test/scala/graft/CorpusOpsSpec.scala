@@ -101,6 +101,27 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows("source") == ((0L, 4L, 4L)))
   }
 
+  test("split assignment matches an independent md5 recompute; leakage matrix covers all pairs") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def expectedSplit(id: Long): String = {
+      val r = h32(s"$id:split") % 100
+      if (r < 80) "train" else if (r < 90) "val" else "test"
+    }
+    val got = CorpusOps.assignSplits(t).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 4)
+    got.foreach { case (id, s) => assert(s == expectedSplit(id), s"doc $id") }
+    // leakage matrix: unordered split pairs, total == near-dup pair count
+    val leak = CorpusOps.splitLeakage(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(leak.forall { case (x, y, _) => x <= y }) // canonical order
+    assert(leak.map(_._3).sum == graft.dedup.Dedup.minhashLsh(t).count())
+  }
+
   test("curated pass composes dedup, repetition filter, decontamination, sampling") {
     val curated = CorpusOps.curated(t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
