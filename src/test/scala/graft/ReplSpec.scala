@@ -39,6 +39,25 @@ class ReplSpec extends SparkSuite {
         val miss = graft.tools.Repl.runMaple(spark, "no_such.py",
           "x", "pipe_in", Nil)
         assert(miss.startsWith("unknown map executor"), miss)
+        // .py resolution: commandFor wraps user scripts in python3 and
+        // passes CLI args through (the reference's exact contract)
+        assert(graft.mr.PipeExec.commandFor("my.py", Seq("a", "b")) ==
+          Seq("python3", "my.py", "a", "b"))
+        assert(graft.mr.PipeExec.commandFor("/bin/tool", Nil) == Seq("/bin/tool"))
+        // and a real python3 script runs end-to-end (the reference's
+        // executors are python scripts — this is their literal path)
+        val mapPy = dir.resolve("usermap.py")
+        Files.write(mapPy, ("import sys\n" +
+          "for line in sys.stdin:\n" +
+          "    for w in line.split():\n" +
+          "        print(w + '\\t1')\n").getBytes)
+        val mp = graft.tools.Repl.runMaple(spark, mapPy.toString,
+          "pipe_kv_py", "pipe_in", Nil)
+        assert(mp.contains("(pipe)"), mp)
+        val pyPairs = spark.table("pipe_kv_py").count()
+        assert(pyPairs == 6L, s"expected 6 (word,1) pairs, got $pyPairs")
+        Files.deleteIfExists(mapPy)
+        spark.catalog.dropTempView("pipe_kv_py")
       } finally {
         Seq("pipe_in", "pipe_kv", "pipe_out")
           .foreach(spark.catalog.dropTempView(_))
