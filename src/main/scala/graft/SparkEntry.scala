@@ -72,6 +72,7 @@ object SparkEntry {
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
+    "dedup_incremental" -> q(Dedup.incremental),
     "dedup_clusters"  -> q(Dedup.clusters),
     "dedup_minhash_lsh" -> q(Dedup.minhashLsh),
     "dedup_simhash"   -> q(Dedup.simhash),
@@ -161,6 +162,7 @@ object SparkEntry {
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_kept_corpus" -> Dedup.keptCorpusSql,
+    "dedup_incremental" -> Dedup.incrementalSql,
     "dedup_clusters"  -> Dedup.clustersSql,
     "dedup_minhash_lsh" -> Dedup.minhashSql,
     "dedup_simhash"   -> Dedup.simhashSql,

@@ -50,6 +50,46 @@ object Dedup {
   val exactSql: String =
     "SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents GROUP BY md5(text)"
 
+  /** Incremental-ingest dedup — the batch form of
+    * streaming/Streams.dedupStream: when a NEW batch (here doc_id % 10
+    * == 9 stands in for the arriving drop) lands next to an existing
+    * corpus, report each new doc as `dup_of_corpus` (content digest
+    * already present in the old corpus), `dup_in_batch` (first seen in
+    * this batch — smallest doc_id in the batch wins), or `new`. Shape:
+    * the batch side is digest-keyed and LEFT-joined against the
+    * digest-distinct old corpus — one map-side-combinable aggregate
+    * per side, one equi-join on the digest; the existing corpus is
+    * never re-deduped, which is the property that makes nightly
+    * ingestion O(batch), not O(corpus + batch).
+    */
+  def incremental(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val fp = md5($"text".cast(BinaryType))
+    val old = t.documents.filter($"doc_id" % 10 =!= 9)
+      .select(fp.as("fp")).distinct()
+    val batch = t.documents.filter($"doc_id" % 10 === 9)
+      .select($"doc_id", fp.as("fp"))
+    val firstInBatch = batch.groupBy($"fp").agg(min($"doc_id").as("first_id"))
+    batch
+      .join(firstInBatch, "fp")
+      .join(old.withColumn("in_corpus", lit(1)), Seq("fp"), "left_outer")
+      .select($"doc_id",
+        when($"in_corpus".isNotNull, "dup_of_corpus")
+          .when($"doc_id" =!= $"first_id", "dup_in_batch")
+          .otherwise("new").as("status"))
+  }
+
+  val incrementalSql: String =
+    """WITH old AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 9),
+      |batch AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 9),
+      |fib AS (SELECT fp, min(doc_id) AS first_id FROM batch GROUP BY fp)
+      |SELECT batch.doc_id AS doc_id,
+      | CASE WHEN old.fp IS NOT NULL THEN 'dup_of_corpus'
+      |      WHEN batch.doc_id <> first_id THEN 'dup_in_batch'
+      |      ELSE 'new' END AS status
+      |FROM batch JOIN fib ON batch.fp = fib.fp
+      |LEFT JOIN old ON batch.fp = old.fp""".stripMargin.replace("\n", " ")
+
   // -------------------------------------------------------------- minhash
 
   /** (a,b) coefficients for the k=16 universal-hash permutations

@@ -25,6 +25,28 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental dedup classifies batch docs against the existing corpus") {
+    import spark.implicits._
+    // old corpus: docs 1,2 ("alpha"), 4 ("beta"); batch (doc_id%10==9):
+    // 9 dup of corpus, 19+29 dup pair within batch, 39 genuinely new
+    val ti = tempTables { dir =>
+      Seq(
+        (1L, "alpha text", "en", "s", 10L),
+        (2L, "alpha text", "en", "s", 10L),
+        (4L, "beta text", "en", "s", 9L),
+        (9L, "alpha text", "en", "s", 10L),
+        (19L, "gamma text", "en", "s", 10L),
+        (29L, "gamma text", "en", "s", 10L),
+        (39L, "delta text", "en", "s", 10L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val got = Dedup.incremental(ti).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(9L -> "dup_of_corpus", 19L -> "new",
+      29L -> "dup_in_batch", 39L -> "new"))
+  }
+
   test("exact dedup collapses identical texts to min doc_id") {
     val rows = Dedup.exact(t).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
