@@ -109,6 +109,8 @@ object SparkEntry {
     "corpus_split_leakage" -> q(graft.pipeline.CorpusOps.splitLeakage),
     "q46_intersect_all" -> q(Relational.q46IntersectAll),
     "corpus_profile"  -> q(graft.pipeline.CorpusOps.profile),
+    // oracle valid ONLY at the default ResizeTargetBytes and on ASCII
+    // payloads (byte-stride vs char-substr — see Multimodal.resizeMeta)
     "mm_resize_meta"  -> q((t: Tables) => Multimodal.resizeMeta(t)),
   )
 

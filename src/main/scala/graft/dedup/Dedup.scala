@@ -58,9 +58,11 @@ object Dedup {
     * this batch — smallest doc_id in the batch wins), or `new`. Shape:
     * the batch side is digest-keyed and LEFT-joined against the
     * digest-distinct old corpus — one map-side-combinable aggregate
-    * per side, one equi-join on the digest; the existing corpus is
-    * never re-deduped, which is the property that makes nightly
-    * ingestion O(batch), not O(corpus + batch).
+    * per side, one equi-join on the digest. No corpus PAIR is ever
+    * re-deduped, but this entry still makes one full corpus scan per
+    * run to derive the digest set; the true O(batch) path is
+    * [[incrementalAgainstDigests]] below, which joins the batch
+    * against a PRECOMPUTED digest table instead.
     */
   def incremental(t: Tables): DataFrame = {
     import t.spark.implicits._
@@ -69,13 +71,36 @@ object Dedup {
       .select(fp.as("fp")).distinct()
     val batch = t.documents.filter($"doc_id" % 10 === 9)
       .select($"doc_id", fp.as("fp"))
-    val firstInBatch = batch.groupBy($"fp").agg(min($"doc_id").as("first_id"))
+    incrementalAgainstDigests(batch, old)
+  }
+
+  /** The corpus's distinct content digests — the persistent state a
+    * nightly ingest job maintains (write once with GraftIO.write,
+    * then append each accepted batch's `new` digests). 16 bytes per
+    * unique document; at 100 TB of text this table is GBs, not TBs.
+    */
+  def corpusDigests(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text").cast(BinaryType)).as("fp")).distinct()
+
+  /** True O(batch) incremental dedup: classify `batch` (doc_id, fp)
+    * rows against a precomputed digest table ([[corpusDigests]], read
+    * back from storage). Per run the work is one aggregate over the
+    * BATCH plus one digest-keyed equi-join — the corpus is never
+    * rescanned; its cost was paid once at digest-table build time and
+    * amortizes across every subsequent ingest. The digest side streams
+    * through the join (shuffle on fp or broadcast while small, AQE's
+    * call), so a nightly drop against a 100 TB corpus costs
+    * O(batch + matching digest partitions), not O(corpus).
+    */
+  def incrementalAgainstDigests(batch: DataFrame, digests: DataFrame): DataFrame = {
+    val firstInBatch = batch.groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
     batch
       .join(firstInBatch, "fp")
-      .join(old.withColumn("in_corpus", lit(1)), Seq("fp"), "left_outer")
-      .select($"doc_id",
-        when($"in_corpus".isNotNull, "dup_of_corpus")
-          .when($"doc_id" =!= $"first_id", "dup_in_batch")
+      .join(digests.select(col("fp")).withColumn("in_corpus", lit(1)),
+        Seq("fp"), "left_outer")
+      .select(col("doc_id"),
+        when(col("in_corpus").isNotNull, "dup_of_corpus")
+          .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
           .otherwise("new").as("status"))
   }
 

@@ -169,16 +169,29 @@ object Multimodal {
       .filter($"frame_idx" % 4 === 0)
   }
 
+  /** The one target-size constant shared by `resizeMeta`'s Scala
+    * default AND `resizeMetaSql` (interpolated below) — the two sides
+    * cannot silently diverge on the budget.
+    */
+  val ResizeTargetBytes: Int = 64
+
   /** Oracle-checkable resize pass: the REAL `resizeStub` byte-stride
     * downsample (the one `resizeAll` applies) run per-partition over
     * the media table, emitting size metadata plus a digest of the
     * resized payload. The DuckDB oracle reconstructs the exact same
-    * stride selection with substr/string_agg (payloads here are ASCII
-    * text, so byte i == character i+1 — the same equivalence
-    * frameSample's hex projection relies on) and must match md5 for
+    * stride selection with substr/string_agg and must match md5 for
     * md5: this pins the resize CODE PATH, not just its metadata.
+    *
+    * ASCII ASSUMPTION: the oracle indexes by CHARACTER (substr) while
+    * resizeStub strides over BYTES. The two agree only because the
+    * synthesized payloads are ASCII document text (byte i == char
+    * i+1 — the same equivalence frameSample's hex projection relies
+    * on). Non-ASCII payloads would diverge; the oracle comparison is
+    * only valid against `mediaFromDocuments` on the ASCII testdata.
+    * `resizeMetaSql` is generated for targetBytes == ResizeTargetBytes
+    * only — call sites passing another value get no oracle.
     */
-  def resizeMeta(t: Tables, targetBytes: Int = 64): DataFrame = {
+  def resizeMeta(t: Tables, targetBytes: Int = ResizeTargetBytes): DataFrame = {
     import t.spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[(Long, Long, Long, Array[Byte])] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
@@ -194,20 +207,22 @@ object Multimodal {
         md5($"resized").as("resized_md5"))
   }
 
-  val resizeMetaSql: String =
-    """WITH d AS (SELECT doc_id AS media_id, text,
-      | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents),
-      |small AS (SELECT media_id, n, n AS n_out, md5(text) AS resized_md5
-      | FROM d WHERE n <= 64),
-      |big AS (
-      | SELECT media_id, n, CAST(64 AS BIGINT) AS n_out,
-      |  md5(string_agg(substr(text,
-      |   CAST(trunc(i.range * (CAST(n AS DOUBLE) / 64)) AS INT) + 1, 1),
-      |   '' ORDER BY i.range)) AS resized_md5
-      | FROM d JOIN range(0, 64) i ON n > 64 GROUP BY media_id, n)
-      |SELECT media_id, n AS n_bytes_in, n_out AS n_bytes_out, resized_md5 FROM small
-      |UNION ALL
-      |SELECT media_id, n, n_out, resized_md5 FROM big""".stripMargin.replace("\n", " ")
+  val resizeMetaSql: String = {
+    val tb = ResizeTargetBytes // single source of truth with resizeMeta's default
+    s"""WITH d AS (SELECT doc_id AS media_id, text,
+       | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents),
+       |small AS (SELECT media_id, n, n AS n_out, md5(text) AS resized_md5
+       | FROM d WHERE n <= $tb),
+       |big AS (
+       | SELECT media_id, n, CAST($tb AS BIGINT) AS n_out,
+       |  md5(string_agg(substr(text,
+       |   CAST(trunc(i.range * (CAST(n AS DOUBLE) / $tb)) AS INT) + 1, 1),
+       |   '' ORDER BY i.range)) AS resized_md5
+       | FROM d JOIN range(0, $tb) i ON n > $tb GROUP BY media_id, n)
+       |SELECT media_id, n AS n_bytes_in, n_out AS n_bytes_out, resized_md5 FROM small
+       |UNION ALL
+       |SELECT media_id, n, n_out, resized_md5 FROM big""".stripMargin.replace("\n", " ")
+  }
 
   val frameSampleSql: String =
     """SELECT doc_id, frame_idx, md5(substr(hx, frame_idx * 128 + 1, 128)) AS frame_md5

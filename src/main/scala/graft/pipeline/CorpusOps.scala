@@ -117,10 +117,13 @@ object CorpusOps {
     * for the eval suite). Real pipelines use 13-grams over open text;
     * width 4 plays the same role on the testdata's ~40-word vocabulary
     * so the operator produces a non-degenerate result to check.
-    * Benchmark gram sets are small by construction — broadcast join, so
-    * the corpus is never shuffled on gram; the only wide op is the
-    * per-doc distinct/count. Emits docs with at least one colliding
-    * gram.
+    * A *real* eval suite's gram set is bounded, but this stand-in
+    * derives the benchmark side from the corpus itself (doc_id % 97),
+    * so it grows with the corpus — no forced broadcast hint (AQE
+    * cannot demote one): AQE broadcasts the bench side while it is
+    * genuinely under the threshold and falls back to a shuffled join
+    * when it is not, so the plan survives 100× where a hint would
+    * OOM the executors. Emits docs with at least one colliding gram.
     */
   def contamination(t: Tables): DataFrame = {
     import t.spark.implicits._
@@ -130,7 +133,7 @@ object CorpusOps {
       .distinct()
     val bench = grams(docs.filter($"doc_id" % 97 === 0)).select($"gram").distinct()
     grams(docs.filter($"doc_id" % 97 =!= 0))
-      .join(broadcast(bench), "gram")
+      .join(bench, "gram")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_contam"))
   }
@@ -326,6 +329,10 @@ object CorpusOps {
     * h32(doc_id) < (BUDGET << 32) / T_s — deterministic, auditable,
     * integer-only (the constant BUDGET·2^32 ≈ 3.4e12 never overflows,
     * and the division by T_s floors identically in both engines).
+    * T_s is clamped to ≥1 (`greatest`) on BOTH engines: a source whose
+    * documents all tokenize to zero tokens would otherwise make the
+    * ANSI `div` / DuckDB `//` error out instead of trivially keeping
+    * every (zero-cost) doc of that source.
     * T_s comes from one map-side-combinable groupBy(source) joined
     * back (source-cardinality table — AQE broadcasts it); the filter
     * is a narrow map. At 100 TB this is exactly how mixtures are cut:
@@ -345,7 +352,7 @@ object CorpusOps {
       // oracle floors — integer div on both sides keeps the predicate
       // exact (invariant 3)
       .filter(Dedup.h32($"doc_id".cast("string")) <
-        expr(s"($Budget * 4294967296) div t_s"))
+        expr(s"($Budget * 4294967296) div greatest(t_s, 1L)"))
       .select($"doc_id", $"source", $"n_toks")
   }
 
@@ -358,7 +365,7 @@ object CorpusOps {
        | FROM toks GROUP BY source)
        |SELECT doc_id, toks.source AS source, n_toks
        |FROM toks JOIN per_source ON toks.source = per_source.source
-       |WHERE ${Dedup.sqlH32("CAST(doc_id AS VARCHAR)")} < ($Budget * 4294967296) // t_s""".stripMargin
+       |WHERE ${Dedup.sqlH32("CAST(doc_id AS VARCHAR)")} < ($Budget * 4294967296) // greatest(t_s, 1)""".stripMargin
       .replace("\n", " ")
 
   val tokenBudgetSql: String =

@@ -220,6 +220,16 @@ object Similarity {
     * the oracle runs the SAME bucketing, so both engines report the
     * same neighbor set — this checks every reported cosine and rank,
     * not recall.
+    *
+    * PINNED ASSUMPTION (validated against DuckDB 1.0.0, the driver's
+    * oracle engine): `list_dot_product`'s sequential left-fold
+    * accumulation order is UNDOCUMENTED DuckDB behavior. A DuckDB
+    * upgrade that reorders (e.g. pairwise/SIMD) could flip a
+    * near-zero projection's sign and surface as a confusing ann_lsh
+    * hash mismatch. If that happens it is accumulation-order drift,
+    * not an engine bug — demote ann_lsh to rows-only (drop its
+    * oracleSql entry like ann_ivf; AnnRecallSpec still re-verifies
+    * every cosine independently).
     */
   val annLshSql: String = {
     val T = 12; val P = 4

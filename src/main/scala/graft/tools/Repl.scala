@@ -33,12 +33,17 @@ import org.apache.spark.sql.SparkSession
   *                               columns. Worker count is accepted and
   *                               ignored — split sizing is the
   *                               scheduler's job.
-  *   juice <exe> <workers> <prefix> <view> [delete?]
+  *   juice <exe> <workers> <prefix> <view> [delete?] [args...]
   *                               fold the (key, value) view <prefix>
   *                               with a named reduce executor (or a
   *                               user script path, piped with one
   *                               key's lines contiguous); output
-  *                               registered as <view>
+  *                               registered as <view>. An optional
+  *                               leading 0/1 delete-intermediates flag
+  *                               (dead even in the reference — the
+  *                               leader ignores it) is stripped;
+  *                               remaining args forward to the
+  *                               executor, same as maple
   *   SELECT ALL FROM ds WHERE regex        (reference dialect)
   *   SELECT ALL FROM d1 d2 WHERE d1.f = d2.f
   *   SELECT ...                  any Spark SQL beyond the two
@@ -105,7 +110,7 @@ object Repl {
     val kv = spark.table(prefix).select($"key", $"value").as[(String, String)]
     graft.mr.Executors.reduceByName.get(exe) match {
       case Some(udf) =>
-        val folded = graft.mr.MapleJuice.juice(kv)((k, vs) => udf(k, vs, Nil))
+        val folded = graft.mr.MapleJuice.juice(kv)((k, vs) => udf(k, vs, args))
           .toDF("key", "value")
         // reference reducers post-process their key set (grand
         // totals / percent formatting) — apply the same stage
@@ -170,8 +175,15 @@ object Repl {
             println(s"ok: deleted $name")
           case "maple" :: exe :: _ :: prefix :: view :: args =>
             println(runMaple(spark, exe, prefix, view, args))
-          case "juice" :: exe :: _ :: prefix :: out :: _ =>
-            println(runJuice(spark, exe, prefix, out, Nil))
+          case "juice" :: exe :: _ :: prefix :: out :: rest =>
+            // strip the reference's optional delete-intermediates flag
+            // (0/1 — dead code there too: leader.rs ignores it), then
+            // forward the remaining args to the executor like maple
+            val jArgs = rest match {
+              case ("0" | "1") :: more => more
+              case more => more
+            }
+            println(runJuice(spark, exe, prefix, out, jArgs))
           case "explain" :: _ =>
             spark.sql(line.stripPrefix("explain").trim).explain("formatted")
           case _ if line.toUpperCase.startsWith("SELECT") ||

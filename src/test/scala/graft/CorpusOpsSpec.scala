@@ -76,6 +76,26 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got == docs.map(_._1).toSet)
   }
 
+  test("budget sample: a source of all-empty-token docs keeps them, no div-by-zero") {
+    // t_s = 0 for src_empty; the greatest(t_s, 1) clamp makes the
+    // threshold 800·2^32, above the h32 range → every doc kept, and
+    // the ANSI `div` never sees a zero divisor.
+    val t2 = tempTables { dir =>
+      import spark.implicits._
+      Seq(
+        (1L, "", "en", "src_empty", 0L),
+        (2L, "   ", "en", "src_empty", 3L),
+        (3L, "one two three", "en", "src_words", 13L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val got = CorpusOps.budgetSample(t2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.contains(1L) && got.contains(2L)) // zero-token docs survive
+    assert(got(1L) == 0L && got(2L) == 0L)
+    assert(got.contains(3L)) // 3 tokens ≪ 800 budget: kept whole too
+  }
+
   test("vocab coverage: bounds, totals, and a doc of only head tokens") {
     val rows = graft.text.TextAnalysis.vocabCoverage(t).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

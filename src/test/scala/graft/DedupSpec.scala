@@ -45,6 +45,27 @@ class DedupSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(9L -> "dup_of_corpus", 19L -> "new",
       29L -> "dup_in_batch", 39L -> "new"))
+
+    // the true O(batch) path: classify the same batch against a digest
+    // table PERSISTED once and read back — no corpus rescan per run —
+    // and get bit-identical classifications
+    val digDir = java.nio.file.Files.createTempDirectory("graft-digests").toString
+    try {
+      graft.io.GraftIO.write(
+        Dedup.corpusDigests(ti.documents.filter($"doc_id" % 10 =!= 9)),
+        s"$digDir/digests.parquet")
+      val digests = spark.read.parquet(s"$digDir/digests.parquet")
+      val batch = ti.documents.filter($"doc_id" % 10 === 9)
+        .select($"doc_id", md5($"text".cast("binary")).as("fp"))
+      val viaTable = Dedup.incrementalAgainstDigests(batch, digests).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(viaTable == got)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(digDir))
+    }
   }
 
   test("exact dedup collapses identical texts to min doc_id") {

@@ -58,6 +58,22 @@ class ReplSpec extends SparkSuite {
         assert(pyPairs == 6L, s"expected 6 (word,1) pairs, got $pyPairs")
         Files.deleteIfExists(mapPy)
         spark.catalog.dropTempView("pipe_kv_py")
+        // juice forwards CLI args to the reduce script (symmetric with
+        // maple): an awk reducer that scales every sum by its first arg
+        val redArg = dir.resolve("userreduce_arg.sh")
+        Files.write(redArg,
+          ("#!/bin/sh\n" +
+            "awk -F'\\t' -v m=\"$1\" '{c[$1]+=$2} END {for (k in c) print k\"\\t\"c[k]*m}'\n").getBytes)
+        redArg.toFile.setExecutable(true)
+        val ja = graft.tools.Repl.runJuice(spark, redArg.toString,
+          "pipe_kv", "pipe_out_arg", Seq("10"))
+        assert(ja.contains("(pipe)"), ja)
+        val scaled = spark.table("pipe_out_arg")
+          .select($"key", $"value".cast("long").as("n"))
+          .as[(String, Long)].collect().toMap
+        assert(scaled == Map("a" -> 20L, "b" -> 30L, "c" -> 10L), scaled)
+        Files.deleteIfExists(redArg)
+        spark.catalog.dropTempView("pipe_out_arg")
       } finally {
         Seq("pipe_in", "pipe_kv", "pipe_out")
           .foreach(spark.catalog.dropTempView(_))

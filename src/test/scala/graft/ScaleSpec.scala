@@ -64,9 +64,12 @@ class ScaleSpec extends SparkSuite {
     // FRACTIONS of the corpus, so a forced hint would be un-demotable
     // OOM at scale. Pin both analyzed plans hint-free (AQE owns the
     // physical strategy).
+    // contamination's bench grams derive from the corpus (doc_id % 97)
+    // — a corpus fraction too, same rule.
     for ((name, df) <- Seq(
         "q32_fuzzy_name" -> graft.ops.Relational.q32FuzzyName(t),
-        "ann_brute_force" -> graft.sim.Similarity.annBruteForce(t))) {
+        "ann_brute_force" -> graft.sim.Similarity.annBruteForce(t),
+        "contamination" -> graft.pipeline.CorpusOps.contamination(t))) {
       val analyzed = df.queryExecution.analyzed.toString
       assert(!analyzed.toLowerCase.contains("resolvedhint"),
         s"$name must not force a broadcast on a corpus fraction:\n$analyzed")
