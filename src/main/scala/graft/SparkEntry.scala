@@ -80,6 +80,9 @@ object SparkEntry {
     "dedup_simhash_hamming" -> q(Dedup.simhashHamming),
     "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard),
     "dedup_embedding" -> q(Similarity.embeddingNearDup),
+    // rows-only: KMeans quantizer isn't SQL-derivable (like ann_ivf);
+    // SimilaritySpec pins pair recall vs the label-blocked baseline
+    "dedup_embedding_ivf" -> q((t: Tables) => Similarity.embeddingNearDupIvf(t)),
     "ann_brute_force" -> q(Similarity.annBruteForce),
     "ann_lsh"         -> q(Similarity.annLsh(_)),
     "ann_ivf"         -> q((t: Tables) => Similarity.annIvf(t)),
@@ -112,6 +115,13 @@ object SparkEntry {
     // oracle valid ONLY at the default ResizeTargetBytes and on ASCII
     // payloads (byte-stride vs char-substr — see Multimodal.resizeMeta)
     "mm_resize_meta"  -> q((t: Tables) => Multimodal.resizeMeta(t)),
+    // the streaming module's window logic driven in batch mode (the
+    // watermark is a no-op on a batch DataFrame): the SAME functions
+    // Structured Streaming runs, so the streaming code path gets
+    // hash-checked correctness rows; StreamingSpec separately pins
+    // batch/stream agreement on the same functions
+    "stream_hourly_counts"  -> q((t: Tables) => graft.streaming.Streams.hourlyCounts(t.events)),
+    "stream_hopping_counts" -> q((t: Tables) => graft.streaming.Streams.hoppingCounts(t.events)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -204,5 +214,9 @@ object SparkEntry {
     "q46_intersect_all" -> Relational.q46Sql,
     "corpus_profile"  -> graft.pipeline.CorpusOps.profileSql,
     "mm_resize_meta"  -> Multimodal.resizeMetaSql,
+    // window(ts, 1h).start == date_trunc('hour', ts) (epoch-aligned
+    // grid), so the batch twins' oracles apply verbatim
+    "stream_hourly_counts"  -> Relational.q16Sql,
+    "stream_hopping_counts" -> Relational.q42Sql,
   )
 }

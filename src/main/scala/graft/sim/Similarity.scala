@@ -86,6 +86,87 @@ object Similarity {
        |WHERE $d / ($na * $nb) >= 0.3""".stripMargin.replace("\n", " ")
   }
 
+  /** Coarse quantizer (KMeans, fixed seeds) fit on a sample — shared
+    * by [[annIvf]] and [[embeddingNearDupIvf]]. Centroid quality needs
+    * a representative sample, not the corpus: at 100 TB fitting on the
+    * full data would be the pipeline's bottleneck. Random init (not
+    * k-means||) drops the multi-pass init jobs; 5 Lloyd iterations
+    * over the sample converge plenty for a coarse quantizer. Falls
+    * back to the full (tiny) corpus when the sample can't fill nlist.
+    */
+  private def coarseQuantizer(withVec: DataFrame, nlist: Int) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val sample = withVec.sample(withReplacement = false, 0.25, seed = 7L)
+    val fitOn = if (sample.count() >= 10L * nlist) sample else withVec
+    new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
+      .fit(fitOn)
+  }
+
+  /** Embedding near-dup pairs blocked on the IVF coarse-quantizer cell
+    * — the scale-true form of [[embeddingNearDup]]: where label
+    * blocking goes quadratic when label cardinality is small (each
+    * block a constant fraction of the corpus → O(N²) at 100×), the
+    * quantizer's nlist grows with the corpus, so cell population — and
+    * the Σ|cell|² pair work — stays bounded by a knob, not by the
+    * data's label skew.
+    *
+    * Each vector is assigned to its `assign` nearest cells (multi-
+    * assignment, the standard IVF trick for candidates that straddle a
+    * cell boundary); a pair forms iff the two vectors share at least
+    * one assigned cell. Expected cell population is assign·N/nlist, so
+    * pair work is Σ|cell|² ≈ assign²·N²/nlist — size nlist ∝ N (e.g.
+    * √N cells) and the per-cell join stays task-sized while total work
+    * grows linearly. The nlist centroids are a fixed-size broadcast
+    * (the same legitimate hint annIvf uses). KMeans isn't
+    * SQL-derivable → rows-only entry; AnnRecallSpec pins pair recall
+    * against the label-blocked oracle-green baseline (measured knob
+    * sweep at sf0.01: assign 2/3/4 at nlist=16 → recall
+    * 0.53/0.80/0.96 — recall is bought with assignments the way
+    * annLsh buys it with tables; floor pinned at 0.9 for the 4-assign
+    * default).
+    */
+  def embeddingNearDupIvf(t: Tables, nlist: Int = 16, assign: Int = 4,
+      minCos: Double = 0.3): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withNorm(t)
+    val model = coarseQuantizer(
+      e.withColumn("features", array_to_vector(col("v"))), nlist)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val cdf = t.spark.createDataFrame(centroids).toDF("cell", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<double>"))
+    // rank cells by the quantizer's own metric (Euclidean):
+    // ||v-c||² = ||v||² - 2v·c + ||c||²; ||v||² is constant per vector
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val cells = e.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("cdist",
+        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("v"), col("centroid")))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= assign)
+      .select(col("vec_id"), col("cell"))
+      .persist() // read twice (both sides of the pair join)
+
+    val cand = cells.toDF("id_a", "cell")
+      .join(cells.toDF("id_b", "cell"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair may share both assigned cells
+    val va = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // materialize the (small) verified pair list, then drop the cell cache
+    val out = cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .localCheckpoint()
+    cells.unpersist()
+    out
+  }
+
   /** Brute-force cosine top-k: the correctness baseline for ANN. Probe
     * set = vec_id % 13 == 0; k = 5; total-order tiebreak on cand_id.
     */
@@ -130,21 +211,10 @@ object Similarity {
     * guarantee is that reported cosines are genuine.
     */
   def annIvf(t: Tables, nlist: Int = 16, nprobe: Int = 8): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = withNorm(t)
     val withVec = e.withColumn("features", array_to_vector(col("v")))
-    // Fit the coarse quantizer on a sample: centroid quality needs a
-    // representative sample, not the corpus — at 100 TB fitting on the
-    // full data would be the pipeline's bottleneck. Random init (not
-    // k-means||) drops the multi-pass init jobs; 5 Lloyd iterations
-    // over the sample converge plenty for a coarse quantizer. Falls
-    // back to the full (tiny) corpus when the sample can't fill nlist.
-    val sample = withVec.sample(withReplacement = false, 0.25, seed = 7L)
-    val fitOn = if (sample.count() >= 10L * nlist) sample else withVec
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .fit(fitOn)
+    val model = coarseQuantizer(withVec, nlist)
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
       .persist()

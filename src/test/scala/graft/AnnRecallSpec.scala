@@ -44,6 +44,23 @@ class AnnRecallSpec extends SparkSuite {
     assert(r >= 0.8, f"ann_ivf recall@5 $r%.3f below 0.8 floor")
   }
 
+  test("dedup_embedding_ivf pair recall vs the label-blocked baseline on sf0.01") {
+    // The oracle-green baseline (embeddingNearDup) finds all
+    // same-label pairs with cos >= 0.3; the IVF-cell-blocked variant
+    // must rediscover most of them with geometric blocking alone —
+    // pinning the quantizer's quality as pair recall, the same way the
+    // ANN floors pin recall@5. It may legitimately find MORE pairs
+    // (cross-label near-dups the label baseline cannot see).
+    val base = Similarity.embeddingNearDup(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.embeddingNearDupIvf(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.nonEmpty)
+    val recall = (base & ivf).size.toDouble / base.size
+    info(f"dedup_embedding_ivf pair recall = $recall%.3f (${ivf.size} pairs vs ${base.size} baseline)")
+    assert(recall >= 0.9, f"pair recall $recall%.3f below 0.9 floor")
+  }
+
   test("ann_ivf reported cosines are genuine and ranks consistent (independent recompute)") {
     // ann_ivf has no SQL oracle (the KMeans quantizer isn't
     // SQL-expressible), so verify the value-level guarantee here with

@@ -40,6 +40,21 @@ class SimilaritySpec extends SparkSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("IVF-blocked near-dup pairs: dup + close found, ortho/anti not, cosines genuine") {
+    // nlist=2, assign=2 → every vector lands in both cells: the pair
+    // space is complete, so the check is purely about scoring. Unlike
+    // the label-blocked baseline, blocking is geometric — no label in
+    // the output.
+    val pairs = Similarity.embeddingNearDupIvf(t, nlist = 2, assign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(pairs((0L, 1L)) > 0.9999999) // exact dup
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L }) // ortho
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L }) // anti
+    // ordering invariant: canonical id_a < id_b
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
   test("LSH ANN reports only genuine cosines (subset check vs brute force)") {
     val bf = Similarity.annBruteForce(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
