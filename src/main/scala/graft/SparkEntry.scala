@@ -122,6 +122,8 @@ object SparkEntry {
     // batch/stream agreement on the same functions
     "stream_hourly_counts"  -> q((t: Tables) => graft.streaming.Streams.hourlyCounts(t.events)),
     "stream_hopping_counts" -> q((t: Tables) => graft.streaming.Streams.hoppingCounts(t.events)),
+    // exact semi-join result; the bloom only prunes the fact shuffle
+    "q47_bloom_semi"  -> q(graft.ops.BloomJoin.q47BloomSemi),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -218,5 +220,6 @@ object SparkEntry {
     // grid), so the batch twins' oracles apply verbatim
     "stream_hourly_counts"  -> Relational.q16Sql,
     "stream_hopping_counts" -> Relational.q42Sql,
+    "q47_bloom_semi"  -> graft.ops.BloomJoin.q47Sql,
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.io.Tables
+import graft.ops.BloomJoin
+
+/** Bloom-pruned semi-join: no false negatives ever, high pruning rate
+  * on disjoint key sets, exact agreement with the plain semi-join, and
+  * the filter's plan position (fact side, before the join).
+  */
+class BloomJoinSpec extends SparkSuite with Matchers {
+  private lazy val t = {
+    spark.sparkContext.setLogLevel("WARN")
+    Tables(spark, "/root/testdata/sf0.001")
+  }
+
+  test("no false negatives: every dim key passes its own bloom") {
+    import spark.implicits._
+    // adversarial-ish keys: dense ints, big ints, negatives
+    val keys = ((1L to 2000L) ++ Seq(-7L, 0L, Long.MaxValue / 3)).toDF("k")
+    val words = BloomJoin.build(keys, "k")
+    val passed = keys.filter(BloomJoin.mightContain(col("k"), words)).count()
+    assert(passed == keys.count())
+  }
+
+  test("pruning: disjoint probe keys are mostly rejected (FPP well under 5%)") {
+    import spark.implicits._
+    val dim = (1L to 2000L).toDF("k")
+    val words = BloomJoin.build(dim, "k")
+    val probes = (1000001L to 1004000L).toDF("k") // disjoint range
+    val fp = probes.filter(BloomJoin.mightContain(col("k"), words)).count()
+    // m=65536, n=2000, k=3 → theoretical FPP ≈ 0.07%; 5% is a loose roof
+    assert(fp < probes.count() / 20, s"false-positive count $fp too high")
+  }
+
+  test("bloom semi-join equals plain semi-join on testdata") {
+    val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+    val bloomed = BloomJoin.semiJoin(t.lineitem, "l_orderkey", dim, "o_orderkey")
+    val plain = t.lineitem.join(
+      dim.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+    assert(bloomed.count() == plain.count())
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+  }
+
+  test("bitmap is fixed-size and the build collects only finished words") {
+    import spark.implicits._
+    val small = BloomJoin.build((1L to 10L).toDF("k"), "k", mBits = 1 << 10)
+    assert(small.length == (1 << 10) / 64)
+    // 50× more keys, same m → identical bitmap size (driver cost is O(m), not O(n))
+    val big = BloomJoin.build((1L to 500L).toDF("k"), "k", mBits = 1 << 10)
+    assert(big.length == small.length)
+  }
+
+  test("bloom filter sits on the fact side before the join, inside codegen") {
+    val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+    val df = BloomJoin.semiJoin(t.lineitem, "l_orderkey", dim, "o_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe predicate (seeded xxhash64) must appear in a Filter…
+    assert(plan.contains("xxhash64"), s"bloom probe missing from plan:\n$plan")
+    // …and the fact scan side must be filtered before the semi join:
+    // the Filter node carrying xxhash64 appears below the join in the
+    // plan tree (string order: join first, filter deeper).
+    val joinIdx = plan.indexOf("Join")
+    val probeIdx = plan.indexOf("xxhash64")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe should be under the join's fact branch:\n$plan")
+  }
+
+  test("q47 aggregates only rows whose order survives the dim predicate") {
+    val out = BloomJoin.q47BloomSemi(t).collect()
+    assert(out.nonEmpty)
+    val keys = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 150000.0)
+      .select("o_orderkey")
+    val expected = t.lineitem
+      .join(keys.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
+      .count()
+    assert(out.map(_.getLong(1)).sum == expected)
+  }
+}
