@@ -124,6 +124,9 @@ object SparkEntry {
     "stream_hopping_counts" -> q((t: Tables) => graft.streaming.Streams.hoppingCounts(t.events)),
     // exact semi-join result; the bloom only prunes the fact shuffle
     "q47_bloom_semi"  -> q(graft.ops.BloomJoin.q47BloomSemi),
+    // Skew.saltedJoin driver-gated: salt spreads the hot event_type key,
+    // output identical to the unsalted join the oracle runs
+    "q48_salted_join" -> q(Relational.q48SaltedJoin),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -221,5 +224,6 @@ object SparkEntry {
     "stream_hourly_counts"  -> Relational.q16Sql,
     "stream_hopping_counts" -> Relational.q42Sql,
     "q47_bloom_semi"  -> graft.ops.BloomJoin.q47Sql,
+    "q48_salted_join" -> Relational.q48Sql,
   )
 }

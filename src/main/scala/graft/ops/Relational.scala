@@ -1035,4 +1035,41 @@ object Relational {
       | INTERSECT ALL
       | SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
       |GROUP BY 1""".stripMargin.replace("\n", " ")
+
+  /** Skew-salted dimension join, driver-gated form of `Skew.saltedJoin`
+    * (ScaleSpec already pins output-equivalence to the plain join).
+    * events.event_type is the canonical hot key: a handful of values
+    * over the whole fact table, so an unsalted sort-merge join pins
+    * each type's full volume on one reducer at 100 TB. The salt spreads
+    * every type across `buckets` sub-keys while the dim is replicated
+    * `buckets`× — output is identical to the unsalted join, which is
+    * exactly what the DuckDB oracle runs. (AQE's skew split only
+    * rescues sort-merge joins after the fact; explicit salting is the
+    * planner-independent form and the one that also extends to skewed
+    * aggregations.) The post-join per-type aggregate is map-side
+    * combinable, so the second shuffle carries type cardinality only.
+    */
+  def q48SaltedJoin(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val fact = t.events.select($"event_type".as("etype"), $"value")
+    // the dim a real pipeline would read from a catalog; derived here so
+    // the query is self-contained. distinct() is map-side combinable.
+    val dim = t.events.select($"event_type".as("etype")).distinct()
+      .withColumn("w", length($"etype").cast("long"))
+    Skew.saltedJoin(fact, dim, "etype", buckets = 8)
+      .groupBy($"etype")
+      .agg(
+        max($"w").as("type_len"),
+        count(lit(1)).as("cnt"),
+        dsum($"value").as("sum_value"))
+  }
+
+  val q48Sql: String =
+    """WITH dim AS (
+      | SELECT DISTINCT event_type AS etype,
+      |  CAST(length(event_type) AS BIGINT) AS w FROM events)
+      |SELECT e.event_type AS etype, max(d.w) AS type_len, count(*) AS cnt,
+      | CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim d ON e.event_type = d.etype
+      |GROUP BY 1""".stripMargin.replace("\n", " ")
 }

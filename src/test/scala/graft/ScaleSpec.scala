@@ -26,6 +26,21 @@ class ScaleSpec extends SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("q48 salted join shuffles the fact on (etype, __salt) when broadcast is off") {
+    // at sf0.001 AQE broadcasts the tiny dim and the salt costs nothing;
+    // the pin is the sort-merge shape a 100 TB dim would get: the fact
+    // exchange must partition on the COMPOSITE key so a hot event_type
+    // fans across `buckets` reducers instead of pinning one
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.ops.Relational.q48SaltedJoin(t)
+        .queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(etype[^)]*__salt".r.findFirstIn(plan).isDefined,
+        s"fact exchange must include the salt in its partitioning:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("widen repartitions narrow scans only — identity when already parallel") {
     import spark.implicits._
     val narrow = spark.range(0, 100, 1, 1).toDF("id")
