@@ -17,12 +17,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.tools.Quiet.windowWarn()
     new java.io.File(outDir).mkdirs()
+    // release each memo family's cache once its last consumer is done
+    // (bounds sweep-wide storage residency — see tools.SweepCaches)
+    val caches = new graft.tools.SweepCaches.Tracker
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      caches.done(name)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

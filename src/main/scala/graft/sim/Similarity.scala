@@ -40,6 +40,7 @@ object Similarity {
   def clearCaches(): Unit = {
     normCache.values.foreach(_.unpersist())
     normCache.clear()
+    quantCache.clear()
   }
 
   private def withNorm(t: Tables): DataFrame =
@@ -86,22 +87,44 @@ object Similarity {
        |WHERE $d / ($na * $nb) >= 0.3""".stripMargin.replace("\n", " ")
   }
 
-  /** Coarse quantizer (KMeans, fixed seeds) fit on a sample — shared
-    * by [[annIvf]] and [[embeddingNearDupIvf]]. Centroid quality needs
-    * a representative sample, not the corpus: at 100 TB fitting on the
-    * full data would be the pipeline's bottleneck. Random init (not
-    * k-means||) drops the multi-pass init jobs; 5 Lloyd iterations
-    * over the sample converge plenty for a coarse quantizer. Falls
-    * back to the full (tiny) corpus when the sample can't fill nlist.
+  // One fitted coarse quantizer per (session, dir, nlist): annIvf and
+  // embeddingNearDupIvf index the SAME corpus, so at 100 TB they would
+  // share one coarse index — memoizing the fit is the scale-true
+  // design, not just a local dedup of the sample count + 5 Lloyd
+  // passes. Same immutable-dir assumption as normCache. The model is
+  // centroids-only (nlist × 64 doubles): no persisted blocks to
+  // release, clearCaches() just drops the map entries.
+  private val quantCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int),
+      org.apache.spark.ml.clustering.KMeansModel]
+
+  /** Fit count, observable by tests: SimilaritySpec pins "one fit per
+    * (session, dir, nlist)" so the shared quantizer can't silently
+    * regress into per-operator refits.
     */
-  private def coarseQuantizer(withVec: DataFrame, nlist: Int) = {
-    import org.apache.spark.ml.clustering.KMeans
-    val sample = withVec.sample(withReplacement = false, 0.25, seed = 7L)
-    val fitOn = if (sample.count() >= 10L * nlist) sample else withVec
-    new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .fit(fitOn)
-  }
+  private[graft] val quantizerFits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Coarse quantizer (KMeans, fixed seeds) fit on a sample — shared
+    * by [[annIvf]] and [[embeddingNearDupIvf]] via [[quantCache]].
+    * Centroid quality needs a representative sample, not the corpus:
+    * at 100 TB fitting on the full data would be the pipeline's
+    * bottleneck. Random init (not k-means||) drops the multi-pass init
+    * jobs; 5 Lloyd iterations over the sample converge plenty for a
+    * coarse quantizer. Falls back to the full (tiny) corpus when the
+    * sample can't fill nlist.
+    */
+  private def coarseQuantizer(t: Tables, nlist: Int) =
+    quantCache.getOrElseUpdate((t.spark, t.dir, nlist), {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      quantizerFits.incrementAndGet()
+      val withVec = withNorm(t).withColumn("features", array_to_vector(col("v")))
+      val sample = withVec.sample(withReplacement = false, 0.25, seed = 7L)
+      val fitOn = if (sample.count() >= 10L * nlist) sample else withVec
+      new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+        .setInitMode("random")
+        .fit(fitOn)
+    })
 
   /** Embedding near-dup pairs blocked on the IVF coarse-quantizer cell
     * — the scale-true form of [[embeddingNearDup]]: where label
@@ -128,10 +151,8 @@ object Similarity {
     */
   def embeddingNearDupIvf(t: Tables, nlist: Int = 16, assign: Int = 4,
       minCos: Double = 0.3): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val e = withNorm(t)
-    val model = coarseQuantizer(
-      e.withColumn("features", array_to_vector(col("v"))), nlist)
+    val model = coarseQuantizer(t, nlist)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
@@ -214,7 +235,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val e = withNorm(t)
     val withVec = e.withColumn("features", array_to_vector(col("v")))
-    val model = coarseQuantizer(withVec, nlist)
+    val model = coarseQuantizer(t, nlist)
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
       .persist()

@@ -1,0 +1,52 @@
+package graft.tools
+
+/** Family-cache bookkeeping for full-suite sweeps (Verify/Bench).
+  *
+  * The sim and dedup families memoize expensive intermediates per
+  * (session, dir) — Similarity.normCache (persisted normalized
+  * vectors + the fitted coarse quantizer) and Dedup.lshCache (the
+  * localCheckpoint'd MinHash pair table). Within a family that reuse
+  * is the point, but an 89-query sweep that never releases them holds
+  * every family's blocks concurrently for the rest of the run:
+  * eviction pressure mid-sweep is the plausible mechanism behind the
+  * r8 bench's single-query 6.8x `corpus_curated` outlier. A Tracker
+  * releases each family's cache the moment its LAST consumer
+  * finishes, so sweep residency is bounded by one family, not the
+  * union of all of them.
+  *
+  * The consumer sets are the static call graph of SparkEntry.queries;
+  * a query added to a family without updating its set here just means
+  * a refit/recompute (correctness unaffected — the caches rebuild on
+  * demand). Unpersisting the localCheckpoint'd LSH pair table is safe
+  * exactly because no later query references it once the set drains.
+  */
+object SweepCaches {
+
+  /** Queries that read Similarity.normCache / quantCache. */
+  private val simConsumers = Set(
+    "dedup_embedding", "dedup_embedding_ivf",
+    "ann_brute_force", "ann_ivf", "ann_lsh")
+
+  /** Queries that read Dedup.lshCache (the memoized pair table). */
+  private val dedupConsumers = Set(
+    "dedup_minhash_lsh", "dedup_clusters", "corpus_split_leakage")
+
+  final class Tracker {
+    private val sim = collection.mutable.Set.from(simConsumers)
+    private val ded = collection.mutable.Set.from(dedupConsumers)
+
+    /** Call after query `name` completes (success or failure — a
+      * failed consumer still never reads the cache again). */
+    def done(name: String): Unit = {
+      if (sim.remove(name) && sim.isEmpty) graft.sim.Similarity.clearCaches()
+      if (ded.remove(name) && ded.isEmpty) graft.dedup.Dedup.clearCaches()
+    }
+  }
+
+  /** Drop everything — used between a warmup sweep and the timed
+    * sweep so warmup-dir residue doesn't ride along. */
+  def releaseAll(): Unit = {
+    graft.sim.Similarity.clearCaches()
+    graft.dedup.Dedup.clearCaches()
+  }
+}
