@@ -127,6 +127,12 @@ object SparkEntry {
     // Skew.saltedJoin driver-gated: salt spreads the hot event_type key,
     // output identical to the unsalted join the oracle runs
     "q48_salted_join" -> q(Relational.q48SaltedJoin),
+    // Skew.saltedAgg driver-gated: exact distinct via value-salted
+    // two-stage agg, output identical to the plain GROUP BY oracle
+    "q49_salted_agg"  -> q(Relational.q49SaltedAgg),
+    // exact frequent items: the profiling pass that finds the hot keys
+    // q48/q49's salting then spreads
+    "q50_heavy_hitters" -> q(Relational.q50HeavyHitters(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -225,5 +231,7 @@ object SparkEntry {
     "stream_hopping_counts" -> Relational.q42Sql,
     "q47_bloom_semi"  -> graft.ops.BloomJoin.q47Sql,
     "q48_salted_join" -> Relational.q48Sql,
+    "q49_salted_agg"  -> Relational.q49Sql,
+    "q50_heavy_hitters" -> Relational.q50Sql,
   )
 }

@@ -1072,4 +1072,68 @@ object Relational {
       | CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events e JOIN dim d ON e.event_type = d.etype
       |GROUP BY 1""".stripMargin.replace("\n", " ")
+
+  /** Skew-salted two-stage aggregation, driver-gated form of
+    * `Skew.saltedAgg`. The demo aggregate is the one where salting
+    * actually earns its keep: exact count(DISTINCT user_id) per
+    * event_type. Plain hash aggregation can't shrink distinct STATE
+    * map-side — a hot event_type ships its full user set to one
+    * reducer. Salting by hash(user_id) partitions that state exactly
+    * (each user's rows land in one (type, salt) bucket), so partial
+    * distinct counts sum to the true distinct count and no reducer
+    * sees more than ~1/buckets of the hot type's users. The algebraic
+    * companions (count, decimal sum) re-combine as sums of partials —
+    * exact per invariant 2 (decimal accumulation, one double cast at
+    * the end). Output is identical to the unsalted aggregate, which is
+    * what the DuckDB oracle runs.
+    */
+  def q49SaltedAgg(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val fact = t.events.select($"event_type".as("etype"), $"user_id", $"value")
+    Skew.saltedAgg(fact, "etype", buckets = 8, saltBy = Some($"user_id"))(
+      Seq(count_distinct($"user_id").as("pu"),
+        count(lit(1)).as("pc"),
+        sum(dec($"value")).as("ps")),
+      Seq(sum($"pu").as("users"),
+        sum($"pc").as("cnt"),
+        sum($"ps").cast(DoubleType).as("sum_value")))
+  }
+
+  val q49Sql: String =
+    """SELECT event_type AS etype, count(DISTINCT user_id) AS users,
+      | count(*) AS cnt,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin.replace("\n", " ")
+
+  /** Exact heavy hitters (frequent items): event types whose count
+    * exceeds n/k of the whole stream. The profiling step a real
+    * pipeline runs BEFORE choosing salting buckets for q48/q49 — the
+    * hot keys this surfaces are the ones salting then spreads. Shape:
+    * one map-side-combinable groupBy (type cardinality out), then a
+    * grand-total window over the ALREADY-AGGREGATED rows (input is
+    * group-cardinality, so the single-partition window is fine — see
+    * CLAUDE.md) and an integer-arithmetic threshold, `cnt * k > total`
+    * (invariant 3: no division in the predicate). The share column is
+    * a single IEEE division of two exact int64s. At 100 TB the only
+    * full-data pass is the combinable count.
+    */
+  def q50HeavyHitters(t: Tables, k: Int = 10): DataFrame = {
+    import t.spark.implicits._
+    val counts = t.events.groupBy($"event_type".as("etype"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("total", sum($"cnt").over(Window.partitionBy()))
+      .filter($"cnt" * lit(k.toLong) > $"total")
+      .select($"etype", $"cnt", $"total",
+        ($"cnt".cast(DoubleType) / $"total".cast(DoubleType)).as("share"))
+  }
+
+  val q50Sql: String =
+    """SELECT event_type AS etype, cnt, total,
+      | CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      |FROM (
+      | SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(count(*)) OVER () AS BIGINT) AS total
+      | FROM events GROUP BY 1)
+      |WHERE cnt * 10 > total""".stripMargin.replace("\n", " ")
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot join keys: classic salting. The large
@@ -24,5 +24,44 @@ object Skew {
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-stage salted aggregation: partial aggregate on (key, __salt),
+    * final re-aggregate on key. `partial` runs per (key, salt) bucket;
+    * `fin` must recombine the partial columns into the same result the
+    * unsalted aggregate would produce (sum of sums, sum of counts, max
+    * of maxes, ...) — the caller owns that algebra, which is exactly
+    * the combiner decomposition MapReduce asks of a Juice reducer.
+    *
+    * When it matters: Spark's hash aggregate already combines map-side,
+    * but the FINAL aggregation still hash-partitions on the bare key —
+    * with ~P partials per key that's usually harmless, EXCEPT when the
+    * per-key aggregation STATE doesn't shrink map-side (collect_list /
+    * exact distinct sets / large string states): there a hot key ships
+    * its full state to one reducer. Salting caps any reducer's input at
+    * ~1/buckets of the hot key's volume, and the final stage only sees
+    * buckets·|keys| pre-shrunk rows. Same planner-independence argument
+    * as [[saltedJoin]]; output is identical to the unsalted aggregate,
+    * so the oracle runs the plain GROUP BY (q49, Relational.scala).
+    *
+    * `saltBy`: None salts by a per-row hash — valid for any
+    * commutative-monoid aggregate (sum/count/min/max). Some(col) salts
+    * by a VALUE hash, which partitions the aggregation state itself:
+    * every occurrence of one value lands in one bucket, so even
+    * duplicate-sensitive state decomposes exactly — count(DISTINCT v)
+    * salted by v is sum-of-partial-distincts, the classic two-stage
+    * exact distinct.
+    */
+  def saltedAgg(df: DataFrame, key: String, buckets: Int = 16,
+                saltBy: Option[Column] = None)(
+      partial: Seq[Column], fin: Seq[Column]): DataFrame = {
+    require(buckets > 0 && partial.nonEmpty && fin.nonEmpty)
+    val salt = saltBy.getOrElse(xxhash64(monotonically_increasing_id()))
+    df.withColumn("__salt",
+        pmod(xxhash64(salt), lit(buckets.toLong)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(fin.head, fin.tail: _*)
   }
 }

@@ -30,15 +30,34 @@ class ScaleSpec extends SparkSuite {
     // at sf0.001 AQE broadcasts the tiny dim and the salt costs nothing;
     // the pin is the sort-merge shape a 100 TB dim would get: the fact
     // exchange must partition on the COMPOSITE key so a hot event_type
-    // fans across `buckets` reducers instead of pinning one
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val plan = graft.ops.Relational.q48SaltedJoin(t)
-        .queryExecution.executedPlan.toString
-      assert("hashpartitioning\\(etype[^)]*__salt".r.findFirstIn(plan).isDefined,
-        s"fact exchange must include the salt in its partitioning:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // fans across `buckets` reducers instead of pinning one.
+    // newSession: conf-dependent plan pins isolate like the suite's
+    // other ones rather than mutate the shared session.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = graft.ops.Relational.q48SaltedJoin(Tables(s, "/root/testdata/sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(etype[^)]*__salt".r.findFirstIn(plan).isDefined,
+      s"fact exchange must include the salt in its partitioning:\n$plan")
+  }
+
+  test("q49 salted agg: partial-aggregate exchange carries the salt; distinct is exact") {
+    // the first exchange must partition on a key set CONTAINING
+    // __salt, never on bare etype — that's the whole point: a hot
+    // event_type's distinct-user state fans across buckets
+    val plan = graft.ops.Relational.q49SaltedAgg(t)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(etype[^)]*__salt".r.findFirstIn(plan).isDefined,
+      s"partial agg exchange must include the salt:\n$plan")
+    // output equivalence to the unsalted aggregate (what the DuckDB
+    // oracle runs at the driver; pinned here too so the property holds
+    // at test time regardless of driver runs)
+    val salted = graft.ops.Relational.q49SaltedAgg(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = t.events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")), count(lit(1))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
   }
 
   test("widen repartitions narrow scans only — identity when already parallel") {
