@@ -69,10 +69,19 @@ object BloomJoin {
     out
   }
 
+  /** Bitmaps at/above this size probe through a broadcast variable
+    * ([[mightContainBroadcast]]) instead of an array literal. 64 KiB:
+    * well under task-serialization pain, well over the 8 KiB default —
+    * the literal stays the simpler, registry-free path for small
+    * bitmaps, and MB-scale bitmaps (1M keys ≈ 1.25 MB at 10 bits/key)
+    * never ride the plan.
+    */
+  val BroadcastThresholdBytes: Int = 64 * 1024
+
   /** Codegen'd membership test: AND over the K seeded bit probes. The
-    * bitmap rides along as an array literal — at MBs it would instead
-    * go through a broadcast variable, but the semantics and plan
-    * position are identical.
+    * bitmap rides along as an array literal — fine below
+    * [[BroadcastThresholdBytes]]; above it [[semiJoin]] switches to
+    * [[mightContainBroadcast]], identical semantics and plan position.
     */
   def mightContain(key: Column, words: Array[Long], mBits: Int = DefaultBits): Column = {
     val wlit = typedLit(words.toSeq)
@@ -85,18 +94,50 @@ object BloomJoin {
     }.reduce(_ && _)
   }
 
+  private val bloomFnCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Broadcast-variable twin of [[mightContain]] for large bitmaps:
+    * the bit positions stay codegen'd columns; the word test is the
+    * custom `BloomWordTest` expression holding only the broadcast
+    * HANDLE. Spark 4 Columns don't wrap catalyst Expressions, so the
+    * expression enters the plan through a uniquely-named temp-function
+    * registration whose builder closure captures the broadcast (the
+    * same registry route as GraftFunctions.graftDot); the name is
+    * resolved eagerly at DataFrame construction, so later
+    * registrations never touch an already-built plan.
+    */
+  def mightContainBroadcast(key: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      mBits: Int, spark: org.apache.spark.sql.SparkSession): Column = {
+    val fn = s"graft_bloom_${bloomFnCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn, exprs => graft.functions.BloomWordTest(exprs(0), bc), "scala_udf")
+    Seeds.map { s =>
+      val bit = bitPos(key, s, mBits)
+      expr(s"$fn(${bit.toString})")
+    }.reduce(_ && _)
+  }
+
   /** Exact fact-SEMI-dim join with the fact side Bloom-pruned before
     * its shuffle. Output is identical to the unpruned semi-join (no
     * false negatives by construction; false positives die in the
-    * exact join).
+    * exact join). Small bitmaps ride the plan as a literal; at/above
+    * [[BroadcastThresholdBytes]] the probe switches to a broadcast
+    * variable automatically.
     */
   def semiJoin(fact: DataFrame, factKey: String,
                dim: DataFrame, dimKey: String,
                mBits: Int = DefaultBits): DataFrame = {
     val dimK = dim.select(col(dimKey))
     val words = build(dimK, dimKey, mBits)
+    val probe =
+      if (words.length * 8 >= BroadcastThresholdBytes) {
+        val spark = fact.sparkSession
+        mightContainBroadcast(col(factKey),
+          spark.sparkContext.broadcast(words), mBits, spark)
+      } else mightContain(col(factKey), words, mBits)
     fact
-      .filter(mightContain(col(factKey), words, mBits))
+      .filter(probe)
       .join(dimK.withColumnRenamed(dimKey, factKey),
         Seq(factKey), "left_semi")
   }

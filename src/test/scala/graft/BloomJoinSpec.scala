@@ -68,6 +68,39 @@ class BloomJoinSpec extends SparkSuite with Matchers {
       s"bloom probe should be under the join's fact branch:\n$plan")
   }
 
+  test("MB-scale bitmap rides a broadcast variable, not a plan literal") {
+    // 2^23 bits = 1 MiB — over BroadcastThresholdBytes, so semiJoin
+    // must auto-switch to the BloomWordTest broadcast probe
+    val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+    val bloomed = BloomJoin.semiJoin(t.lineitem, "l_orderkey", dim,
+      "o_orderkey", mBits = 1 << 23)
+    // correctness unchanged vs the plain semi-join
+    val plain = t.lineitem.join(
+      dim.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+    assert(bloomed.count() == plain.count())
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+    // plan carries the broadcast probe and is free of the 128k-long
+    // literal (which would render ~1 MB of digits in the plan string)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom"), s"broadcast probe missing:\n$plan")
+    assert(plan.length < 100 * 1024,
+      s"plan string is ${plan.length} chars — bitmap literal leaked into the plan?")
+  }
+
+  test("broadcast probe passes all dim keys and prunes a disjoint range (interpreted + codegen)") {
+    import spark.implicits._
+    val keys = (1L to 2000L).toDF("k")
+    val mBits = 1 << 23
+    val words = BloomJoin.build(keys, "k", mBits)
+    val bc = spark.sparkContext.broadcast(words)
+    val probe = BloomJoin.mightContainBroadcast(col("k"), bc, mBits, spark)
+    assert(keys.filter(probe).count() == 2000L) // no false negatives
+    val disjoint = (1000001L to 1004000L).toDF("k")
+    val fp = disjoint.filter(
+      BloomJoin.mightContainBroadcast(col("k"), bc, mBits, spark)).count()
+    assert(fp < 200, s"false-positive count $fp too high for a 1 MiB bitmap")
+  }
+
   test("q47 aggregates only rows whose order survives the dim predicate") {
     val out = BloomJoin.q47BloomSemi(t).collect()
     assert(out.nonEmpty)
