@@ -133,6 +133,9 @@ object SparkEntry {
     // exact frequent items: the profiling pass that finds the hot keys
     // q48/q49's salting then spreads
     "q50_heavy_hitters" -> q(Relational.q50HeavyHitters(_)),
+    // Misra-Gries candidates + exact confirmation: sketch only PRUNES,
+    // so the output is exact and carries q50's full hash oracle
+    "q51_heavy_hitters_sketch" -> q(Relational.q51HeavyHittersSketch(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -233,5 +236,8 @@ object SparkEntry {
     "q48_salted_join" -> Relational.q48Sql,
     "q49_salted_agg"  -> Relational.q49Sql,
     "q50_heavy_hitters" -> Relational.q50Sql,
+    // identical output by construction: MG candidates are a superset,
+    // the confirmation pass is exact — same SQL as q50
+    "q51_heavy_hitters_sketch" -> Relational.q50Sql,
   )
 }

@@ -1136,4 +1136,56 @@ object Relational {
       |  CAST(sum(count(*)) OVER () AS BIGINT) AS total
       | FROM events GROUP BY 1)
       |WHERE cnt * 10 > total""".stripMargin.replace("\n", " ")
+
+  /** Sketch-path heavy hitters — the shape for UNBOUNDED key
+    * cardinality, where q50's exact groupBy would shuffle billions of
+    * group rows. Two passes:
+    *
+    *  1. Candidate generation: per-partition Misra-Gries with
+    *     `counters` counters (one imperative in-partition pass — the
+    *     one genuine mapPartitions case, like Multimodal's decoder).
+    *     MG guarantees any value with local count > n_p/(counters+1)
+    *     survives its partition, so by pigeonhole any GLOBAL heavy
+    *     hitter (count > n/(counters+1) ≥ n/k when counters+1 ≥ k)
+    *     survives in at least one partition: the union of survivors is
+    *     a SUPERSET of the answer, bounded at P·counters keys — the
+    *     driver collect is bounded by topology, not data (same
+    *     argument as the Bloom bitmap / IVF centroid fetch).
+    *  2. Exact confirmation: one map-side-combinable groupBy where
+    *     non-candidates collapse into a single null bucket (so the
+    *     grand total still covers every row), then the q50 integer
+    *     threshold. Sketch internals never reach the output — the
+    *     result is exactly q50's, so it carries q50's full hash
+    *     oracle (the same prune-don't-decide trick as the Bloom
+    *     semi-join).
+    */
+  def q51HeavyHittersSketch(t: Tables, k: Int = 10, counters: Int = 64): DataFrame = {
+    import t.spark.implicits._
+    require(counters >= k, "MG superset guarantee needs counters+1 >= k")
+    val types = t.widen(t.events.select($"event_type")).as[String]
+    val survivors = types.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        m.get(v) match {
+          case Some(c) => m(v) = c + 1
+          case None if m.size < counters => m(v) = 1L
+          case None => // decrement-all step: drop keys hitting zero
+            val dead = m.iterator.collect { case (key, 1L) => key }.toList
+            m.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.collect()
+    val cands = survivors.toSet
+    val counts = t.events
+      .groupBy(when($"event_type".isin(cands.toSeq: _*), $"event_type")
+        .as("etype"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("total", sum($"cnt").over(Window.partitionBy()))
+      .filter($"etype".isNotNull && $"cnt" * lit(k.toLong) > $"total")
+      .select($"etype", $"cnt", $"total",
+        ($"cnt".cast(DoubleType) / $"total".cast(DoubleType)).as("share"))
+  }
 }

@@ -60,6 +60,19 @@ class ScaleSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("q51 sketch-path heavy hitters equals exact q50, even at the minimum counter budget") {
+    val exact = graft.ops.Relational.q50HeavyHitters(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val sketch = graft.ops.Relational.q51HeavyHittersSketch(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sketch == exact)
+    // counters = k is the tightest budget the MG superset guarantee
+    // covers (counters+1 > k): candidates may shrink, the answer can't
+    val tight = graft.ops.Relational.q51HeavyHittersSketch(t, counters = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tight == exact)
+  }
+
   test("widen repartitions narrow scans only — identity when already parallel") {
     import spark.implicits._
     val narrow = spark.range(0, 100, 1, 1).toDF("id")
