@@ -22,11 +22,16 @@ import graft.io.Tables
   *    chosen m, independent of fact cardinality (the same bounded
   *    driver-side step as the IVF centroid fetch). 10 bits/key keeps
   *    FPP ≈ 1%: 1M dim keys → 1.25 MB.
-  *  - **Probe** is a pure column predicate (xxhash64 + element_at on
-  *    an array literal), fully inside whole-stage codegen, evaluated
-  *    between the parquet scan and the fact-side Exchange — the
-  *    filter cannot reach parquet (hash of a column isn't a pushable
-  *    predicate) but it runs before any shuffle bytes are written.
+  *  - **Probe** is a pure column predicate, fully inside whole-stage
+  *    codegen, evaluated between the parquet scan and the fact-side
+  *    Exchange — the filter cannot reach parquet (hash of a column
+  *    isn't a pushable predicate) but it runs before any shuffle
+  *    bytes are written. Below [[BroadcastThresholdBytes]] the bitmap
+  *    rides the plan as an array literal (xxhash64 + element_at);
+  *    at/above it the words ship once per executor as a broadcast
+  *    variable probed by the codegen'd `BloomWordTest` expression, so
+  *    MB-scale bitmaps never bloat task serialization or explain
+  *    output.
   *  - Spark's own runtime bloom injection
   *    (`spark.sql.optimizer.runtime.bloomFilter.enabled`) does this
   *    adaptively but only past multi-GB creation-side thresholds;
