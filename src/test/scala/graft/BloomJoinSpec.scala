@@ -99,6 +99,17 @@ class BloomJoinSpec extends SparkSuite with Matchers {
     val fp = disjoint.filter(
       BloomJoin.mightContainBroadcast(col("k"), bc, mBits, spark)).count()
     assert(fp < 200, s"false-positive count $fp too high for a 1 MiB bitmap")
+    // interpreted path (nullSafeEval): force codegen off in an
+    // isolated session — both eval modes must agree bit-for-bit
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val keys2 = s.range(1L, 2001L).withColumnRenamed("id", "k")
+    assert(keys2.filter(
+      BloomJoin.mightContainBroadcast(col("k"), bc, mBits, s)).count() == 2000L)
+    val fp2 = s.range(1000001L, 1004001L).withColumnRenamed("id", "k").filter(
+      BloomJoin.mightContainBroadcast(col("k"), bc, mBits, s)).count()
+    assert(fp2 == fp, "interpreted and codegen'd probes must agree")
   }
 
   test("q47 aggregates only rows whose order survives the dim predicate") {
