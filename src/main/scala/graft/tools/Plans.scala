@@ -36,7 +36,12 @@ object Plans {
       "q42_sliding_window" -> Relational.q42SlidingWindow(t),
       "q43_full_outer" -> Relational.q43FullOuter(t),
       "corpus_budget_sample" -> graft.pipeline.CorpusOps.budgetSample(t),
-      "text_vocab_coverage" -> graft.text.TextAnalysis.vocabCoverage(t))
+      "text_vocab_coverage" -> graft.text.TextAnalysis.vocabCoverage(t),
+      "q47_bloom_semi" -> graft.ops.BloomJoin.q47BloomSemi(t),
+      "q48_salted_join" -> Relational.q48SaltedJoin(t),
+      "q49_salted_agg" -> Relational.q49SaltedAgg(t),
+      "q50_heavy_hitters" -> Relational.q50HeavyHitters(t),
+      "q51_heavy_hitters_sketch" -> Relational.q51HeavyHittersSketch(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
       println(df.queryExecution.explainString(
