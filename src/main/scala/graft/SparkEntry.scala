@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
     "dedup_incremental" -> q(Dedup.incremental),
+    "dedup_incremental_near" -> q(Dedup.incrementalNearDup),
     "dedup_clusters"  -> q(Dedup.clusters),
     "dedup_minhash_lsh" -> q(Dedup.minhashLsh),
     "dedup_simhash"   -> q(Dedup.simhash),
@@ -189,6 +190,7 @@ object SparkEntry {
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_kept_corpus" -> Dedup.keptCorpusSql,
     "dedup_incremental" -> Dedup.incrementalSql,
+    "dedup_incremental_near" -> Dedup.incrementalNearDupSql,
     "dedup_clusters"  -> Dedup.clustersSql,
     "dedup_minhash_lsh" -> Dedup.minhashSql,
     "dedup_simhash"   -> Dedup.simhashSql,

@@ -193,6 +193,19 @@ object Dedup {
   def minhashLsh(t: Tables): DataFrame =
     lshCache.getOrElseUpdate((t.spark, t.dir), minhashLshUncached(t))
 
+  /** (doc_id, band, key) bucket table from a signature table — the
+    * classic LSH band index: one exploded row per band, keyed so a
+    * single equi-join covers all bands.
+    */
+  private def bandKeys(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until BANDS).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws("-", (0 until ROWS).map(r => col(s"m${j * ROWS + r}")): _*).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
   private def minhashLshUncached(t: Tables): DataFrame = {
     // The signature table feeds the band join twice per band plus both
     // sides of the agreement count — without an explicit persist Spark
@@ -203,13 +216,7 @@ object Dedup {
     // One bucket table keyed by (band, key) → a single self-join covers
     // all bands (vs one join per band: fewer stages, one shuffle, and
     // the classic LSH bucket-table shape that scales).
-    val bandStructs = (0 until BANDS).map { j =>
-      struct(lit(j).as("band"),
-        concat_ws("-", (0 until ROWS).map(r => col(s"m${j * ROWS + r}")): _*).as("key"))
-    }
-    val buckets = sig.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val buckets = bandKeys(sig)
 
     val x = buckets.toDF("doc_a", "band", "key")
     val y = buckets.toDF("doc_b", "band", "key")
@@ -258,6 +265,79 @@ object Dedup {
        |m AS (SELECT cand.doc_a, cand.doc_b, ($matchSum) AS matches
        | FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id JOIN sig sb ON cand.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, matches / CAST($K AS DOUBLE) AS est_sim
+       |FROM m WHERE matches >= $MIN_MATCHES""".stripMargin.replace("\n", " ")
+  }
+
+  /** O(batch) incremental NEAR-dup — the MinHash twin of
+    * [[incrementalAgainstDigests]]: when a new drop lands (doc_id % 10
+    * == 9 stands in for the arriving batch, same convention as
+    * `incremental`), report each batch doc's near-duplicates already
+    * in the corpus, WITHOUT re-LSHing the corpus. This entry derives
+    * both sides live from the testdata (the contract), but the
+    * production path is [[nearDupAgainstIndex]]: the corpus's
+    * signature + band tables are the persistent index a nightly job
+    * maintains (K longs + BANDS keys per doc — GBs at 100 TB, like the
+    * digest table), and per ingest the work is batch
+    * shingle→signature (O(batch)) plus a bucket join that touches only
+    * the index partitions whose keys the batch produces.
+    */
+  def incrementalNearDup(t: Tables): DataFrame = {
+    val sig = signatures(t).persist()
+    val isBatch = col("doc_id") % 10 === 9
+    val out = nearDupAgainstIndex(sig.filter(isBatch), sig.filter(!isBatch))
+      .localCheckpoint() // materialize the small pair list, then drop sig
+    sig.unpersist()
+    out
+  }
+
+  /** Probe batch signatures against the PRECOMPUTED corpus index.
+    * Candidates form only on shared (band, key) buckets — |bucket|-
+    * bounded work, never batch×corpus — and are verified by exact
+    * signature agreement (≥ MIN_MATCHES of K), so LSH only PRUNES:
+    * every reported pair's est_sim is the true signature agreement.
+    */
+  def nearDupAgainstIndex(batchSigs: DataFrame,
+                          corpusSigs: DataFrame): DataFrame = {
+    val bb = bandKeys(batchSigs).toDF("batch_id", "band", "key")
+    val cb = bandKeys(corpusSigs).toDF("corpus_id", "band", "key")
+    val cand = bb.join(cb, Seq("band", "key"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct() // a pair may collide in several bands
+    val sa = batchSigs.toDF("batch_id" +: (0 until K).map(i => s"ma$i"): _*)
+    val sb = corpusSigs.toDF("corpus_id" +: (0 until K).map(i => s"mb$i"): _*)
+    val matches = (0 until K)
+      .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "batch_id").join(sb, "corpus_id")
+      .withColumn("matches", matches)
+      .filter(col("matches") >= MIN_MATCHES)
+      .select(col("batch_id"), col("corpus_id"),
+        (col("matches") / lit(K.toDouble)).as("est_sim"))
+  }
+
+  val incrementalNearDupSql: String = {
+    val sigCols = AB.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h*$a+$b)%$P) AS m$i"
+    }.mkString(", ")
+    val bandExprs = (0 until BANDS).map { j =>
+      val cols = (0 until ROWS).map(r => s"m${j * ROWS + r}").mkString(", ")
+      s"concat_ws('-', $cols) AS b$j"
+    }.mkString(", ")
+    val candUnion = (0 until BANDS).map { j =>
+      s"SELECT x.doc_id AS batch_id, y.doc_id AS corpus_id FROM bands x JOIN bands y ON x.b$j = y.b$j WHERE x.doc_id % 10 = 9 AND y.doc_id % 10 <> 9"
+    }.mkString(" UNION ")
+    val matchSum = (0 until K)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh AS (SELECT DISTINCT doc_id, substring(text, CAST(r.range AS INT), 5) AS shingle
+       | FROM documents JOIN range(1, 8192) r ON r.range <= greatest(length(text)-4, 1)),
+       |h AS (SELECT doc_id, ${sqlH32("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |bands AS (SELECT doc_id, $bandExprs FROM sig),
+       |cand AS ($candUnion),
+       |m AS (SELECT cand.batch_id, cand.corpus_id, ($matchSum) AS matches
+       | FROM cand JOIN sig sa ON cand.batch_id = sa.doc_id JOIN sig sb ON cand.corpus_id = sb.doc_id)
+       |SELECT batch_id, corpus_id, matches / CAST($K AS DOUBLE) AS est_sim
        |FROM m WHERE matches >= $MIN_MATCHES""".stripMargin.replace("\n", " ")
   }
 

@@ -68,6 +68,35 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental near-dup probes the corpus band index; agrees with full LSH crossings") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // corpus: 1 (base), 4 (unrelated); batch (%10==9): 9 near-dup of 1,
+    // 19 matches nothing
+    val ti = tempTables { dir =>
+      Seq(
+        (1L, base, "en", "s", 10L),
+        (4L, "completely different words about spark shuffles and columnar storage", "en", "s", 10L),
+        (9L, base.replace("lazy", "sleepy"), "en", "s", 10L),
+        (19L, "unrelated batch text that matches nothing in the corpus at all", "en", "s", 10L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val got = Dedup.incrementalNearDup(ti).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((9L, 1L)), s"got $got")
+    assert(got((9L, 1L)) >= 0.5)
+    // cross-check: the full self-LSH restricted to batch-corpus
+    // crossings must agree exactly — same bucket candidates, same
+    // signature-agreement threshold, only the probing side differs
+    val cross = Dedup.minhashLsh(ti).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case ((a, b), _) => (a % 10 == 9) != (b % 10 == 9) }
+      .map { case ((a, b), s) => (if (a % 10 == 9) (a, b) else (b, a)) -> s }
+      .toMap
+    assert(cross == got)
+  }
+
   test("exact dedup collapses identical texts to min doc_id") {
     val rows = Dedup.exact(t).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
