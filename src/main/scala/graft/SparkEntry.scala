@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions.{col, timestamp_seconds}
 
 import graft.dedup.Dedup
 import graft.io.Tables
@@ -74,6 +75,19 @@ object SparkEntry {
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
     "dedup_incremental" -> q(Dedup.incremental),
     "dedup_incremental_near" -> q(Dedup.incrementalNearDup),
+    // the streaming module's near-dup path driven in batch mode:
+    // row-LOCAL signatures (pure array expressions, no groupBy) probe
+    // the same corpus index; the watermark and within-watermark pair
+    // dedup are no-ops on the batch rows — output must equal
+    // dedup_incremental_near bit for bit, so it shares that oracle
+    "stream_near_dup" -> q((t: Tables) => {
+      val sig = Dedup.signatureTable(t)
+      val docs = t.widen(t.documents).filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id")).as("ts"))
+      graft.streaming.Streams.nearDupStream(docs,
+        sig.filter(col("doc_id") % 10 =!= 9))
+    }),
     "dedup_clusters"  -> q(Dedup.clusters),
     "dedup_minhash_lsh" -> q(Dedup.minhashLsh),
     "dedup_simhash"   -> q(Dedup.simhash),
@@ -191,6 +205,8 @@ object SparkEntry {
     "dedup_kept_corpus" -> Dedup.keptCorpusSql,
     "dedup_incremental" -> Dedup.incrementalSql,
     "dedup_incremental_near" -> Dedup.incrementalNearDupSql,
+    // identical output by construction (row-local == groupBy sigs)
+    "stream_near_dup" -> Dedup.incrementalNearDupSql,
     "dedup_clusters"  -> Dedup.clustersSql,
     "dedup_minhash_lsh" -> Dedup.minhashSql,
     "dedup_simhash"   -> Dedup.simhashSql,

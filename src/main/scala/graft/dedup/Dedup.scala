@@ -166,6 +166,61 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  // One persisted signature table per (session, dir): three sweep
+  // queries consume it (dedup_minhash_lsh builds its memoized pair
+  // table from it, dedup_incremental_near and stream_near_dup probe
+  // with it) — K longs per doc, tiny relative to the corpus. Same
+  // immutable-dir assumption as lshCache; released by clearCaches()
+  // via tools.SweepCaches when the family's last consumer finishes.
+  private val sigCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private[graft] def signatureTable(t: Tables): DataFrame =
+    sigCache.getOrElseUpdate((t.spark, t.dir), signatures(t).persist())
+
+  /** Number of minhash permutations / agreement threshold, shared with
+    * the streaming twin (graft.streaming.Streams.nearDupStream). */
+  private[graft] def kPerms: Int = K
+  private[graft] def minMatches: Int = MIN_MATCHES
+
+  /** Row-LOCAL shingle-hash array — the streaming form of
+    * [[shingles]]+[[h32]]: a document arrives as one row, so its
+    * shingle multiset is a pure array expression (same substring
+    * positions, same 8191 cap, same md5-derived hash — bitwise the
+    * batch pipeline's values, just never exploded).
+    */
+  private[graft] def rowHashes(text: Column): Column = {
+    val idx = sequence(lit(1),
+      least(greatest(length(text) - 4, lit(1)), lit(8191)))
+    val sh = transform(idx, i => text.substr(i, lit(5)))
+    transform(sh, s =>
+      conv(substring(md5(s.cast(BinaryType)), 1, 8), 16, 10).cast(LongType))
+  }
+
+  /** K signature columns from a [[rowHashes]] array: array_min over
+    * each permutation — min over the multiset equals the batch min()
+    * aggregate over the exploded rows, so row-local signatures are
+    * bitwise-identical to [[signatures]]'s.
+    */
+  private[graft] def sigCols(hs: Column, prefix: String): Seq[Column] =
+    AB.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(hs, h => (h * a + b) % P)).as(s"$prefix$i")
+    }
+
+  /** Band structs over signature columns named `prefix0..prefix{K-1}`. */
+  private[graft] def bandStructs(prefix: String): Seq[Column] =
+    (0 until BANDS).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws("-", (0 until ROWS).map(r => col(s"$prefix${j * ROWS + r}")): _*).as("key"))
+    }
+
+  /** Signature-agreement count between `a`-prefixed and `b`-prefixed
+    * signature columns. */
+  private[graft] def matchCount(a: String, b: String): Column =
+    (0 until K)
+      .map(i => when(col(s"$a$i") === col(s"$b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+
   /** MinHash + LSH near-duplicate pairs: band-bucket join for candidate
     * generation, then signature agreement count as the similarity
     * estimate. est_sim = matches/16 is exact in binary (16 = 2^4).
@@ -188,6 +243,8 @@ object Dedup {
   def clearCaches(): Unit = {
     lshCache.values.foreach(_.unpersist())
     lshCache.clear()
+    sigCache.values.foreach(_.unpersist())
+    sigCache.clear()
   }
 
   def minhashLsh(t: Tables): DataFrame =
@@ -197,22 +254,19 @@ object Dedup {
     * classic LSH band index: one exploded row per band, keyed so a
     * single equi-join covers all bands.
     */
-  private def bandKeys(sig: DataFrame): DataFrame = {
-    val bandStructs = (0 until BANDS).map { j =>
-      struct(lit(j).as("band"),
-        concat_ws("-", (0 until ROWS).map(r => col(s"m${j * ROWS + r}")): _*).as("key"))
-    }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+  private def bandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(bandStructs("m"): _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
-  }
 
   private def minhashLshUncached(t: Tables): DataFrame = {
     // The signature table feeds the band join twice per band plus both
     // sides of the agreement count — without an explicit persist Spark
     // recomputes the whole shingle+md5+agg pipeline per branch (10 times
     // here). Signatures are K longs per doc: tiny relative to the
-    // corpus, so materializing is the 100 TB-correct call too.
-    val sig = signatures(t).persist()
+    // corpus, so materializing is the 100 TB-correct call too; the
+    // persisted table is shared with the incremental/streaming probes
+    // via sigCache and released by clearCaches.
+    val sig = signatureTable(t)
     // One bucket table keyed by (band, key) → a single self-join covers
     // all bands (vs one join per band: fewer stages, one shuffle, and
     // the classic LSH bucket-table shape that scales).
@@ -230,16 +284,14 @@ object Dedup {
     val matches = (0 until K)
       .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
       .reduce(_ + _)
-    // localCheckpoint here (not at the memo site) so the signature
-    // cache can be dropped as soon as the pair table is materialized
-    val out = cand.join(sa, "doc_a").join(sb, "doc_b")
+    // localCheckpoint here (not at the memo site) so the memoized pair
+    // table carries no lineage into the persisted signature table
+    cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("matches", matches)
       .filter(col("matches") >= MIN_MATCHES)
       .select(col("doc_a"), col("doc_b"),
         (col("matches") / lit(K.toDouble)).as("est_sim"))
       .localCheckpoint()
-    sig.unpersist()
-    out
   }
 
   val minhashSql: String = {
@@ -282,12 +334,9 @@ object Dedup {
     * the index partitions whose keys the batch produces.
     */
   def incrementalNearDup(t: Tables): DataFrame = {
-    val sig = signatures(t).persist()
+    val sig = signatureTable(t)
     val isBatch = col("doc_id") % 10 === 9
-    val out = nearDupAgainstIndex(sig.filter(isBatch), sig.filter(!isBatch))
-      .localCheckpoint() // materialize the small pair list, then drop sig
-    sig.unpersist()
-    out
+    nearDupAgainstIndex(sig.filter(isBatch), sig.filter(!isBatch))
   }
 
   /** Probe batch signatures against the PRECOMPUTED corpus index.
@@ -305,11 +354,8 @@ object Dedup {
       .distinct() // a pair may collide in several bands
     val sa = batchSigs.toDF("batch_id" +: (0 until K).map(i => s"ma$i"): _*)
     val sb = corpusSigs.toDF("corpus_id" +: (0 until K).map(i => s"mb$i"): _*)
-    val matches = (0 until K)
-      .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
-      .reduce(_ + _)
     cand.join(sa, "batch_id").join(sb, "corpus_id")
-      .withColumn("matches", matches)
+      .withColumn("matches", matchCount("ma", "mb"))
       .filter(col("matches") >= MIN_MATCHES)
       .select(col("batch_id"), col("corpus_id"),
         (col("matches") / lit(K.toDouble)).as("est_sim"))

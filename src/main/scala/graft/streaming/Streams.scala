@@ -97,6 +97,61 @@ object Streams {
       .select(col("doc_id"), col("text"), col("ts"))
   }
 
+  /** Streaming ingest NEAR-dup — the MinHash twin of [[dedupStream]]
+    * and the streaming form of Dedup.incrementalNearDup: each arriving
+    * document's near-duplicates in the EXISTING corpus, probed against
+    * the corpus's static signature index.
+    *
+    * The whole per-document pipeline is STATELESS: a doc arrives as
+    * one row, so its shingle hashes and K minhashes are pure array
+    * expressions (Dedup.rowHashes/sigCols — bitwise the batch groupBy
+    * signatures, never exploded into state), band keys are a 4-row
+    * explode, and both index joins are stream-static. The only
+    * stateful op is the within-watermark pair dedup (a pair colliding
+    * in several bands emits identical rows at one event time, so the
+    * horizon trivially covers them); state is watermark-evicted. At
+    * 100 TB/day the static side is the persistent band/signature index
+    * the nightly batch job maintains — the stream probes it, never
+    * rebuilds it.
+    */
+  def nearDupStream(docs: DataFrame, corpusSigs: DataFrame,
+                    horizon: String = "1 hour"): DataFrame = {
+    import graft.dedup.Dedup
+    val K = Dedup.kPerms
+    val sigs = docs
+      .withWatermark("ts", horizon)
+      .select(col("doc_id").as("batch_id") +: col("ts") +:
+        Dedup.sigCols(Dedup.rowHashes(col("text")), "ma"): _*)
+    val withBands = sigs
+      .select(col("batch_id") +: col("ts") +:
+        (0 until K).map(i => col(s"ma$i")) :+
+        explode(array(Dedup.bandStructs("ma"): _*)).as("b"): _*)
+      .select(col("batch_id") +: col("ts") +:
+        (0 until K).map(i => col(s"ma$i")) :+
+        col("b.band").as("band") :+ col("b.key").as("key"): _*)
+    val cIndex = corpusSigs
+      .select(col("doc_id").as("corpus_id"),
+        explode(array(Dedup.bandStructs("m"): _*)).as("b"))
+      .select(col("corpus_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val sb = corpusSigs.toDF("corpus_id" +: (0 until K).map(i => s"mb$i"): _*)
+    val pairs = withBands
+      .join(cIndex, Seq("band", "key")) // stream-static
+      .join(sb, "corpus_id")            // stream-static
+      .withColumn("matches", Dedup.matchCount("ma", "mb"))
+      .filter(col("matches") >= Dedup.minMatches)
+      .select(col("batch_id"), col("corpus_id"), col("ts"),
+        (col("matches") / lit(K.toDouble)).as("est_sim"))
+    // multi-band collisions emit identical rows at one event time;
+    // within-watermark state dedups them on a stream (and is evicted
+    // past the horizon). Spark rejects the watermark form on batch
+    // frames, where plain dropDuplicates is the exact equivalent —
+    // duplicates are identical rows, so no arbitrary-row hazard.
+    val deduped =
+      if (pairs.isStreaming) pairs.dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      else pairs.dropDuplicates("batch_id", "corpus_id")
+    deduped.select(col("batch_id"), col("corpus_id"), col("est_sim"))
+  }
+
   /** Stream-stream interval join — the streaming twin of
     * Relational.q36IntervalJoin: purchases attribute to clicks of the
     * same user within [click, click + windowMinutes). Both sides carry

@@ -27,9 +27,11 @@ object SweepCaches {
     "dedup_embedding", "dedup_embedding_ivf",
     "ann_brute_force", "ann_ivf", "ann_lsh")
 
-  /** Queries that read Dedup.lshCache (the memoized pair table). */
+  /** Queries that read Dedup.lshCache (the memoized pair table) or
+    * Dedup.sigCache (the shared signature table). */
   private val dedupConsumers = Set(
-    "dedup_minhash_lsh", "dedup_clusters", "corpus_split_leakage")
+    "dedup_minhash_lsh", "dedup_clusters", "corpus_split_leakage",
+    "dedup_incremental_near", "stream_near_dup")
 
   final class Tracker {
     private val sim = collection.mutable.Set.from(simConsumers)

@@ -42,6 +42,46 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming near-dup probes the static corpus index; pairs agree with the batch path") {
+    import spark.implicits._
+    withLogLevel {
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      // one dir holding corpus (1, 4) AND the would-be stream docs
+      // (9 near-dup of 1, 19 unrelated — both %10==9) so the batch
+      // incrementalNearDup on the same dir is the expected answer
+      val ti = tempTables { dir =>
+        Seq(
+          (1L, base, "en", "s", 10L),
+          (4L, "completely different words about spark shuffles and columnar storage", "en", "s", 10L),
+          (9L, base.replace("lazy", "sleepy"), "en", "s", 10L),
+          (19L, "unrelated batch text that matches nothing in the corpus at all", "en", "s", 10L)
+        ).toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.parquet(s"$dir/documents.parquet")
+      }
+      val expected = graft.dedup.Dedup.incrementalNearDup(ti).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(expected.keySet == Set((9L, 1L))) // fixture sanity
+
+      val corpusSigs = graft.dedup.Dedup.signatureTable(ti)
+        .filter(col("doc_id") % 10 =!= 9)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Streams.Doc]
+      val q = Streams.nearDupStream(input.toDF(), corpusSigs)
+        .writeStream.format("memory").queryName("neardup")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          Streams.Doc(9L, base.replace("lazy", "sleepy"), ts(0)),
+          Streams.Doc(19L, "unrelated batch text that matches nothing in the corpus at all", ts(1)))
+        q.processAllAvailable()
+        val got = spark.table("neardup").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        assert(got == expected,
+          s"stream pairs $got must equal batch pairs $expected")
+      } finally q.stop()
+    }
+  }
+
   test("streaming hopping windows agree with the batch q42 plan on the same data") {
     import spark.implicits._
     withLogLevel {
