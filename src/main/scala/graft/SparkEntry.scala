@@ -70,6 +70,9 @@ object SparkEntry {
     "asof_join"       -> q(graft.ops.AsOf.eventsAsOfOrders),
     "text_tfidf"      -> q(TextAnalysis.tfidf),
     "agg_typed_sum"   -> q(graft.functions.Aggs.typedSumQuery),
+    // bounded-buffer per-group top-k (O(k) state per task per group,
+    // map-side combinable) vs the oracle's row_number window
+    "agg_topk_per_group" -> q(graft.functions.Aggs.topKPerGroupQuery),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
@@ -200,6 +203,7 @@ object SparkEntry {
     "asof_join"       -> graft.ops.AsOf.eventsAsOfOrdersSql,
     "text_tfidf"      -> TextAnalysis.tfidfSql,
     "agg_typed_sum"   -> graft.functions.Aggs.typedSumSql,
+    "agg_topk_per_group" -> graft.functions.Aggs.topKPerGroupSql,
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_kept_corpus" -> Dedup.keptCorpusSql,

@@ -59,4 +59,62 @@ object Aggs {
     """SELECT l_returnflag, l_linestatus,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")
+
+  /** Map-side-combinable per-group top-k: a bounded buffer of the k
+    * best (value desc, id asc — total order) pairs, trimmed on every
+    * reduce/merge. This is the scale-correct alternative to the
+    * `row_number() OVER (PARTITION BY g ORDER BY ...)` window for
+    * SMALL k over LARGE groups: the window shuffles and sorts every
+    * row of every group (a hot group = one reducer sorting its full
+    * volume), while this buffer ships at most k pairs per (partition,
+    * group) into the exchange — the per-group analog of what
+    * TakeOrderedAndProject does globally for q8. State is O(k) per
+    * group per task by construction.
+    */
+  def topKOf[T](k: Int)(value: T => Double, id: T => Long): Aggregator[T, Seq[(Double, Long)], Seq[(Double, Long)]] =
+    new Aggregator[T, Seq[(Double, Long)], Seq[(Double, Long)]] {
+      private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        s.sortBy { case (v, i) => (-v, i) }.take(k)
+      override def zero: Seq[(Double, Long)] = Seq.empty
+      override def reduce(b: Seq[(Double, Long)], a: T): Seq[(Double, Long)] =
+        trim(b :+ ((value(a), id(a))))
+      override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        trim(b1 ++ b2)
+      override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(b)
+      override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+      override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    }
+
+  final case class OrderSlice(o_orderpriority: String, o_totalprice: Double,
+                              o_orderkey: Long)
+
+  /** Top-3 orders by price per priority through the bounded-buffer
+    * Aggregator; the exploded (rank, key, price) rows hash-match the
+    * row_number-window oracle because the buffer order is total
+    * (price desc, orderkey asc) and prices pass through unmodified.
+    */
+  def topKPerGroupQuery(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.functions.posexplode
+    t.orders
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .as[OrderSlice]
+      .groupByKey(_.o_orderpriority)
+      .agg(topKOf[OrderSlice](3)(_.o_totalprice, _.o_orderkey).toColumn.name("top"))
+      .toDF("prio", "top")
+      .select(col("prio"), posexplode(col("top")))
+      .select(col("prio"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("o_orderkey"), col("col._1").as("price"))
+  }
+
+  val topKPerGroupSql: String =
+    """SELECT o_orderpriority AS prio, rnk, o_orderkey, price FROM (
+      | SELECT o_orderpriority,
+      |  row_number() OVER (PARTITION BY o_orderpriority
+      |   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+      |  o_orderkey, o_totalprice AS price
+      | FROM orders)
+      |WHERE rnk <= 3""".stripMargin.replace("\n", " ")
 }

@@ -31,6 +31,35 @@ class FunctionsSpec extends SparkSuite {
   // fresh JVM builds the session with spark.sql.extensions); inside this
   // shared-session test JVM getOrCreate would silently ignore extensions.
 
+  test("bounded-buffer top-k agrees with the row_number window, independent of partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed groups incl. ties on value (tiebreak must be total) and a
+    // group smaller than k
+    val rows = (1L to 500L).map(i => (s"g${i % 3}", (i % 7).toDouble, i)) :+
+      (("tiny", 1.0, 9001L))
+    for (parts <- Seq(1, 7)) {
+      val df = spark.createDataset(rows.toDS().rdd.repartition(parts))
+        .toDF("o_orderpriority", "o_totalprice", "o_orderkey")
+      val typed = df.as[graft.functions.Aggs.OrderSlice]
+        .groupByKey(_.o_orderpriority)
+        .agg(graft.functions.Aggs.topKOf[graft.functions.Aggs.OrderSlice](5)(
+          _.o_totalprice, _.o_orderkey).toColumn.name("top"))
+        .toDF("prio", "top")
+        .select(col("prio"), posexplode(col("top")))
+        .select(col("prio"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._2").as("id"), col("col._1").as("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val windowed = df.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(typed == windowed, s"parts=$parts")
+    }
+  }
+
   test("graft_dot handles nulls and length mismatch") {
     import spark.implicits._
     withLogLevel {
