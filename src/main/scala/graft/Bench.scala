@@ -1,9 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * Self-adjudication (round 10): ambient host load twice produced
+  * driver numbers 2x+ over the idle floor on unchanged code (r8's
+  * corpus_curated 10.56 s; r9's 114.9 s total vs 56.6 s idle), and only
+  * an out-of-band judge re-run could tell load from regression. The
+  * JSON line therefore now carries the evidence needed to adjudicate a
+  * run by itself:
+  *   - "load_start"/"load_timed"/"load_end": 1/5/15-min load averages
+  *     (from /proc/loadavg; MXBean fallback) at JVM start, at the start
+  *     of the timed sweep (post-warmup), and at the end. A high
+  *     load_start/load_timed on a 32-core host means the sweep competed
+  *     for cores and per-query inflation is ambient, not a plan change.
+  *   - "wall_sec": wall clock of the whole main (warmup included), vs
+  *     "value" which is the sum of per-query times only.
+  *   - opt-in best-of-N: SPARK_GRAFT_BENCH_RUNS=N repeats the timed
+  *     sweep N times and reports each query's MINIMUM — a single driver
+  *     invocation then produces a floor-comparable number (transient
+  *     spikes rarely hit the same query in every run). "run_totals"
+  *     keeps the raw per-run sums so the spread itself is visible.
+  *
+  * Compare against BASELINE.md's floor table with tools/benchdiff.py,
+  * which flags per-query ratios >2x.
+  */
 object Bench {
+  /** (1-min, 5-min, 15-min) load averages. /proc/loadavg on Linux;
+    * falls back to the MXBean's 1-min (5/15 reported as -1). */
+  def loadAvg(): (Double, Double, Double) = {
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+      (parts(0).toDouble, parts(1).toDouble, parts(2).toDouble)
+    } catch { case _: Exception =>
+      val one = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      (one, -1.0, -1.0)
+    }
+  }
+  private def loadJson(l: (Double, Double, Double)): String =
+    s"[${l._1},${l._2},${l._3}]"
+
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,24 +66,37 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir.getPath).count() catch { case _: Throwable => }
       }
-    // warmup filled the memo caches for the WARM dir; drop that residue
-    // so the timed sweep starts with empty storage memory, then release
-    // each family as its last timed consumer finishes (bounds residency
-    // — see tools.SweepCaches; r8's corpus_curated outlier motivates).
-    graft.tools.SweepCaches.releaseAll()
-    val caches = new graft.tools.SweepCaches.Tracker
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      caches.done(name)
-      name -> dt
+    val loadTimed = loadAvg()
+    // Each timed sweep starts from empty memo caches (warmup filled them
+    // for the WARM dir; later runs filled them for sfDir) and releases
+    // each family after its last consumer — bounds storage residency and
+    // makes run 1 and run N time the same work (see tools.SweepCaches).
+    val runs: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
+      graft.tools.SweepCaches.releaseAll()
+      val caches = new graft.tools.SweepCaches.Tracker
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        caches.done(name)
+        name -> dt
+      }.toMap
     }
+    // Best-of-N per query (order of the queries map preserved for output)
+    val results = SparkEntry.queries.map { case (name, _) =>
+      name -> runs.map(_(name)).min
+    }
+    val loadEnd = loadAvg()
+    val wallSec = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val runTotals = runs.map(_.values.sum).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","runs":$nRuns,"run_totals":$runTotals,"wall_sec":$wallSec""" +
+        s""","load_start":${loadJson(loadStart)},"load_timed":${loadJson(loadTimed)}""" +
+        s""","load_end":${loadJson(loadEnd)},"cpus":$cpus}"""
     println(json)
     // sbt wraps stdout in [info] prefixes but leaves stderr bare —
     // emit the line there too so a driver scraping the process output
