@@ -38,10 +38,14 @@ import graft.io.Tables
   *    this is the explicit form for bounded dims, with the bitmap
   *    size under the caller's control.
   *
-  * Reference mapping (SURVEY.md §2.3 Q2): the reference evaluates its
-  * join by re-scanning both SDFS files in full
-  * (sdfs/executors/Sjoinmap.py) — pruning the probe side before the
-  * shuffle is the Spark-native upgrade of that same equi-join.
+  * Reference mapping (SURVEY.md §2.3 Q2): the reference's join client
+  * (sdfs/src/client.rs:523-541) maps BOTH datasets in full through
+  * `executors/joinmap.py` + `joinreduce.py` — scripts that are absent
+  * from the repo's executors/ directory (SURVEY §2.3 Q2 documents the
+  * join executors as missing; semantics reconstructed from the CLI
+  * contract) — so every row of both sides crosses the shuffle. Pruning
+  * the probe side before the shuffle is the Spark-native upgrade of
+  * that same equi-join.
   */
 object BloomJoin {
 
@@ -99,27 +103,38 @@ object BloomJoin {
     }.reduce(_ && _)
   }
 
-  private val bloomFnCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Registry name for a bitmap's probe function: keyed by broadcast
+    * id, so re-probing the same bitmap reuses one entry instead of
+    * minting a new one per call.
+    */
+  private def bloomFnName(bc: org.apache.spark.broadcast.Broadcast[_]): String =
+    s"graft_bloom_${bc.id}"
 
   /** Broadcast-variable twin of [[mightContain]] for large bitmaps:
     * the bit positions stay codegen'd columns; the word test is the
     * custom `BloomWordTest` expression holding only the broadcast
     * HANDLE. Spark 4 Columns don't wrap catalyst Expressions, so the
-    * expression enters the plan through a uniquely-named temp-function
-    * registration whose builder closure captures the broadcast (the
-    * same registry route as GraftFunctions.graftDot); the name is
-    * resolved eagerly at DataFrame construction, so later
-    * registrations never touch an already-built plan.
+    * expression enters the plan through a temp-function registration
+    * whose builder closure captures the broadcast (the same registry
+    * route as GraftFunctions.graftDot), invoked via `call_function` —
+    * the key Column is passed as an expression, never rendered to SQL
+    * text, so backticked/qualified key names work unchanged. The name
+    * is keyed by broadcast id ([[bloomFnName]]): probing the same
+    * bitmap N times holds exactly one registry entry, and [[semiJoin]]
+    * drops even that once its plan is analyzed. Direct callers who
+    * want the registry clean afterwards can do the same
+    * (`functionRegistry.dropFunction`) once their DataFrame is built —
+    * analysis is eager at Dataset construction, so the resolved
+    * `BloomWordTest` no longer needs the registry.
     */
   def mightContainBroadcast(key: Column,
       bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
       mBits: Int, spark: org.apache.spark.sql.SparkSession): Column = {
-    val fn = s"graft_bloom_${bloomFnCounter.incrementAndGet()}"
+    val fn = bloomFnName(bc)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fn, exprs => graft.functions.BloomWordTest(exprs(0), bc), "scala_udf")
     Seeds.map { s =>
-      val bit = bitPos(key, s, mBits)
-      expr(s"$fn(${bit.toString})")
+      call_function(fn, bitPos(key, s, mBits))
     }.reduce(_ && _)
   }
 
@@ -128,23 +143,39 @@ object BloomJoin {
     * false negatives by construction; false positives die in the
     * exact join). Small bitmaps ride the plan as a literal; at/above
     * [[BroadcastThresholdBytes]] the probe switches to a broadcast
-    * variable automatically.
+    * variable automatically; its temp-function registration is dropped
+    * as soon as the returned plan is analyzed (Dataset construction is
+    * eager), so N semiJoin calls leave zero registry residue. The
+    * broadcast itself is owned by the returned plan — Spark's
+    * ContextCleaner reclaims it once the plan is unreachable; callers
+    * must not `destroy()` it while the DataFrame may still execute.
     */
   def semiJoin(fact: DataFrame, factKey: String,
                dim: DataFrame, dimKey: String,
                mBits: Int = DefaultBits): DataFrame = {
     val dimK = dim.select(col(dimKey))
     val words = build(dimK, dimKey, mBits)
-    val probe =
-      if (words.length * 8 >= BroadcastThresholdBytes) {
-        val spark = fact.sparkSession
-        mightContainBroadcast(col(factKey),
-          spark.sparkContext.broadcast(words), mBits, spark)
-      } else mightContain(col(factKey), words, mBits)
-    fact
+    val spark = fact.sparkSession
+    val bcOpt =
+      if (words.length * 8 >= BroadcastThresholdBytes)
+        Some(spark.sparkContext.broadcast(words))
+      else None
+    val probe = bcOpt match {
+      case Some(bc) => mightContainBroadcast(col(factKey), bc, mBits, spark)
+      case None     => mightContain(col(factKey), words, mBits)
+    }
+    val out = fact
       .filter(probe)
       .join(dimK.withColumnRenamed(dimKey, factKey),
         Seq(factKey), "left_semi")
+    // `out` is analyzed: BloomWordTest is bound into its plan and the
+    // registry entry has done its job — drop it so long-lived sessions
+    // issuing many Bloom joins don't accumulate dead functions.
+    bcOpt.foreach { bc =>
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(bloomFnName(bc)))
+    }
+    out
   }
 
   /** Driver-gated entry: revenue of lineitems belonging to urgent

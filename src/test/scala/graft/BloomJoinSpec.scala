@@ -112,6 +112,37 @@ class BloomJoinSpec extends SparkSuite with Matchers {
     assert(fp2 == fp, "interpreted and codegen'd probes must agree")
   }
 
+  test("repeated broadcast-path semiJoins leave zero registry residue") {
+    def bloomFns: Int = spark.sessionState.functionRegistry.listFunction()
+      .count(_.funcName.startsWith("graft_bloom"))
+    val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+    val before = bloomFns
+    val counts = (1 to 3).map { _ =>
+      BloomJoin.semiJoin(t.lineitem, "l_orderkey", dim, "o_orderkey",
+        mBits = 1 << 23).count()
+    }
+    assert(counts.distinct.size == 1, "repeated joins must agree")
+    // each call registers its probe fn, binds it into the analyzed
+    // plan, and drops it before returning — the registry must not grow
+    assert(bloomFns == before,
+      s"registry grew from $before to $bloomFns graft_bloom entries")
+    // and the deregistered plan must still execute (resolution was eager)
+    val df = BloomJoin.semiJoin(t.lineitem, "l_orderkey", dim, "o_orderkey",
+      mBits = 1 << 23)
+    assert(bloomFns == before)
+    assert(df.count() == counts.head)
+  }
+
+  test("broadcast probe binds key by expression, not SQL text (backticked names work)") {
+    import spark.implicits._
+    val keys = (1L to 500L).toDF("weird key.name")
+    val mBits = 1 << 23
+    val words = BloomJoin.build(keys, "`weird key.name`", mBits)
+    val bc = spark.sparkContext.broadcast(words)
+    val probe = BloomJoin.mightContainBroadcast(col("`weird key.name`"), bc, mBits, spark)
+    assert(keys.filter(probe).count() == 500L)
+  }
+
   test("q47 aggregates only rows whose order survives the dim predicate") {
     val out = BloomJoin.q47BloomSemi(t).collect()
     assert(out.nonEmpty)
