@@ -14,13 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Default salt: xxhash64 over ALL of the row's columns — a pure
+    * function of row CONTENT, so the salted exchange stays a
+    * DETERMINATE stage. The alternative (`monotonically_increasing_id`
+    * or `rand`) is flagged nondeterministic by Spark: a fetch failure
+    * in an INDETERMINATE stage forces the whole stage (and its
+    * downstream) to roll back and re-run at 100 TB, instead of just the
+    * lost tasks — retry cost stops being proportional to the failure.
+    * Caveat: rows that are bytewise identical across every column share
+    * a bucket, so a hot key whose volume is dominated by exact
+    * duplicate rows won't spread; pass a custom salt for that corner
+    * (any deterministic column works).
+    */
+  private def rowContentSalt(df: DataFrame): Column =
+    xxhash64(df.columns.map(col).toIndexedSeq: _*)
+
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  buckets: Int = 16): DataFrame = {
     require(buckets > 0)
-    // salt the fact side by a cheap deterministic-per-row hash; the
-    // value doesn't matter, only its spread
+    // salt the fact side by a deterministic-per-row content hash; the
+    // value doesn't matter, only its spread (and its determinism — see
+    // rowContentSalt for the stage-retry argument)
     val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
+      pmod(rowContentSalt(large), lit(buckets.toLong)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
@@ -44,7 +60,9 @@ object Skew {
     * as [[saltedJoin]]; output is identical to the unsalted aggregate,
     * so the oracle runs the plain GROUP BY (q49, Relational.scala).
     *
-    * `saltBy`: None salts by a per-row hash — valid for any
+    * `saltBy`: None salts by a per-row content hash ([[rowContentSalt]]
+    * — deterministic, so the exchange stays a DETERMINATE stage and
+    * fetch-failure retries stay task-local) — valid for any
     * commutative-monoid aggregate (sum/count/min/max). Some(col) salts
     * by a VALUE hash, which partitions the aggregation state itself:
     * every occurrence of one value lands in one bucket, so even
@@ -56,7 +74,7 @@ object Skew {
                 saltBy: Option[Column] = None)(
       partial: Seq[Column], fin: Seq[Column]): DataFrame = {
     require(buckets > 0 && partial.nonEmpty && fin.nonEmpty)
-    val salt = saltBy.getOrElse(xxhash64(monotonically_increasing_id()))
+    val salt = saltBy.getOrElse(rowContentSalt(df))
     df.withColumn("__salt",
         pmod(xxhash64(salt), lit(buckets.toLong)).cast("int"))
       .groupBy(col(key), col("__salt"))

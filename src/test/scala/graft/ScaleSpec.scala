@@ -9,9 +9,10 @@ import graft.ops.Skew
   * spreading hot keys; bucketed tables join without a shuffle.
   */
 class ScaleSpec extends SparkSuite {
+  private val dataDir = "/root/testdata/sf0.001"
   private lazy val t = {
     spark.sparkContext.setLogLevel("WARN")
-    Tables(spark, "/root/testdata/sf0.001")
+    Tables(spark, dataDir)
   }
 
   test("salted join output equals plain join output") {
@@ -35,7 +36,7 @@ class ScaleSpec extends SparkSuite {
     // other ones rather than mutate the shared session.
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val plan = graft.ops.Relational.q48SaltedJoin(Tables(s, "/root/testdata/sf0.001"))
+    val plan = graft.ops.Relational.q48SaltedJoin(Tables(s, dataDir))
       .queryExecution.executedPlan.toString
     assert("hashpartitioning\\(etype[^)]*__salt".r.findFirstIn(plan).isDefined,
       s"fact exchange must include the salt in its partitioning:\n$plan")
@@ -58,6 +59,28 @@ class ScaleSpec extends SparkSuite {
       .agg(countDistinct(col("user_id")), count(lit(1))).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted == plain)
+  }
+
+  test("salted plans carry no nondeterministic expression (DETERMINATE exchanges)") {
+    // a nondeterministic salt (monotonically_increasing_id / rand)
+    // makes the salted exchange an INDETERMINATE stage: one fetch
+    // failure at scale rolls back the whole stage instead of the lost
+    // tasks. The default salt is a content hash — pin that nothing
+    // nondeterministic appears anywhere in the salted plans.
+    val rekeyed = t.orders.withColumnRenamed("o_custkey", "k")
+    val dim = t.customer.withColumnRenamed("c_custkey", "k")
+    val plans = Seq(
+      Skew.saltedJoin(rekeyed, dim, "k", buckets = 8),
+      Skew.saltedAgg(t.events, "event_type", buckets = 8)(
+        Seq(count(lit(1)).as("pc")), Seq(sum(col("pc")).as("n"))),
+      graft.ops.Relational.q48SaltedJoin(t),
+      graft.ops.Relational.q49SaltedAgg(t))
+    for (df <- plans) {
+      val bad = df.queryExecution.analyzed.collect {
+        case p => p.expressions.filter(!_.deterministic)
+      }.flatten
+      assert(bad.isEmpty, s"nondeterministic expressions in salted plan: $bad")
+    }
   }
 
   test("q51 sketch-path heavy hitters equals exact q50, even at the minimum counter budget") {
