@@ -70,11 +70,28 @@ object Aggs {
     * group) into the exchange — the per-group analog of what
     * TakeOrderedAndProject does globally for q8. State is O(k) per
     * group per task by construction.
+    *
+    * Ordering matches SQL `ORDER BY v DESC, id ASC` on the IEEE
+    * corners too: the comparator is `java.lang.Double.compare(b, a)` —
+    * NOT `sortBy(-v)`, whose negation maps every NaN to NaN and so
+    * loses DESC's NaN-ranks-first placement, and flips -0.0/0.0.
+    * Under Double.compare, NaN > +Inf, so NaN rows rank FIRST in DESC
+    * — exactly Spark's and DuckDB's sort order. Residual caveat: SQL
+    * engines compare -0.0 = 0.0 (tie broken by id), while
+    * Double.compare distinguishes them (0.0 ranks above -0.0); only a
+    * group holding BOTH signed zeros with adversarial ids can diverge,
+    * and no shipped query produces signed zeros.
     */
   def topKOf[T](k: Int)(value: T => Double, id: T => Long): Aggregator[T, Seq[(Double, Long)], Seq[(Double, Long)]] =
     new Aggregator[T, Seq[(Double, Long)], Seq[(Double, Long)]] {
+      private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+        def compare(x: (Double, Long), y: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(y._1, x._1) // v DESC, -0.0 < 0.0
+          if (c != 0) c else java.lang.Long.compare(x._2, y._2) // id ASC
+        }
+      }
       private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-        s.sortBy { case (v, i) => (-v, i) }.take(k)
+        s.sorted(ord).take(k)
       override def zero: Seq[(Double, Long)] = Seq.empty
       override def reduce(b: Seq[(Double, Long)], a: T): Seq[(Double, Long)] =
         trim(b :+ ((value(a), id(a))))

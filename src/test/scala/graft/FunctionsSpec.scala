@@ -60,6 +60,28 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("top-k buffer ranks NaN first under DESC, like Spark's window sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq(("g", Double.NaN, 1L), ("g", 5.0, 2L), ("g", Double.NaN, 3L),
+      ("g", Double.PositiveInfinity, 4L), ("g", -1.0, 5L))
+    val df = rows.toDF("o_orderpriority", "o_totalprice", "o_orderkey")
+    val typed = df.as[graft.functions.Aggs.OrderSlice]
+      .groupByKey(_.o_orderpriority)
+      .agg(graft.functions.Aggs.topKOf[graft.functions.Aggs.OrderSlice](3)(
+        _.o_totalprice, _.o_orderkey).toColumn.name("top"))
+      .toDF("prio", "top")
+      .select(posexplode(col("top"))).select(col("col._2"))
+      .collect().map(_.getLong(0)).toSeq
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val windowed = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3).orderBy(col("rnk"))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    assert(typed == Seq(1L, 3L, 4L)) // NaN,NaN then +Inf — DESC semantics
+    assert(typed == windowed)
+  }
+
   test("graft_dot handles nulls and length mismatch") {
     import spark.implicits._
     withLogLevel {
