@@ -175,8 +175,31 @@ object Dedup {
   private val sigCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
+  /** Family-cache population counter (sigCache + lshCache entries
+    * built), for the SweepCaches no-repopulate-after-drain pin. */
+  private[graft] val cacheBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[graft] def signatureTable(t: Tables): DataFrame =
-    sigCache.getOrElseUpdate((t.spark, t.dir), signatures(t).persist())
+    sigCache.getOrElseUpdate((t.spark, t.dir), {
+      cacheBuilds.incrementAndGet()
+      signatures(t).persist()
+    })
+
+  /** Bind a caller-supplied signature table to the canonical
+    * (doc_id, m0..m{K-1}) layout BY NAME. The probe paths
+    * ([[nearDupAgainstIndex]], Streams.nearDupStream) rename
+    * positionally afterwards; without this, a table with the right
+    * arity but a different column order would silently mis-bind
+    * signature columns and report wrong est_sim — wrong-order input
+    * must fail loudly instead.
+    */
+  private[graft] def bindSigs(df: DataFrame, label: String): DataFrame = {
+    val expected = "doc_id" +: (0 until K).map(i => s"m$i")
+    require(expected.forall(df.columns.contains),
+      s"$label signature table needs columns ${expected.mkString(", ")}; " +
+        s"got ${df.columns.mkString(", ")}")
+    df.select(expected.map(col): _*)
+  }
 
   /** Number of minhash permutations / agreement threshold, shared with
     * the streaming twin (graft.streaming.Streams.nearDupStream). */
@@ -248,7 +271,10 @@ object Dedup {
   }
 
   def minhashLsh(t: Tables): DataFrame =
-    lshCache.getOrElseUpdate((t.spark, t.dir), minhashLshUncached(t))
+    lshCache.getOrElseUpdate((t.spark, t.dir), {
+      cacheBuilds.incrementAndGet()
+      minhashLshUncached(t)
+    })
 
   /** (doc_id, band, key) bucket table from a signature table — the
     * classic LSH band index: one exploded row per band, keyed so a
@@ -345,8 +371,10 @@ object Dedup {
     * signature agreement (≥ MIN_MATCHES of K), so LSH only PRUNES:
     * every reported pair's est_sim is the true signature agreement.
     */
-  def nearDupAgainstIndex(batchSigs: DataFrame,
-                          corpusSigs: DataFrame): DataFrame = {
+  def nearDupAgainstIndex(batchSigs0: DataFrame,
+                          corpusSigs0: DataFrame): DataFrame = {
+    val batchSigs = bindSigs(batchSigs0, "batch")
+    val corpusSigs = bindSigs(corpusSigs0, "corpus")
     val bb = bandKeys(batchSigs).toDF("batch_id", "band", "key")
     val cb = bandKeys(corpusSigs).toDF("corpus_id", "band", "key")
     val cand = bb.join(cb, Seq("band", "key"))

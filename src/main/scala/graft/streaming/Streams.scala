@@ -114,10 +114,13 @@ object Streams {
     * the nightly batch job maintains — the stream probes it, never
     * rebuilds it.
     */
-  def nearDupStream(docs: DataFrame, corpusSigs: DataFrame,
+  def nearDupStream(docs: DataFrame, corpusSigs0: DataFrame,
                     horizon: String = "1 hour"): DataFrame = {
     import graft.dedup.Dedup
     val K = Dedup.kPerms
+    // bind by NAME before the positional mb-rename below — a
+    // right-arity, wrong-order index must fail loudly (Dedup.bindSigs)
+    val corpusSigs = Dedup.bindSigs(corpusSigs0, "corpus")
     val sigs = docs
       .withWatermark("ts", horizon)
       .select(col("doc_id").as("batch_id") +: col("ts") +:

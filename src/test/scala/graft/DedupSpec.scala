@@ -95,6 +95,21 @@ class DedupSpec extends SparkSuite {
       .map { case ((a, b), s) => (if (a % 10 == 9) (a, b) else (b, a)) -> s }
       .toMap
     assert(cross == got)
+    // schema binding is by NAME: a signature table with the right
+    // arity but shuffled column order must give the same answer (the
+    // probe re-selects canonical order), and a wrong-named table must
+    // fail loudly instead of silently mis-binding est_sim
+    val sig = Dedup.signatureTable(ti)
+    val shuffled = sig.select(sig.columns.reverse.map(col): _*)
+    val viaShuffled = Dedup
+      .nearDupAgainstIndex(shuffled.filter(col("doc_id") % 10 === 9),
+        shuffled.filter(col("doc_id") % 10 =!= 9))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaShuffled == got)
+    val misnamed = sig.toDF(sig.columns.map(c => s"x_$c").toIndexedSeq: _*)
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndex(misnamed, misnamed)
+    }
   }
 
   test("exact dedup collapses identical texts to min doc_id") {
