@@ -43,8 +43,14 @@ object Similarity {
     quantCache.clear()
   }
 
+  /** Family-cache population counter (normCache entries built; quant
+    * fits have their own [[quantizerFits]]), for the SweepCaches
+    * no-repopulate-after-drain pin. */
+  private[graft] val cacheBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def withNorm(t: Tables): DataFrame =
     normCache.getOrElseUpdate((t.spark, t.dir), {
+      cacheBuilds.incrementAndGet()
       graft.functions.GraftFunctions.register(t.spark)
       import t.spark.implicits._
       // widen: the testdata table is one parquet file = one input

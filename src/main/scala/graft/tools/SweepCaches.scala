@@ -22,20 +22,30 @@ package graft.tools
   */
 object SweepCaches {
 
-  /** Queries that read Similarity.normCache / quantCache. */
-  private val simConsumers = Set(
+  /** Queries that read Similarity.normCache / quantCache.
+    * SweepCachesSpec pins this as a subset of SparkEntry.queries and
+    * (via the families' cacheBuilds counters) that no cache
+    * repopulates after its set drains in a full sweep — the failure
+    * mode of a renamed/added consumer missing from here. */
+  private[graft] val simConsumers = Set(
     "dedup_embedding", "dedup_embedding_ivf",
     "ann_brute_force", "ann_ivf", "ann_lsh")
 
   /** Queries that read Dedup.lshCache (the memoized pair table) or
-    * Dedup.sigCache (the shared signature table). */
-  private val dedupConsumers = Set(
+    * Dedup.sigCache (the shared signature table). Same pin as
+    * [[simConsumers]]. */
+  private[graft] val dedupConsumers = Set(
     "dedup_minhash_lsh", "dedup_clusters", "corpus_split_leakage",
     "dedup_incremental_near", "stream_near_dup")
 
   final class Tracker {
     private val sim = collection.mutable.Set.from(simConsumers)
     private val ded = collection.mutable.Set.from(dedupConsumers)
+
+    /** True once the family's last consumer has finished (and its
+      * caches were released). */
+    def simDrained: Boolean = sim.isEmpty
+    def dedupDrained: Boolean = ded.isEmpty
 
     /** Call after query `name` completes (success or failure — a
       * failed consumer still never reads the cache again). */
