@@ -35,6 +35,82 @@ def cmp_cell(a, b):
     return a == b
 
 
+def extra_checks(con, out_dir):
+    """Bounded-error value checks for the rows-only sketch queries.
+
+    q27 (HLL) and q40 (percentile_approx) have no DuckDB oracle —
+    sketch internals are engine-specific — so the hash gate only sees
+    row counts. Both are deterministic, though, and DuckDB can compute
+    exact companions: assert q27 lands within 5% of the exact distinct
+    counts (rsd=0.02, so 5% is a loose roof) and that each q40 quantile
+    is an actual element of its group whose rank sits within a small
+    band of the target rank (accuracy=10000 -> rank error well under
+    n/1000 at any local SF). A silent sketch regression can no longer
+    hide behind "rows-only".
+    Returns (n_pass, n_fail); skips silently if the outputs are absent
+    (e.g. a partial Verify run).
+    """
+    n_pass = n_fail = 0
+
+    p27 = f"{out_dir}/q27_approx_distinct"
+    if glob.glob(f"{p27}/*.parquet"):
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{p27}/*.parquet')").df()
+        exact_parts, exact_orders = con.execute(
+            "SELECT count(DISTINCT l_partkey), count(DISTINCT l_orderkey) "
+            "FROM lineitem").fetchone()
+        ok = True
+        for col_name, exact in [("approx_parts", exact_parts),
+                                ("approx_orders", exact_orders)]:
+            approx = int(got[col_name].iloc[0])
+            err = abs(approx - exact) / exact
+            if err > 0.05:
+                print(f"FAIL q27_approx_distinct[band]: {col_name}={approx} "
+                      f"vs exact {exact} ({err:.1%} > 5%)")
+                ok = False
+        if ok:
+            print("PASS q27_approx_distinct[band] (HLL within 5% of exact)")
+            n_pass += 1
+        else:
+            n_fail += 1
+
+    p40 = f"{out_dir}/q40_approx_quantile"
+    if glob.glob(f"{p40}/*.parquet"):
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{p40}/*.parquet')").df()
+        ok = True
+        for _, row in got.iterrows():
+            grp = row["o_orderpriority"]
+            vals = [v[0] for v in con.execute(
+                "SELECT o_totalprice FROM orders WHERE o_orderpriority = ? "
+                "ORDER BY o_totalprice", [grp]).fetchall()]
+            n = len(vals)
+            tol = max(2, n // 1000 + 1)  # rank-error roof for accuracy=10000
+            for col_name, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75)]:
+                v = float(row[col_name])
+                if v not in vals:
+                    print(f"FAIL q40_approx_quantile[band]: {grp} {col_name}={v} "
+                          f"is not an element of the group (sketch must return "
+                          f"real data points)")
+                    ok = False
+                    continue
+                # rank band: count of elements <= v must straddle q*n
+                rank_hi = sum(1 for x in vals if x <= v)
+                rank_lo = sum(1 for x in vals if x < v) + 1
+                target = q * n
+                if rank_hi < target - tol or rank_lo > target + tol:
+                    print(f"FAIL q40_approx_quantile[band]: {grp} {col_name}={v} "
+                          f"rank [{rank_lo},{rank_hi}] vs target {target:.0f}±{tol}")
+                    ok = False
+        if ok:
+            print("PASS q40_approx_quantile[band] (quantiles in exact rank band)")
+            n_pass += 1
+        else:
+            n_fail += 1
+
+    return n_pass, n_fail
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -99,6 +175,9 @@ def main():
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
+    ep, ef = extra_checks(con, out_dir)
+    n_pass += ep
+    n_fail += ef
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
