@@ -73,6 +73,9 @@ object SparkEntry {
     // bounded-buffer per-group top-k (O(k) state per task per group,
     // map-side combinable) vs the oracle's row_number window
     "agg_topk_per_group" -> q(graft.functions.Aggs.topKPerGroupQuery),
+    // deterministic A-ES weighted reservoir (corpus-mixture sampler)
+    // through the same bounded buffer vs the oracle's window form
+    "corpus_weighted_sample" -> q(graft.functions.Aggs.weightedSampleQuery),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
@@ -204,6 +207,7 @@ object SparkEntry {
     "text_tfidf"      -> TextAnalysis.tfidfSql,
     "agg_typed_sum"   -> graft.functions.Aggs.typedSumSql,
     "agg_topk_per_group" -> graft.functions.Aggs.topKPerGroupSql,
+    "corpus_weighted_sample" -> graft.functions.Aggs.weightedSampleSql,
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_kept_corpus" -> Dedup.keptCorpusSql,

@@ -134,4 +134,73 @@ object Aggs {
       |  o_orderkey, o_totalprice AS price
       | FROM orders)
       |WHERE rnk <= 3""".stripMargin.replace("\n", " ")
+
+  /** A-ES (Efraimidis–Spirakis) key for weighted reservoir sampling,
+    * made DETERMINISTIC: the uniform draw u is derived from the item id
+    * by the library's md5 convention (first 8 hex chars as a 32-bit
+    * int, the Dedup.h32 shape over the id's decimal string), so
+    * u = (h + 0.5) / 2^32 is a pure, exactly-representable function of
+    * the id — h + 0.5 and the power-of-two division are exact in
+    * double, so ln sees a bitwise-identical argument in any engine.
+    * The sample keeps the k items with the LARGEST u^(1/w) —
+    * equivalently largest ln(u)/w (ln(u) < 0), which is the form both
+    * sides compute: one ln, one IEEE division by the integer weight
+    * (clamped to ≥1). P(item in sample) is proportional-ish to w, the
+    * weighted-without-replacement guarantee of A-ES (PODS'06).
+    *
+    * Cross-engine caveat (same class as ann_lsh's accumulation-order
+    * pin): ln is correctly-rounded to ≤1 ulp in both JDK and DuckDB's
+    * libm but not guaranteed bit-identical; the sample only changes if
+    * the boundary pair's keys differ by under 2 ulp, vanishingly rare
+    * for hash-spread keys and validated against DuckDB on the testdata.
+    * If a DuckDB upgrade ever breaks the hash, demote the query to
+    * rows-only (determinism pin stays — the Spark side is pure).
+    */
+  def aesKey(id: Long, weight: Long): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex, 16)
+    math.log((h + 0.5) / 4294967296.0) / math.max(weight, 1L)
+  }
+
+  /** Weighted reservoir sample of k ids per group: [[topKOf]]'s bounded
+    * O(k) map-side-combinable buffer ordered by the deterministic
+    * [[aesKey]]. The corpus-mixture primitive: sampling a fixed number
+    * of docs per stratum with probability ∝ weight (doc length, token
+    * count, a q50 hot-key profile) is one pass, no sort, ≤k pairs per
+    * (partition, group) into the exchange — at 100 TB the classic way
+    * to draw a training mixture without materializing permutations.
+    */
+  def weightedSampleOf[T](k: Int)(weight: T => Long, id: T => Long): Aggregator[T, Seq[(Double, Long)], Seq[(Double, Long)]] =
+    topKOf[T](k)(r => aesKey(id(r), weight(r)), id)
+
+  final case class DocSlice(lang: String, doc_id: Long, n_chars: Long)
+
+  /** Driver-gated entry: 5 docs per language stratum, weighted by
+    * n_chars — the mixture sampler over the documents table. Output is
+    * (lang, rnk, doc_id): ids and ranks only; the A-ES key orders but
+    * never leaves the plan (no transcendental in the oracle output).
+    */
+  def weightedSampleQuery(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.functions.posexplode
+    t.documents
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .as[DocSlice]
+      .groupByKey(_.lang)
+      .agg(weightedSampleOf[DocSlice](5)(_.n_chars, _.doc_id).toColumn.name("picked"))
+      .toDF("lang", "picked")
+      .select(col("lang"), posexplode(col("picked")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("doc_id"))
+  }
+
+  val weightedSampleSql: String =
+    """SELECT lang, rnk, doc_id FROM (
+      | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      |  ORDER BY ln((('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT + 0.5)
+      |    / 4294967296.0) / greatest(n_chars, 1) DESC, doc_id ASC) AS rnk
+      | FROM documents)
+      |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
 }

@@ -60,6 +60,43 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("weighted reservoir: deterministic, partition-independent, weight-biased") {
+    import spark.implicits._
+    // 1000 items, item 777 given 1000x the weight of the rest: A-ES
+    // must include it (P(miss) < 1e-3 ~ hash-deterministic here), and
+    // the same data in different partitionings must give the SAME set
+    val rows = (1L to 1000L).map(i => ("g", if (i == 777L) 100000L else 100L, i))
+    val picks = for (parts <- Seq(1, 13)) yield {
+      val df = spark.createDataset(rows.toDS().rdd.repartition(parts))
+        .toDF("lang", "n_chars", "doc_id")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      df.as[graft.functions.Aggs.DocSlice]
+        .groupByKey(_.lang)
+        .agg(graft.functions.Aggs.weightedSampleOf[graft.functions.Aggs.DocSlice](10)(
+          _.n_chars, _.doc_id).toColumn.name("picked"))
+        .collect().head._2.map(_._2).toSet
+    }
+    assert(picks(0) == picks(1), "sample must not depend on partitioning")
+    assert(picks(0).contains(777L), "a 1000x-weight item must be sampled")
+    assert(picks(0).size == 10)
+  }
+
+  test("A-ES key matches the oracle's SQL formula (md5-derived u, ln/w)") {
+    // the Scala aggregator computes keys driver/executor-side; the
+    // DuckDB oracle re-derives them in SQL — pin the Spark SQL twin of
+    // that formula against the Scala value so all three agree
+    import spark.implicits._
+    val df = Seq((1L, 10L), (42L, 999L), (777L, 1L), (123456789L, 64437L))
+      .toDF("doc_id", "w")
+    val sqlKeys = df.selectExpr(
+      "doc_id",
+      "ln((conv(substring(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) + 0.5D) / 4294967296.0D) / greatest(w, 1L) AS k")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, w) <- Seq((1L, 10L), (42L, 999L), (777L, 1L), (123456789L, 64437L)))
+      assert(graft.functions.Aggs.aesKey(id, w) == sqlKeys(id),
+        s"scala vs spark-sql key mismatch for id=$id")
+  }
+
   test("top-k buffer ranks NaN first under DESC, like Spark's window sort") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -16,7 +16,11 @@ the verdict instead of making you re-run by hand.
 """
 import json
 import re
+import signal
 import sys
+
+# behave like a normal unix filter under `| head`
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 # Queries whose floor is recorded in BASELINE.md prose (round-9 closing
 # sections) rather than in the floor table. Best observed idle values.
