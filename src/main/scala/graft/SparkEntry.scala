@@ -76,6 +76,9 @@ object SparkEntry {
     // deterministic A-ES weighted reservoir (corpus-mixture sampler)
     // through the same bounded buffer vs the oracle's window form
     "corpus_weighted_sample" -> q(graft.functions.Aggs.weightedSampleQuery),
+    // per-group Misra-Gries candidates (sketch prunes, exact recount
+    // decides) — q51's shape with the driver collect removed entirely
+    "agg_heavy_hitters_per_group" -> q(graft.functions.Aggs.mgHeavyHittersPerGroup(_, 25, 64)),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
@@ -208,6 +211,7 @@ object SparkEntry {
     "agg_typed_sum"   -> graft.functions.Aggs.typedSumSql,
     "agg_topk_per_group" -> graft.functions.Aggs.topKPerGroupSql,
     "corpus_weighted_sample" -> graft.functions.Aggs.weightedSampleSql,
+    "agg_heavy_hitters_per_group" -> graft.functions.Aggs.mgHeavyHittersPerGroupSql,
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_kept_corpus" -> Dedup.keptCorpusSql,

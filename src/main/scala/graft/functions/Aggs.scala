@@ -203,4 +203,93 @@ object Aggs {
       |    / 4294967296.0) / greatest(n_chars, 1) DESC, doc_id ASC) AS rnk
       | FROM documents)
       |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
+
+  /** Mergeable Misra-Gries heavy-hitter CANDIDATES per group — the
+    * fully-distributed sibling of q51's per-partition MG: there the
+    * bounded survivor set is collected on the driver; here the sketch
+    * IS the aggregation buffer, so candidates stay a column and
+    * nothing ever leaves the executors. Buffer = at most `counters`
+    * (value, residual-count) entries; reduce inserts one value, merge
+    * sums two sketches, and both prune by subtracting the
+    * (counters+1)-th largest count from every entry and dropping the
+    * non-positive — the mergeable-summaries MG step (Agarwal et al.,
+    * PODS'12), which bounds total undercount by n_g/(counters+1). Any
+    * value with in-group frequency above that survives, so with
+    * counters+1 > k the candidate set is a SUPERSET of the
+    * share > 1/k answer; an exact recount confirms, and the sketch
+    * never decides — the same prune-don't-decide trick as q51 and the
+    * Bloom semi-join, which is what lets the query keep a full exact
+    * hash oracle. State is O(counters) per (task, group); at 100 TB
+    * the grouped heavy-hitter profile (per-language hot sources,
+    * per-tenant hot keys) costs one map-side-combinable pass plus a
+    * candidates-sized recount join, with NO driver round-trip even
+    * when the GROUP count itself is unbounded (q51's collect is
+    * bounded by P·counters; this removes it entirely).
+    */
+  def mgCandidatesOf[T](counters: Int)(value: T => String): Aggregator[T, Map[String, Long], Seq[String]] =
+    new Aggregator[T, Map[String, Long], Seq[String]] {
+      private def prune(m: Map[String, Long]): Map[String, Long] =
+        if (m.size <= counters) m
+        else {
+          val d = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(counters)
+          m.collect { case (v, c) if c > d => v -> (c - d) }
+        }
+      override def zero: Map[String, Long] = Map.empty
+      override def reduce(b: Map[String, Long], a: T): Map[String, Long] = {
+        val v = value(a)
+        prune(b.updated(v, b.getOrElse(v, 0L) + 1L))
+      }
+      override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] =
+        prune(b1.foldLeft(b2) { case (acc, (v, c)) =>
+          acc.updated(v, acc.getOrElse(v, 0L) + c)
+        })
+      override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+      override def bufferEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+      override def outputEncoder: Encoder[Seq[String]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    }
+
+  final case class LangSource(lang: String, source: String)
+
+  /** Driver-gated entry: per-language sources holding more than a
+    * 1/k share of that language's docs (k=25), MG-candidates then
+    * exact recount. Output identical to the plain per-group
+    * QUALIFY query, so it carries the full hash oracle; the grand
+    * totals per lang come from a window over ALREADY-AGGREGATED
+    * (lang, source) rows — group-cardinality input, not N.
+    */
+  def mgHeavyHittersPerGroup(t: Tables, k: Int = 25, counters: Int = 64): DataFrame = {
+    require(counters + 1 > k, "MG superset guarantee needs counters+1 > k")
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, explode, lit, sum, when}
+    import org.apache.spark.sql.types.DoubleType
+    val cands = t.documents.select(col("lang"), col("source")).as[LangSource]
+      .groupByKey(_.lang)
+      .agg(mgCandidatesOf[LangSource](counters)(_.source).toColumn.name("cands"))
+      .toDF("lang", "cands")
+      .select(col("lang"), explode(col("cands")).as("source"))
+      .withColumn("is_cand", lit(true))
+    // candidates are |groups|·counters rows — no broadcast hint (group
+    // count grows with the corpus; AQE owns the physical strategy)
+    val counts = t.documents
+      .join(cands, Seq("lang", "source"), "left")
+      .groupBy(col("lang"), when(col("is_cand"), col("source")).as("src"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .filter(col("src").isNotNull && col("cnt") * lit(k.toLong) > col("total"))
+      .select(col("lang"), col("src").as("source"), col("cnt"), col("total"),
+        (col("cnt").cast(DoubleType) / col("total").cast(DoubleType)).as("share"))
+  }
+
+  val mgHeavyHittersPerGroupSql: String =
+    """SELECT lang, source, cnt, total,
+      | CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      |FROM (
+      | SELECT lang, source, count(*) AS cnt,
+      |  CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT) AS total
+      | FROM documents GROUP BY 1, 2)
+      |WHERE cnt * 25 > total""".stripMargin.replace("\n", " ")
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
+import graft.io.Tables
 
 class FunctionsSpec extends SparkSuite {
 
@@ -95,6 +96,42 @@ class FunctionsSpec extends SparkSuite {
     for ((id, w) <- Seq((1L, 10L), (42L, 999L), (777L, 1L), (123456789L, 64437L)))
       assert(graft.functions.Aggs.aesKey(id, w) == sqlKeys(id),
         s"scala vs spark-sql key mismatch for id=$id")
+  }
+
+  test("grouped MG candidates: superset guarantee holds under any partitioning, query equals exact") {
+    import spark.implicits._
+    // skewed synthetic group: value "hot" at 40%, "warm" at 12%, 480
+    // singletons — with counters=24 (k=8 threshold 12.5%) hot must
+    // survive, warm must not be REQUIRED to (12% < 1/8), and the
+    // exact recount decides either way
+    val rows = (Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 480).map(i => s"cold$i")).map(v => ("g", v))
+    for (parts <- Seq(1, 13)) {
+      val ds = spark.createDataset(rows.toDS().rdd.repartition(parts))
+        .toDF("lang", "source").as[graft.functions.Aggs.LangSource]
+      val cands = ds.groupByKey(_.lang)
+        .agg(graft.functions.Aggs.mgCandidatesOf[graft.functions.Aggs.LangSource](24)(
+          _.source).toColumn.name("c"))
+        .collect().head._2.toSet
+      assert(cands.contains("hot"), s"parts=$parts: 40% value must survive MG")
+      assert(cands.size <= 24, s"parts=$parts: sketch must stay bounded")
+    }
+    // end-to-end on the documents table vs the exact window form
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val got = graft.functions.Aggs.mgHeavyHittersPerGroup(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val exact = t.documents.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(w))
+      .filter(col("cnt") * 25 > col("total"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == exact)
+    assert(got.nonEmpty)
+    // tightest counter budget the guarantee covers: counters+1 > k
+    val tight = graft.functions.Aggs.mgHeavyHittersPerGroup(t, k = 25, counters = 25)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(tight == exact)
   }
 
   test("top-k buffer ranks NaN first under DESC, like Spark's window sort") {

@@ -28,6 +28,9 @@ ADDENDA = {
     "dedup_incremental_near": 1.40,  # 1.4-2.6 s band; pays shared sig build when first
     "stream_near_dup": 0.90,
     "agg_topk_per_group": 0.40,
+    # round-10 additions (best observed, BASELINE.md r10 section)
+    "corpus_weighted_sample": 0.26,
+    "agg_heavy_hitters_per_group": 0.60,
 }
 
 THRESHOLD = 2.0
