@@ -30,7 +30,7 @@ ADDENDA = {
     "agg_topk_per_group": 0.40,
     # round-10 additions (best observed, BASELINE.md r10 section)
     "corpus_weighted_sample": 0.26,
-    "agg_heavy_hitters_per_group": 0.60,
+    "agg_heavy_hitters_per_group": 0.47,
 }
 
 THRESHOLD = 2.0
