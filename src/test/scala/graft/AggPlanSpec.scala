@@ -1,0 +1,35 @@
+package graft
+
+import graft.io.Tables
+
+/** Physical-shape pins for the round-10 typed-Aggregator queries: both
+  * must plan as ObjectHashAggregate with a partial_ (map-side) stage —
+  * the whole point of the bounded buffers is that they combine before
+  * the exchange — and the MG candidates join must stay hint-free and
+  * never degenerate to a nested loop.
+  */
+class AggPlanSpec extends SparkSuite {
+  private lazy val t = {
+    spark.sparkContext.setLogLevel("WARN")
+    Tables(spark, "/root/testdata/sf0.001")
+  }
+
+  test("grouped MG heavy hitters: partial ObjectHashAggregate, hint-free join, no nested loop") {
+    val df = graft.functions.Aggs.mgHeavyHittersPerGroup(t)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"typed agg missing:\n${plan.take(2000)}")
+    assert(plan.contains("partial_"), "map-side partial aggregation missing")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "candidates recount must be an equi-join")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("resolvedhint"),
+      "candidates table grows with group count — no forced broadcast hint")
+  }
+
+  test("weighted reservoir: partial ObjectHashAggregate (bounded buffer combines map-side)") {
+    val plan = graft.functions.Aggs.weightedSampleQuery(t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"typed agg missing:\n${plan.take(2000)}")
+    assert(plan.contains("partial_"), "map-side partial aggregation missing")
+  }
+}
