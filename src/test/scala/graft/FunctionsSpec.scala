@@ -98,6 +98,36 @@ class FunctionsSpec extends SparkSuite {
         s"scala vs spark-sql key mismatch for id=$id")
   }
 
+  test("property: MG survivors cover every >n/(counters+1) value for random streams and merge shapes") {
+    // the mergeable-summaries guarantee, exercised directly on the
+    // Aggregator's reduce/merge over random data, random chunkings,
+    // and random merge orders (what Spark's partial/final stages do
+    // with arbitrary partition boundaries). counters=15: any value
+    // with true count > n/16 must survive.
+    val agg = graft.functions.Aggs.mgCandidatesOf[String](15)(identity)
+    for (seed <- 0 until 30) {
+      val rnd = new scala.util.Random(seed)
+      val n = 500 + rnd.nextInt(1500)
+      // cubed uniform ~ heavy head: a few values take large shares
+      val vals = Seq.fill(n)(s"v${(math.pow(rnd.nextDouble(), 3) * 50).toInt}")
+      val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var rest = vals
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(200)
+        chunks += rest.take(take)
+        rest = rest.drop(take)
+      }
+      val bufs = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(bufs).reduce(agg.merge)
+      val cands = agg.finish(merged).toSet
+      assert(cands.size <= 15, s"seed=$seed: sketch exceeded its bound")
+      val counts = vals.groupBy(identity).map { case (v, g) => v -> g.size }
+      val mustSurvive = counts.collect { case (v, c) if c.toLong * 16 > n => v }.toSet
+      assert(mustSurvive.subsetOf(cands),
+        s"seed=$seed n=$n: guarantee violated for ${mustSurvive -- cands}")
+    }
+  }
+
   test("grouped MG candidates: superset guarantee holds under any partitioning, query equals exact") {
     import spark.implicits._
     // skewed synthetic group: value "hot" at 40%, "warm" at 12%, 480
