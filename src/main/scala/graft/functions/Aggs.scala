@@ -156,11 +156,23 @@ object Aggs {
     * If a DuckDB upgrade ever breaks the hash, demote the query to
     * rows-only (determinism pin stays — the Spark side is pure).
     */
+  // one digest per thread: aesKey runs per ROW inside the aggregator's
+  // reduce — a fresh MessageDigest (and a hex-string round-trip) per
+  // row is pure allocation overhead at corpus scale
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   def aesKey(id: Long, weight: Long): Double = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
-    val h = java.lang.Long.parseLong(hex, 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(java.lang.Long.toString(id).getBytes("UTF-8"))
+    // first 4 digest bytes as an unsigned 32-bit int — identical to
+    // parsing the first 8 hex chars of the md5 string (big-endian)
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     math.log((h + 0.5) / 4294967296.0) / math.max(weight, 1L)
   }
 
