@@ -113,6 +113,12 @@ def extra_checks(con, out_dir):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # ann_lsh pins DuckDB's list_dot_product accumulation order and
+    # corpus_weighted_sample pins its ln() rounding — if either hash
+    # ever breaks, the version line is the first thing to adjudicate
+    # (see Similarity.annLshSql / Aggs.aesKey scaladoc: demote to
+    # rows-only, don't chase ulps).
+    print(f"oracle engine: duckdb {duckdb.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
