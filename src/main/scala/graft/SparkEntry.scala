@@ -79,6 +79,9 @@ object SparkEntry {
     // per-group Misra-Gries candidates (sketch prunes, exact recount
     // decides) — q51's shape with the driver collect removed entirely
     "agg_heavy_hitters_per_group" -> q(graft.functions.Aggs.mgHeavyHittersPerGroup(_, 25, 64)),
+    // context-window chunking + sharded sequence-packing accounting
+    "corpus_chunk"    -> q(graft.pipeline.CorpusOps.chunk),
+    "corpus_pack"     -> q(graft.pipeline.CorpusOps.pack),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
@@ -212,6 +215,8 @@ object SparkEntry {
     "agg_topk_per_group" -> graft.functions.Aggs.topKPerGroupSql,
     "corpus_weighted_sample" -> graft.functions.Aggs.weightedSampleSql,
     "agg_heavy_hitters_per_group" -> graft.functions.Aggs.mgHeavyHittersPerGroupSql,
+    "corpus_chunk"    -> graft.pipeline.CorpusOps.chunkSql,
+    "corpus_pack"     -> graft.pipeline.CorpusOps.packSql,
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_kept_corpus" -> Dedup.keptCorpusSql,

@@ -377,4 +377,95 @@ object CorpusOps {
       | SELECT source, count(*) AS n_docs,
       |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
       | FROM documents GROUP BY source)""".stripMargin.replace("\n", " ")
+
+  // ---------------------------------------------------- chunk / pack
+
+  /** Tokens per chunk (context-window slice), chunks per doc cap (the
+    * invariant-6 symmetric cap: 128·64 = 8192 token starts covered),
+    * tokens per packed sequence, shard count for packing. */
+  val ChunkTokens = 64
+  val MaxChunksPerDoc = 128
+  val SeqTokens = 256
+  val PackShards = 32
+
+  /** Fixed-token-window chunking — the step that turns documents into
+    * training-sequence pieces. Tokenization is the same unfiltered
+    * space split the n-gram ops use; every doc yields
+    * ceil(n_toks/64) chunks (≥1 — split('') is ['']), capped at 128
+    * chunks mirrored by the oracle's range(0, 128). One narrow
+    * explode per doc — no shuffle at all: chunking is embarrassingly
+    * parallel and stays inside the scan stage at any corpus size.
+    * Output cells are scalars (chunk text via concat_ws, invariant 8).
+    */
+  def chunk(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val C = ChunkTokens
+    t.widen(t.documents)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(expr(s"sequence(0, least((size(toks)+${C - 1}) div $C, $MaxChunksPerDoc) - 1)"))
+          .as("ci"))
+      .select($"doc_id", $"ci".cast("long").as("chunk_idx"), $"toks")
+      .select($"doc_id", $"chunk_idx",
+        expr(s"cast(size(slice(toks, cast(chunk_idx*$C+1 as int), $C)) as bigint)").as("n_toks"),
+        expr(s"concat_ws(' ', slice(toks, cast(chunk_idx*$C+1 as int), $C))").as("chunk_text"))
+  }
+
+  private val chunkSqlCte: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |chunks AS (
+       | SELECT doc_id, toks, CAST(r.range AS BIGINT) AS chunk_idx
+       | FROM d JOIN range(0, $MaxChunksPerDoc) r
+       |  ON r.range < least((len(toks)+${ChunkTokens - 1})//$ChunkTokens, $MaxChunksPerDoc)),
+       |chunked AS (
+       | SELECT doc_id, chunk_idx,
+       |  CAST(len(toks[CAST(chunk_idx*$ChunkTokens+1 AS INT):CAST(chunk_idx*$ChunkTokens+$ChunkTokens AS INT)]) AS BIGINT) AS n_toks,
+       |  array_to_string(toks[CAST(chunk_idx*$ChunkTokens+1 AS INT):CAST(chunk_idx*$ChunkTokens+$ChunkTokens AS INT)], ' ') AS chunk_text
+       | FROM chunks)""".stripMargin
+
+  val chunkSql: String =
+    s"WITH $chunkSqlCte SELECT doc_id, chunk_idx, n_toks, chunk_text FROM chunked"
+      .replace("\n", " ")
+
+  /** Sequence-packing ACCOUNTING: assign every chunk a packed-sequence
+    * id and offset, the way a training pipeline concatenates chunks
+    * into fixed-length context windows. Greedy concatenation is
+    * inherently sequential, so it runs per SHARD — shard =
+    * md5-derived hash of doc_id mod 32, the per-worker packing every
+    * real pipeline does — and within a shard a running token total
+    * over the deterministic (doc_id, chunk_idx) order yields
+    * seq_id = shard·2^20 + start div 256 and seq_off = start mod 256.
+    * All integer arithmetic (invariants 3/12). At 100 TB the shard
+    * count is the parallelism dial (set it ∝ cores): each shard's
+    * window streams one ordered pass over corpus/shards tokens, and
+    * nothing else shuffles. seq_off > 0 rows straddle a boundary iff
+    * the packer would split them — downstream chooses split vs pad;
+    * the accounting is the auditable part.
+    */
+  def pack(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id".asc, $"chunk_idx".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    chunk(t)
+      .withColumn("shard", Dedup.h32($"doc_id".cast("string")) % PackShards)
+      .withColumn("start", sum($"n_toks").over(w) - $"n_toks")
+      .select($"doc_id", $"chunk_idx", $"shard",
+        (($"shard" * lit(1048576L)) + expr(s"start div $SeqTokens")).as("seq_id"),
+        ($"start" % SeqTokens).as("seq_off"))
+  }
+
+  val packSql: String =
+    s"""WITH $chunkSqlCte,
+       |sh AS (SELECT doc_id, chunk_idx, n_toks,
+       |  (${Dedup.sqlH32("CAST(doc_id AS VARCHAR)")} % $PackShards) AS shard
+       | FROM chunked),
+       |p AS (SELECT doc_id, chunk_idx, shard,
+       |  CAST(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id ASC, chunk_idx ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_toks AS start
+       | FROM sh)
+       |SELECT doc_id, chunk_idx, shard,
+       | shard*1048576 + start//$SeqTokens AS seq_id, start%$SeqTokens AS seq_off
+       |FROM p""".stripMargin.replace("\n", " ")
 }

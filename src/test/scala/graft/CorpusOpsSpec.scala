@@ -142,6 +142,52 @@ class CorpusOpsSpec extends SparkSuite {
     assert(leak.map(_._3).sum == graft.dedup.Dedup.minhashLsh(t).count())
   }
 
+  test("chunking: chunks rejoin to the original token stream, counts and caps hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a doc longer than one chunk: 150 tokens -> 3 chunks (64/64/22)
+    val longText = (1 to 150).map(i => s"w$i").mkString(" ")
+    val tl = tempTables { dir =>
+      Seq((7L, longText, "en", "s", 1L), (8L, "short doc", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val chunks = CorpusOps.chunk(tl).orderBy($"doc_id", $"chunk_idx").collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc(7L).length == 3 && byDoc(8L).length == 1)
+    assert(byDoc(7L).map(_.getLong(2)).toSeq == Seq(64L, 64L, 22L))
+    // lossless: concatenating chunk_texts in order rebuilds the doc
+    assert(byDoc(7L).map(_.getString(3)).mkString(" ") == longText)
+    assert(byDoc(8L).head.getString(3) == "short doc")
+  }
+
+  test("packing: offsets stay inside the sequence and are contiguous within a shard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = CorpusOps.pack(t)
+      .join(CorpusOps.chunk(t).select($"doc_id", $"chunk_idx", $"n_toks"),
+        Seq("doc_id", "chunk_idx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    for ((_, _, shard, seqId, off, _) <- rows) {
+      assert(off >= 0 && off < CorpusOps.SeqTokens)
+      assert(seqId / 1048576 == shard, "seq_id must encode its shard")
+    }
+    // within a shard, running offsets are exactly the cumulative token
+    // count: replay each shard's (doc_id, chunk_idx) order and check
+    for ((shard, rs) <- rows.groupBy(_._3)) {
+      var cum = 0L
+      for ((_, _, _, seqId, off, nToks) <- rs.sortBy(r => (r._1, r._2))) {
+        assert(seqId == shard * 1048576L + cum / CorpusOps.SeqTokens,
+          s"shard $shard: seq_id drifted from the running total")
+        assert(off == cum % CorpusOps.SeqTokens)
+        cum += nToks
+      }
+    }
+  }
+
   test("curated pass composes dedup, repetition filter, decontamination, sampling") {
     val curated = CorpusOps.curated(t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
