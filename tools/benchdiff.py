@@ -31,6 +31,8 @@ ADDENDA = {
     # round-10 additions (best observed, BASELINE.md r10 section)
     "corpus_weighted_sample": 0.26,
     "agg_heavy_hitters_per_group": 0.47,
+    "corpus_chunk": 0.30,
+    "corpus_pack": 0.21,
 }
 
 THRESHOLD = 2.0
