@@ -32,4 +32,22 @@ class AggPlanSpec extends SparkSuite {
     assert(plan.contains("ObjectHashAggregate"), s"typed agg missing:\n${plan.take(2000)}")
     assert(plan.contains("partial_"), "map-side partial aggregation missing")
   }
+
+  test("chunking shuffles nothing; packing shuffles once, on the shard key") {
+    // chunk = per-doc explode: the only exchange allowed is widen's
+    // round-robin split of the single-file local scan — never a hash
+    // partitioning (chunking has no key)
+    val chunkPlan = graft.pipeline.CorpusOps.chunk(t)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("hashpartitioning"),
+      s"chunking must not shuffle on any key:\n$chunkPlan")
+    // pack = chunk + one running-total window per shard: exactly one
+    // hash exchange, and it partitions on shard (the parallelism dial)
+    val packPlan = graft.pipeline.CorpusOps.pack(t)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "hashpartitioning\\(shard".r.findAllIn(packPlan).length
+    assert(hashExchanges >= 1, s"pack's window must partition on shard:\n$packPlan")
+    assert("hashpartitioning\\((?!shard)".r.findFirstIn(packPlan).isEmpty,
+      s"pack must not shuffle on any key but shard:\n$packPlan")
+  }
 }
