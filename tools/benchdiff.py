@@ -22,18 +22,12 @@ import sys
 # behave like a normal unix filter under `| head`
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
-# Queries whose floor is recorded in BASELINE.md prose (round-9 closing
-# sections) rather than in the floor table. Best observed idle values.
-ADDENDA = {
-    "dedup_incremental_near": 1.40,  # 1.4-2.6 s band; pays shared sig build when first
-    "stream_near_dup": 0.90,
-    "agg_topk_per_group": 0.40,
-    # round-10 additions (best observed, BASELINE.md r10 section)
-    "corpus_weighted_sample": 0.26,
-    "agg_heavy_hitters_per_group": 0.47,
-    "corpus_chunk": 0.30,
-    "corpus_pack": 0.21,
-}
+# Queries whose floor is recorded only in BASELINE.md prose, not in any
+# "### Per-query best-of floor" table (the parser takes the LAST table
+# value per query, so a newer table supersedes older ones). Empty since
+# the round-10 99-query table covers the full suite; add entries here
+# for queries newer than the newest table.
+ADDENDA = {}
 
 THRESHOLD = 2.0
 
@@ -41,16 +35,20 @@ THRESHOLD = 2.0
 def parse_floor(baseline_path):
     floor = {}
     in_table = False
+    rows_in_table = 0
     with open(baseline_path) as f:
         for line in f:
             if line.startswith("### Per-query best-of floor"):
                 in_table = True
+                rows_in_table = 0
                 continue
             if in_table:
                 m = re.match(r"\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
                 if m:
+                    # later tables overwrite earlier ones: newest wins
                     floor[m.group(1)] = float(m.group(2))
-                elif floor and not line.strip().startswith("|"):
+                    rows_in_table += 1
+                elif rows_in_table and not line.strip().startswith("|"):
                     in_table = False
     floor.update(ADDENDA)
     return floor
