@@ -388,6 +388,13 @@ object CorpusOps {
   val SeqTokens = 256
   val PackShards = 32
 
+  /** seq_id = shard·stride + local sequence index. 2^40 local ids per
+    * shard = 2^40·256 ≈ 2.8e14 tokens per shard before collision —
+    * comfortably above a 100 TB corpus divided across any shard count
+    * (2^20 would overflow at ~268M tokens/shard, i.e. immediately at
+    * scale); 32·2^40 still sits far inside Long range. */
+  val SeqIdStride = 1L << 40
+
   /** Fixed-token-window chunking — the step that turns documents into
     * training-sequence pieces. Tokenization is the same unfiltered
     * space split the n-gram ops use; every doc yields
@@ -434,7 +441,8 @@ object CorpusOps {
     * md5-derived hash of doc_id mod 32, the per-worker packing every
     * real pipeline does — and within a shard a running token total
     * over the deterministic (doc_id, chunk_idx) order yields
-    * seq_id = shard·2^20 + start div 256 and seq_off = start mod 256.
+    * seq_id = shard·[[SeqIdStride]] + start div 256 and
+    * seq_off = start mod 256.
     * All integer arithmetic (invariants 3/12). At 100 TB the shard
     * count is the parallelism dial (set it ∝ cores): each shard's
     * window streams one ordered pass over corpus/shards tokens, and
@@ -452,7 +460,7 @@ object CorpusOps {
       .withColumn("shard", Dedup.h32($"doc_id".cast("string")) % PackShards)
       .withColumn("start", sum($"n_toks").over(w) - $"n_toks")
       .select($"doc_id", $"chunk_idx", $"shard",
-        (($"shard" * lit(1048576L)) + expr(s"start div $SeqTokens")).as("seq_id"),
+        (($"shard" * lit(SeqIdStride)) + expr(s"start div $SeqTokens")).as("seq_id"),
         ($"start" % SeqTokens).as("seq_off"))
   }
 
@@ -466,6 +474,6 @@ object CorpusOps {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_toks AS start
        | FROM sh)
        |SELECT doc_id, chunk_idx, shard,
-       | shard*1048576 + start//$SeqTokens AS seq_id, start%$SeqTokens AS seq_off
+       | shard*$SeqIdStride + start//$SeqTokens AS seq_id, start%$SeqTokens AS seq_off
        |FROM p""".stripMargin.replace("\n", " ")
 }

@@ -173,14 +173,14 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows.nonEmpty)
     for ((_, _, shard, seqId, off, _) <- rows) {
       assert(off >= 0 && off < CorpusOps.SeqTokens)
-      assert(seqId / 1048576 == shard, "seq_id must encode its shard")
+      assert(seqId / CorpusOps.SeqIdStride == shard, "seq_id must encode its shard")
     }
     // within a shard, running offsets are exactly the cumulative token
     // count: replay each shard's (doc_id, chunk_idx) order and check
     for ((shard, rs) <- rows.groupBy(_._3)) {
       var cum = 0L
       for ((_, _, _, seqId, off, nToks) <- rs.sortBy(r => (r._1, r._2))) {
-        assert(seqId == shard * 1048576L + cum / CorpusOps.SeqTokens,
+        assert(seqId == shard * CorpusOps.SeqIdStride + cum / CorpusOps.SeqTokens,
           s"shard $shard: seq_id drifted from the running total")
         assert(off == cum % CorpusOps.SeqTokens)
         cum += nToks
