@@ -49,5 +49,9 @@ class AggPlanSpec extends SparkSuite {
     assert(hashExchanges >= 1, s"pack's window must partition on shard:\n$packPlan")
     assert("hashpartitioning\\((?!shard)".r.findFirstIn(packPlan).isEmpty,
       s"pack must not shuffle on any key but shard:\n$packPlan")
+    // pack reuses chunk() but never reads chunk_text — Catalyst must
+    // prune the concat_ws reconstruction out of the packing plan
+    assert(!packPlan.contains("concat_ws"),
+      s"unused chunk_text must be pruned from pack's plan:\n$packPlan")
   }
 }
