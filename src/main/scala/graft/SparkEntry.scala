@@ -81,7 +81,7 @@ object SparkEntry {
     "agg_heavy_hitters_per_group" -> q(graft.functions.Aggs.mgHeavyHittersPerGroup(_, 25, 64)),
     // context-window chunking + sharded sequence-packing accounting
     "corpus_chunk"    -> q(graft.pipeline.CorpusOps.chunk),
-    "corpus_pack"     -> q(graft.pipeline.CorpusOps.pack),
+    "corpus_pack"     -> q(graft.pipeline.CorpusOps.pack(_)),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),

@@ -438,26 +438,44 @@ object CorpusOps {
     * id and offset, the way a training pipeline concatenates chunks
     * into fixed-length context windows. Greedy concatenation is
     * inherently sequential, so it runs per SHARD — shard =
-    * md5-derived hash of doc_id mod 32, the per-worker packing every
-    * real pipeline does — and within a shard a running token total
+    * md5-derived hash of doc_id mod `shards` (default
+    * [[PackShards]] = 32), the per-worker packing every real
+    * pipeline does — and within a shard a running token total
     * over the deterministic (doc_id, chunk_idx) order yields
     * seq_id = shard·[[SeqIdStride]] + start div 256 and
     * seq_off = start mod 256.
-    * All integer arithmetic (invariants 3/12). At 100 TB the shard
-    * count is the parallelism dial (set it ∝ cores): each shard's
-    * window streams one ordered pass over corpus/shards tokens, and
-    * nothing else shuffles. seq_off > 0 rows straddle a boundary iff
-    * the packer would split them — downstream chooses split vs pad;
-    * the accounting is the auditable part.
+    * All integer arithmetic (invariants 3/12). `shards` is the 100 TB
+    * parallelism dial, and the cost model is stark: each shard's
+    * window streams corpus/shards tokens through ONE task in one
+    * ordered pass — at 100 TB, shards=32 means ~3 TB per task, so set
+    * shards ∝ total cores (e.g. 4–8× the executor-core count) to keep
+    * per-task volume in the tens-of-GB range. Nothing else shuffles.
+    * seq_id values depend on the shard count (shard mod + stride), so
+    * a given corpus+shards pair is reproducible but different shards
+    * values are not comparable; the registered `corpus_pack` oracle
+    * is pinned at the default 32.
+    * seq_off > 0 rows straddle a boundary iff the packer would split
+    * them — downstream chooses split vs pad; the accounting is the
+    * auditable part.
+    * Deliberately RECOMPUTES [[chunk]] rather than caching it:
+    * chunking is a zero-shuffle per-row explode that fuses into the
+    * scan stage, and pack's plan prunes `chunk_text` (pinned by
+    * CorpusOpsSpec), so the recompute reads only doc_id+text once —
+    * whereas caching chunk's output would materialize the whole
+    * corpus text a second time (chunk_text ≈ the corpus) for no
+    * saved shuffle. Cheaper to recompute at every scale.
     */
-  def pack(t: Tables): DataFrame = {
+  def pack(t: Tables, shards: Int = PackShards): DataFrame = {
+    require(shards > 0 && shards.toLong * SeqIdStride > 0 &&
+      shards.toLong <= (Long.MaxValue / SeqIdStride),
+      s"shards must be in [1, ${Long.MaxValue / SeqIdStride}] to keep seq_id inside Long")
     import t.spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"shard").orderBy($"doc_id".asc, $"chunk_idx".asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     chunk(t)
-      .withColumn("shard", Dedup.h32($"doc_id".cast("string")) % PackShards)
+      .withColumn("shard", Dedup.h32($"doc_id".cast("string")) % shards)
       .withColumn("start", sum($"n_toks").over(w) - $"n_toks")
       .select($"doc_id", $"chunk_idx", $"shard",
         (($"shard" * lit(SeqIdStride)) + expr(s"start div $SeqTokens")).as("seq_id"),

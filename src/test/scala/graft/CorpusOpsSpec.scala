@@ -188,6 +188,34 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("packing: non-default shard count re-buckets but keeps per-shard running totals exact") {
+    import spark.implicits._
+    val shards = 5 // deliberately != PackShards
+    val rows = CorpusOps.pack(t, shards)
+      .join(CorpusOps.chunk(t).select($"doc_id", $"chunk_idx", $"n_toks"),
+        Seq("doc_id", "chunk_idx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 >= 0 && r._3 < shards), "shard = h32(doc_id) mod shards")
+    for ((shard, rs) <- rows.groupBy(_._3)) {
+      var cum = 0L
+      for ((_, _, _, seqId, off, nToks) <- rs.sortBy(r => (r._1, r._2))) {
+        assert(seqId == shard * CorpusOps.SeqIdStride + cum / CorpusOps.SeqTokens)
+        assert(off == cum % CorpusOps.SeqTokens)
+        cum += nToks
+      }
+    }
+    // the dial is real: a different shard count must move at least one
+    // chunk's shard assignment on this 4-doc corpus
+    val defaultShards = CorpusOps.pack(t).select($"doc_id", $"shard").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val movedAny = rows.exists { case (doc, _, shard, _, _, _) => defaultShards(doc) != shard }
+    assert(movedAny, "expected some doc to land in a different shard under shards=5")
+    intercept[IllegalArgumentException] { CorpusOps.pack(t, 0) }
+  }
+
   test("curated pass composes dedup, repetition filter, decontamination, sampling") {
     val curated = CorpusOps.curated(t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
