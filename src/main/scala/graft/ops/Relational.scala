@@ -1141,16 +1141,21 @@ object Relational {
     * cardinality, where q50's exact groupBy would shuffle billions of
     * group rows. Two passes:
     *
-    *  1. Candidate generation: per-partition Misra-Gries with
-    *     `counters` counters (one imperative in-partition pass — the
-    *     one genuine mapPartitions case, like Multimodal's decoder).
-    *     MG guarantees any value with local count > n_p/(counters+1)
-    *     survives its partition, so by pigeonhole any GLOBAL heavy
-    *     hitter (count > n/(counters+1) ≥ n/k when counters+1 ≥ k)
-    *     survives in at least one partition: the union of survivors is
-    *     a SUPERSET of the answer, bounded at P·counters keys — the
-    *     driver collect is bounded by topology, not data (same
-    *     argument as the Bloom bitmap / IVF centroid fetch).
+    *  1. Candidate generation: the mergeable Misra-Gries Aggregator
+    *     shared with [[graft.functions.Aggs.mgCandidatesOf]] (one MG
+    *     implementation in the repo), run as a single GLOBAL
+    *     aggregation: partial buffers of ≤`counters` entries combine
+    *     map-side (ObjectHashAggregate), merge into one final sketch,
+    *     and the driver fetches ONE row of at most `counters`
+    *     candidates — bounded by the sketch size itself, tighter than
+    *     a per-partition P·counters union (same topology-bound-collect
+    *     argument as the Bloom bitmap / IVF centroid fetch). The
+    *     mergeable-MG bound (Agarwal et al., PODS'12) caps total
+    *     undercount at n/(counters+1), so any value with count >
+    *     n/k survives when counters+1 ≥ k: the candidate set is a
+    *     SUPERSET of the answer regardless of partitioning or merge
+    *     order (property-tested in FunctionsSpec over random
+    *     chunkings and merge shapes — exactly this path).
     *  2. Exact confirmation: one map-side-combinable groupBy where
     *     non-candidates collapse into a single null bucket (so the
     *     grand total still covers every row), then the q50 integer
@@ -1163,21 +1168,9 @@ object Relational {
     import t.spark.implicits._
     require(counters >= k, "MG superset guarantee needs counters+1 >= k")
     val types = t.widen(t.events.select($"event_type")).as[String]
-    val survivors = types.rdd.mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { v =>
-        m.get(v) match {
-          case Some(c) => m(v) = c + 1
-          case None if m.size < counters => m(v) = 1L
-          case None => // decrement-all step: drop keys hitting zero
-            val dead = m.iterator.collect { case (key, 1L) => key }.toList
-            m.mapValuesInPlace((_, c) => c - 1)
-            dead.foreach(m.remove)
-        }
-      }
-      m.keysIterator
-    }.collect()
-    val cands = survivors.toSet
+    val cands = types
+      .select(graft.functions.Aggs.mgCandidatesOf[String](counters)(identity).toColumn)
+      .head().toSet
     val counts = t.events
       .groupBy(when($"event_type".isin(cands.toSeq: _*), $"event_type")
         .as("etype"))

@@ -102,8 +102,10 @@ class FunctionsSpec extends SparkSuite {
     // the mergeable-summaries guarantee, exercised directly on the
     // Aggregator's reduce/merge over random data, random chunkings,
     // and random merge orders (what Spark's partial/final stages do
-    // with arbitrary partition boundaries). counters=15: any value
-    // with true count > n/16 must survive.
+    // with arbitrary partition boundaries) — this is the exact path
+    // q51HeavyHittersSketch's single-global-group aggregation takes
+    // as well as mgHeavyHittersPerGroup's per-group one. counters=15:
+    // any value with true count > n/16 must survive.
     val agg = graft.functions.Aggs.mgCandidatesOf[String](15)(identity)
     for (seed <- 0 until 30) {
       val rnd = new scala.util.Random(seed)

@@ -88,8 +88,9 @@ def main():
 
     total = sum(queries.values())
     floor_total = sum(fl for _, _, _, fl in rows)
-    print(f"\n{'TOTAL (common queries)':34s} {total - sum(queries[m] for m in missing):8.2f} "
-          f"{floor_total:8.2f} {((total - sum(queries[m] for m in missing)) / floor_total):6.2f}x")
+    if rows:  # a floor table with zero shared query names would divide by 0
+        print(f"\n{'TOTAL (common queries)':34s} {total - sum(queries[m] for m in missing):8.2f} "
+              f"{floor_total:8.2f} {((total - sum(queries[m] for m in missing)) / floor_total):6.2f}x")
     if missing:
         print(f"no floor entry (new queries?): {', '.join(sorted(missing))}")
 
