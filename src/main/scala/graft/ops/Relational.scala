@@ -1166,7 +1166,7 @@ object Relational {
     */
   def q51HeavyHittersSketch(t: Tables, k: Int = 10, counters: Int = 64): DataFrame = {
     import t.spark.implicits._
-    require(counters >= k, "MG superset guarantee needs counters+1 >= k")
+    require(counters + 1 > k, "MG superset guarantee needs counters+1 > k")
     val types = t.widen(t.events.select($"event_type")).as[String]
     val cands = types
       .select(graft.functions.Aggs.mgCandidatesOf[String](counters)(identity).toColumn)

@@ -86,6 +86,15 @@ def main():
             flagged.append(name)
         print(f"{name:34s} {sec:8.2f} {fl:8.2f} {ratio:6.2f}x{mark}")
 
+    if not rows:
+        # Zero shared query names means nothing was compared at all —
+        # an "all within 2x" verdict here would mask a wholly-uncompared
+        # run (renamed queries, wrong baseline file). Fail loudly.
+        print(f"ERROR: no bench query names intersect the floor table "
+              f"({len(queries)} bench queries, {len(floor)} floor entries) — "
+              f"nothing compared.", file=sys.stderr)
+        return 2
+
     total = sum(queries.values())
     floor_total = sum(fl for _, _, _, fl in rows)
     if rows:  # a floor table with zero shared query names would divide by 0

@@ -35,79 +35,128 @@ def cmp_cell(a, b):
     return a == b
 
 
+def _band_q27(con, out_dir, name):
+    """HLL within 5% of the exact distinct counts (rsd=0.02, so 5% is a
+    loose roof)."""
+    got = con.execute(
+        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+    exact_parts, exact_orders = con.execute(
+        "SELECT count(DISTINCT l_partkey), count(DISTINCT l_orderkey) "
+        "FROM lineitem").fetchone()
+    ok = True
+    for col_name, exact in [("approx_parts", exact_parts),
+                            ("approx_orders", exact_orders)]:
+        approx = int(got[col_name].iloc[0])
+        err = abs(approx - exact) / exact
+        if err > 0.05:
+            print(f"FAIL {name}[band]: {col_name}={approx} "
+                  f"vs exact {exact} ({err:.1%} > 5%)")
+            ok = False
+    if ok:
+        print(f"PASS {name}[band] (HLL within 5% of exact)")
+    return ok
+
+
+def _band_q40(con, out_dir, name):
+    """Each quantile is a real element of its group whose rank sits in
+    a small band of the target rank (accuracy=10000 -> rank error well
+    under n/1000 at any local SF)."""
+    got = con.execute(
+        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+    ok = True
+    for _, row in got.iterrows():
+        grp = row["o_orderpriority"]
+        vals = [v[0] for v in con.execute(
+            "SELECT o_totalprice FROM orders WHERE o_orderpriority = ? "
+            "ORDER BY o_totalprice", [grp]).fetchall()]
+        n = len(vals)
+        tol = max(2, n // 1000 + 1)  # rank-error roof for accuracy=10000
+        for col_name, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75)]:
+            v = float(row[col_name])
+            if v not in vals:
+                print(f"FAIL {name}[band]: {grp} {col_name}={v} "
+                      f"is not an element of the group (sketch must return "
+                      f"real data points)")
+                ok = False
+                continue
+            # rank band: count of elements <= v must straddle q*n
+            rank_hi = sum(1 for x in vals if x <= v)
+            rank_lo = sum(1 for x in vals if x < v) + 1
+            target = q * n
+            if rank_hi < target - tol or rank_lo > target + tol:
+                print(f"FAIL {name}[band]: {grp} {col_name}={v} "
+                      f"rank [{rank_lo},{rank_hi}] vs target {target:.0f}±{tol}")
+                ok = False
+    if ok:
+        print(f"PASS {name}[band] (quantiles in exact rank band)")
+    return ok
+
+
+def _band_ivf_recall(con, out_dir, name):
+    """IVF pair recall vs the oracle-green label-blocked baseline: the
+    fraction of dedup_embedding's (id_a, id_b) pairs the cell-blocked
+    variant also finds must be >= 0.9 (the same floor AnnRecallSpec
+    pins for the 4-assign default). The baseline output is hash-checked
+    by the main loop, so this band rides an already-verified anchor."""
+    base = f"{out_dir}/dedup_embedding"
+    if not glob.glob(f"{base}/*.parquet"):
+        print(f"FAIL {name}[band]: baseline dedup_embedding output missing "
+              f"at {base} — recall has no anchor")
+        return False
+    exact = {tuple(r) for r in con.execute(
+        f"SELECT id_a, id_b FROM read_parquet('{base}/*.parquet')").fetchall()}
+    found = {tuple(r) for r in con.execute(
+        f"SELECT id_a, id_b FROM read_parquet('{out_dir}/{name}/*.parquet')"
+    ).fetchall()}
+    if not exact:
+        print(f"FAIL {name}[band]: baseline pair set is empty")
+        return False
+    recall = len(exact & found) / len(exact)
+    if recall < 0.9:
+        print(f"FAIL {name}[band]: pair recall {recall:.3f} < 0.9 "
+              f"({len(exact & found)}/{len(exact)} baseline pairs found)")
+        return False
+    print(f"PASS {name}[band] (pair recall {recall:.3f} >= 0.9, "
+          f"{len(exact)} baseline pairs)")
+    return True
+
+
+# Rows-only queries and their local value checks, keyed by output-dir
+# name. extra_checks REQUIRES each registered dir to exist: renaming a
+# query without updating this table fails loudly instead of silently
+# skipping the band check (round-10 verdict item). ann_ivf and
+# text_rolling_hash carry no band here — their value pins live in
+# AnnRecallSpec / RollingHashSpec, and determinism in tools/determinism.py.
+BAND_CHECKS = {
+    "q27_approx_distinct": _band_q27,
+    "q40_approx_quantile": _band_q40,
+    "dedup_embedding_ivf": _band_ivf_recall,
+}
+
+
 def extra_checks(con, out_dir):
     """Bounded-error value checks for the rows-only sketch queries.
 
-    q27 (HLL) and q40 (percentile_approx) have no DuckDB oracle —
-    sketch internals are engine-specific — so the hash gate only sees
-    row counts. Both are deterministic, though, and DuckDB can compute
-    exact companions: assert q27 lands within 5% of the exact distinct
-    counts (rsd=0.02, so 5% is a loose roof) and that each q40 quantile
-    is an actual element of its group whose rank sits within a small
-    band of the target rank (accuracy=10000 -> rank error well under
-    n/1000 at any local SF). A silent sketch regression can no longer
-    hide behind "rows-only".
-    Returns (n_pass, n_fail); skips silently if the outputs are absent
-    (e.g. a partial Verify run).
+    These have no DuckDB oracle — sketch/quantizer internals are
+    engine-specific — so the driver's hash gate only sees row counts.
+    All are deterministic, though, and DuckDB (or an oracle-green
+    sibling output) can compute exact companions. A silent sketch
+    regression can no longer hide behind "rows-only", and a missing
+    registered output dir is a FAILURE, not a skip.
+    Returns (n_pass, n_fail).
     """
     n_pass = n_fail = 0
-
-    p27 = f"{out_dir}/q27_approx_distinct"
-    if glob.glob(f"{p27}/*.parquet"):
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{p27}/*.parquet')").df()
-        exact_parts, exact_orders = con.execute(
-            "SELECT count(DISTINCT l_partkey), count(DISTINCT l_orderkey) "
-            "FROM lineitem").fetchone()
-        ok = True
-        for col_name, exact in [("approx_parts", exact_parts),
-                                ("approx_orders", exact_orders)]:
-            approx = int(got[col_name].iloc[0])
-            err = abs(approx - exact) / exact
-            if err > 0.05:
-                print(f"FAIL q27_approx_distinct[band]: {col_name}={approx} "
-                      f"vs exact {exact} ({err:.1%} > 5%)")
-                ok = False
-        if ok:
-            print("PASS q27_approx_distinct[band] (HLL within 5% of exact)")
+    for name, fn in sorted(BAND_CHECKS.items()):
+        if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+            print(f"FAIL {name}[band]: no output at {out_dir}/{name} — "
+                  f"band-checked query missing (renamed? update "
+                  f"BAND_CHECKS in tools/check.py)")
+            n_fail += 1
+            continue
+        if fn(con, out_dir, name):
             n_pass += 1
         else:
             n_fail += 1
-
-    p40 = f"{out_dir}/q40_approx_quantile"
-    if glob.glob(f"{p40}/*.parquet"):
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{p40}/*.parquet')").df()
-        ok = True
-        for _, row in got.iterrows():
-            grp = row["o_orderpriority"]
-            vals = [v[0] for v in con.execute(
-                "SELECT o_totalprice FROM orders WHERE o_orderpriority = ? "
-                "ORDER BY o_totalprice", [grp]).fetchall()]
-            n = len(vals)
-            tol = max(2, n // 1000 + 1)  # rank-error roof for accuracy=10000
-            for col_name, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75)]:
-                v = float(row[col_name])
-                if v not in vals:
-                    print(f"FAIL q40_approx_quantile[band]: {grp} {col_name}={v} "
-                          f"is not an element of the group (sketch must return "
-                          f"real data points)")
-                    ok = False
-                    continue
-                # rank band: count of elements <= v must straddle q*n
-                rank_hi = sum(1 for x in vals if x <= v)
-                rank_lo = sum(1 for x in vals if x < v) + 1
-                target = q * n
-                if rank_hi < target - tol or rank_lo > target + tol:
-                    print(f"FAIL q40_approx_quantile[band]: {grp} {col_name}={v} "
-                          f"rank [{rank_lo},{rank_hi}] vs target {target:.0f}±{tol}")
-                    ok = False
-        if ok:
-            print("PASS q40_approx_quantile[band] (quantiles in exact rank band)")
-            n_pass += 1
-        else:
-            n_fail += 1
-
     return n_pass, n_fail
 
 
