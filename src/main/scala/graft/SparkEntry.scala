@@ -82,6 +82,11 @@ object SparkEntry {
     // context-window chunking + sharded sequence-packing accounting
     "corpus_chunk"    -> q(graft.pipeline.CorpusOps.chunk),
     "corpus_pack"     -> q(graft.pipeline.CorpusOps.pack(_)),
+    // stride-scheduled deterministic interleave of the mixture draws
+    "corpus_mixture_interleave" -> q(graft.functions.Aggs.mixtureInterleaveQuery(_)),
+    // cross-document boilerplate-line profile (line-df twin of
+    // text_repetition: groupBy(line)+countDistinct+join-back)
+    "corpus_boilerplate" -> q(graft.pipeline.CorpusOps.boilerplate(_)),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
@@ -217,6 +222,8 @@ object SparkEntry {
     "agg_heavy_hitters_per_group" -> graft.functions.Aggs.mgHeavyHittersPerGroupSql,
     "corpus_chunk"    -> graft.pipeline.CorpusOps.chunkSql,
     "corpus_pack"     -> graft.pipeline.CorpusOps.packSql,
+    "corpus_mixture_interleave" -> graft.functions.Aggs.mixtureInterleaveSql,
+    "corpus_boilerplate" -> graft.pipeline.CorpusOps.boilerplateSql,
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_kept_corpus" -> Dedup.keptCorpusSql,

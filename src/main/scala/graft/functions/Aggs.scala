@@ -216,11 +216,70 @@ object Aggs {
       | FROM documents)
       |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
 
+  /** Deterministic training-stream interleave of the mixture draws —
+    * orders [[weightedSampleQuery]]-style per-language draws (k per
+    * stratum via the same bounded A-ES Aggregator) into ONE
+    * reproducible stream by stride scheduling (Waldspurger & Weihl,
+    * OSDI'94): each language gets an integer weight w ∈ [1,9]
+    * (hash-derived here, a mixing config in production) and a stride
+    * 2520/w — 2520 = lcm(1..9), so the division is EXACT integer
+    * arithmetic, no float near the ordering — and the r-th draw of a
+    * language emits at stream_key = r·stride. Sorting by
+    * (stream_key, lang, doc_id) gives the stride-scheduling
+    * guarantee: until a stratum exhausts its k draws, every prefix of
+    * the stream holds each language within one draw of its
+    * w-proportional share — a reproducible curriculum mix with zero
+    * RNG state, re-runnable byte-identically on any engine.
+    *
+    * Scale shape: the input is k·|langs| rows BY CONSTRUCTION (the
+    * O(k) map-side-combinable sample buffer), so the single global
+    * row_number runs over group-cardinality rows — the same
+    * bounded-window argument as the grand-total windows, not a
+    * data-sized sort. The [[aesKey]] ln caveat rides along unchanged
+    * (ordering only, hash-validated vs DuckDB; if an engine upgrade
+    * flips a boundary pair, demote to rows-only, don't chase ulps).
+    */
+  def mixtureInterleaveQuery(t: Tables, k: Int = 40): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{expr, posexplode, row_number}
+    val draws = t.documents
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .as[DocSlice]
+      .groupByKey(_.lang)
+      .agg(weightedSampleOf[DocSlice](k)(_.n_chars, _.doc_id).toColumn.name("picked"))
+      .toDF("lang", "picked")
+      .select(col("lang"), posexplode(col("picked")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("doc_id"))
+    val keyed = draws
+      .withColumn("w", graft.dedup.Dedup.h32(col("lang")) % 9 + 1)
+      .withColumn("stream_key", expr("rnk * (2520 div w)"))
+    keyed
+      .select(
+        row_number().over(Window.orderBy(col("stream_key"), col("lang"), col("doc_id")))
+          .cast("long").as("pos"),
+        col("lang"), col("rnk"), col("doc_id"), col("stream_key"))
+  }
+
+  val mixtureInterleaveSql: String =
+    """WITH draws AS (SELECT lang, rnk, doc_id FROM (
+      |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      |   ORDER BY ln((('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT + 0.5)
+      |     / 4294967296.0) / greatest(n_chars, 1) DESC, doc_id ASC) AS rnk
+      |  FROM documents) WHERE rnk <= 40),
+      |k AS (SELECT lang, rnk, doc_id,
+      |  rnk * (2520 // (('0x'||substr(md5(lang),1,8))::BIGINT % 9 + 1)) AS stream_key
+      | FROM draws)
+      |SELECT row_number() OVER (ORDER BY stream_key, lang, doc_id) AS pos,
+      | lang, rnk, doc_id, stream_key FROM k""".stripMargin.replace("\n", " ")
+
   /** Mergeable Misra-Gries heavy-hitter CANDIDATES per group — the
-    * fully-distributed sibling of q51's per-partition MG: there the
-    * bounded survivor set is collected on the driver; here the sketch
-    * IS the aggregation buffer, so candidates stay a column and
-    * nothing ever leaves the executors. Buffer = at most `counters`
+    * ONE MG implementation in the repo: q51 runs this same Aggregator
+    * as a single global group (one ≤`counters`-entry row fetched on
+    * the driver), and [[mgHeavyHittersPerGroup]] runs it grouped, so
+    * candidates stay a column and nothing data-sized ever leaves the
+    * executors. Buffer = at most `counters`
     * (value, residual-count) entries; reduce inserts one value, merge
     * sums two sketches, and both prune by subtracting the
     * (counters+1)-th largest count from every entry and dropping the
@@ -235,8 +294,7 @@ object Aggs {
     * the grouped heavy-hitter profile (per-language hot sources,
     * per-tenant hot keys) costs one map-side-combinable pass plus a
     * candidates-sized recount join, with NO driver round-trip even
-    * when the GROUP count itself is unbounded (q51's collect is
-    * bounded by P·counters; this removes it entirely).
+    * when the GROUP count itself is unbounded.
     */
   def mgCandidatesOf[T](counters: Int)(value: T => String): Aggregator[T, Map[String, Long], Seq[String]] =
     new Aggregator[T, Map[String, Long], Seq[String]] {

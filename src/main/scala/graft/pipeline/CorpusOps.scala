@@ -83,6 +83,74 @@ object CorpusOps {
        | CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac
        |FROM ga JOIN wa ON ga.doc_id = wa.doc_id""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------ boilerplate lines
+
+  /** Non-overlapping line width (words) and the per-doc line cap —
+    * the cap mirrors the oracle's range(1, MaxLines+1) table exactly
+    * (invariant 6's symmetric-cap discipline; 1024 lines × 8 words
+    * covers the same 8192-word prefix as the frame cap).
+    */
+  private val LineWidth = 8
+  private val MaxLines = 1024
+
+  /** Non-overlapping LineWidth-word segments, 1-based slice starts. */
+  private def lineExpr: String =
+    s"transform(sequence(1, least((size(split(text, ' ')) + ${LineWidth - 1}) div $LineWidth, $MaxLines)), " +
+      s"j -> concat_ws(' ', slice(split(text, ' '), (j-1)*$LineWidth+1, $LineWidth)))"
+
+  /** Cross-document boilerplate-line profile — the line-level df twin
+    * of [[repetition]]: where repetition scores WITHIN-doc redundancy
+    * (Gopher-style dup-gram fractions), this scores repeats ACROSS
+    * documents — headers, footers, license blurbs, nav chrome: the
+    * web-corpus noise a curation pass strips before training. The
+    * corpus has no newlines, so "lines" are the non-overlapping
+    * [[LineWidth]]-word segments of each document (the same
+    * fixed-width-span convention as dedup_substring), capped at
+    * [[MaxLines]] per doc symmetrically with the oracle.
+    *
+    * Shape: one explode (≤MaxLines rows/doc) → line document-frequency
+    * via groupBy(line) + countDistinct(doc_id) + join-back (the df
+    * rule: both agg phases map-side combinable; never a
+    * count-over-window, which would pin a hot line's rows to one
+    * partition) → one doc-keyed agg. At 100 TB a hot boilerplate line
+    * (one footer in 1e8 docs) skews the join-back on `line`, but the
+    * df side has ONE row per distinct line, so AQE's skew-join split
+    * applies cleanly — the join only fans out line instances, never
+    * line×line pairs. Output is one row per doc: line count, how many
+    * of its lines are corpus-boilerplate (df ≥ minDf distinct docs),
+    * the max df any of its lines reaches, and the boilerplate
+    * fraction (one IEEE division of exact integers, invariant 3).
+    */
+  def boilerplate(t: Tables, minDf: Int = 2): DataFrame = {
+    import t.spark.implicits._
+    val lines = t.widen(t.documents)
+      .select($"doc_id", explode(expr(lineExpr)).as("line"))
+    val df = lines.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("line_df"))
+    lines.join(df, "line")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when($"line_df" >= minDf, 1L).otherwise(0L)).as("n_boiler"),
+        max($"line_df").as("max_line_df"))
+      .select($"doc_id", $"n_lines", $"n_boiler", $"max_line_df",
+        ($"n_boiler".cast(DoubleType) / $"n_lines").as("boiler_frac"))
+  }
+
+  val boilerplateSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |l AS (SELECT doc_id, array_to_string(
+       |   toks[CAST((r.range-1)*$LineWidth+1 AS INT):CAST((r.range-1)*$LineWidth+$LineWidth AS INT)], ' ') AS line
+       | FROM d JOIN range(1, ${MaxLines + 1}) r
+       |   ON (r.range-1)*$LineWidth+1 <= greatest(len(toks), 1)),
+       |f AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line),
+       |a AS (SELECT doc_id, count(*) AS n_lines,
+       |   CAST(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |   max(line_df) AS max_line_df
+       | FROM l JOIN f USING (line) GROUP BY doc_id)
+       |SELECT doc_id, n_lines, n_boiler, max_line_df,
+       | CAST(n_boiler AS DOUBLE) / n_lines AS boiler_frac FROM a""".stripMargin.replace("\n", " ")
+
   // --------------------------------------------------------- sampling
 
   /** Deterministic stratified sampling — the domain-mixing primitive.

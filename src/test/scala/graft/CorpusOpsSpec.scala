@@ -261,6 +261,35 @@ class CorpusOpsSpec extends SparkSuite {
     assert(r2.getString(1) == "quick fox end" && r2.getInt(2) == 3)
   }
 
+  test("boilerplate: cross-doc line df counts docs (not occurrences), fractions exact") {
+    val l1 = "a b c d e f g h"
+    val l2 = "i j k l m n o p"
+    val l3 = "q r s t u v w x"
+    val l4 = "u1 u2 u3 u4 u5 u6 u7 u8"
+    val l5 = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val tb = tempTables { dir =>
+      import spark.implicits._
+      Seq(
+        (0L, s"$l1 $l2", "en", "s", 0L),          // shares l1 with doc 1
+        (1L, s"$l1 $l3", "en", "s", 0L),
+        (2L, l4, "en", "s", 0L),                   // fully unique
+        (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9", "en", "s", 0L), // ragged tail line
+        (4L, s"$l5 $l5", "en", "s", 0L)            // WITHIN-doc repeat only
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val r = CorpusOps.boilerplate(tb).collect()
+      .map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))).toMap
+    assert(r(0L) == ((2L, 1L, 2L, 0.5)))
+    assert(r(1L) == ((2L, 1L, 2L, 0.5)))
+    assert(r(2L) == ((1L, 0L, 1L, 0.0)))
+    // 9 words → two lines (8-word + 1-word tail), neither cross-doc
+    assert(r(3L) == ((2L, 0L, 1L, 0.0)))
+    // the same line twice in ONE doc is df=1: repetition, not boilerplate
+    assert(r(4L) == ((2L, 0L, 1L, 0.0)))
+  }
+
   test("contamination flags the 4-gram overlap with the benchmark doc only") {
     val rows = CorpusOps.contamination(t).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

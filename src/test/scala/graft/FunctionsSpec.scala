@@ -188,6 +188,49 @@ class FunctionsSpec extends SparkSuite {
     assert(typed == windowed)
   }
 
+  test("mixture interleave matches an independent stride-scheduling recompute") {
+    import spark.implicits._
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    // three strata: en truncates to k, fr EXHAUSTS below k, zh exact-k
+    val docs =
+      (1L to 9L).map(i => (i, "en", 10L + i)) ++
+        (11L to 13L).map(i => (i, "fr", 40L + i)) ++
+        (21L to 24L).map(i => (i, "zh", 5L * i))
+    val tb = tempTables { dir =>
+      docs.map { case (id, lang, nc) => (id, "x", lang, "s", nc) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val k = 4
+    // independent recompute: A-ES top-k per lang, stride 2520/w, total sort
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val w = h32(lang) % 9 + 1
+      ds.map { case (id, _, nc) => (graft.functions.Aggs.aesKey(id, nc), id) }
+        .sortBy { case (key, id) => (-key, id) }
+        .take(k).zipWithIndex
+        .map { case ((_, id), i) =>
+          val rnk = i + 1L
+          (rnk * (2520L / w), lang, id, rnk)
+        }
+    }.sortBy { case (sk, lang, id, _) => (sk, lang, id) }
+      .zipWithIndex
+      .map { case ((sk, lang, id, rnk), p) => (p + 1L, lang, rnk, id, sk) }
+    val got = graft.functions.Aggs.mixtureInterleaveQuery(tb, k)
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    // fr has only 3 docs: the stratum exhausts below k without gaps
+    assert(got.count(_._2 == "fr") == 3)
+    assert(got.count(_._2 == "en") == k && got.count(_._2 == "zh") == k)
+    // the stream key is the emit clock: non-decreasing along pos
+    assert(got.map(_._5).sliding(2).forall(s => s.head <= s.last))
+  }
+
   test("graft_dot handles nulls and length mismatch") {
     import spark.implicits._
     withLogLevel {
