@@ -41,7 +41,9 @@ object Plans {
       "q48_salted_join" -> Relational.q48SaltedJoin(t),
       "q49_salted_agg" -> Relational.q49SaltedAgg(t),
       "q50_heavy_hitters" -> Relational.q50HeavyHitters(t),
-      "q51_heavy_hitters_sketch" -> Relational.q51HeavyHittersSketch(t))
+      "q51_heavy_hitters_sketch" -> Relational.q51HeavyHittersSketch(t),
+      "corpus_mixture_interleave" -> graft.functions.Aggs.mixtureInterleaveQuery(t),
+      "corpus_boilerplate" -> graft.pipeline.CorpusOps.boilerplate(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
       println(df.queryExecution.explainString(
