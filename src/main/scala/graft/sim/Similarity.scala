@@ -118,6 +118,15 @@ object Similarity {
     * jobs; 5 Lloyd iterations over the sample converge plenty for a
     * coarse quantizer. Falls back to the full (tiny) corpus when the
     * sample can't fill nlist.
+    *
+    * Determinism scope: `sample` draws per partition, so the fit — and
+    * the downstream candidate sets — are bit-deterministic for a FIXED
+    * (data, partitioning) but can shift when the session's core count
+    * changes the input split layout (e.g. 934 vs 937 ivf pairs at
+    * sf0.01 under cpus=32 vs 4). That is the expected contract for an
+    * approximate index; the invariants that hold at ANY layout are the
+    * double-Verify determinism gate (same config twice) and the
+    * recall floors (AnnRecallSpec ≥0.9, check.py's ivf recall band).
     */
   private def coarseQuantizer(t: Tables, nlist: Int) =
     quantCache.getOrElseUpdate((t.spark, t.dir, nlist), {
