@@ -87,6 +87,8 @@ object SparkEntry {
     // cross-document boilerplate-line profile (line-df twin of
     // text_repetition: groupBy(line)+countDistinct+join-back)
     "corpus_boilerplate" -> q(graft.pipeline.CorpusOps.boilerplate(_)),
+    // ...and the C4-style removal pass consuming the same line df
+    "corpus_strip_boilerplate" -> q(graft.pipeline.CorpusOps.stripBoilerplate(_)),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
@@ -224,6 +226,7 @@ object SparkEntry {
     "corpus_pack"     -> graft.pipeline.CorpusOps.packSql,
     "corpus_mixture_interleave" -> graft.functions.Aggs.mixtureInterleaveSql,
     "corpus_boilerplate" -> graft.pipeline.CorpusOps.boilerplateSql,
+    "corpus_strip_boilerplate" -> graft.pipeline.CorpusOps.stripBoilerplateSql,
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_kept_corpus" -> Dedup.keptCorpusSql,

@@ -121,12 +121,30 @@ object CorpusOps {
     * the max df any of its lines reaches, and the boilerplate
     * fraction (one IEEE division of exact integers, invariant 3).
     */
+  /** (doc_id, line_no, line) — the shared line stream for
+    * [[boilerplate]] (profile) and [[stripBoilerplate]] (removal);
+    * line_no is the 1-based position, needed only to reassemble
+    * stripped documents in original order.
+    */
+  private def docLines(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.widen(t.documents)
+      .select($"doc_id", posexplode(expr(lineExpr)))
+      .select($"doc_id", ($"pos" + 1).cast(LongType).as("line_no"),
+        $"col".as("line"))
+  }
+
+  /** Line document frequency — groupBy(line)+countDistinct(doc_id),
+    * shared by profile and strip (the join-back side of the df rule).
+    */
+  private def lineDf(t: Tables): DataFrame =
+    docLines(t).groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+
   def boilerplate(t: Tables, minDf: Int = 2): DataFrame = {
     import t.spark.implicits._
-    val lines = t.widen(t.documents)
-      .select($"doc_id", explode(expr(lineExpr)).as("line"))
-    val df = lines.groupBy($"line")
-      .agg(countDistinct($"doc_id").as("line_df"))
+    val lines = docLines(t).select($"doc_id", $"line")
+    val df = lineDf(t)
     lines.join(df, "line")
       .groupBy($"doc_id")
       .agg(
@@ -150,6 +168,53 @@ object CorpusOps {
        | FROM l JOIN f USING (line) GROUP BY doc_id)
        |SELECT doc_id, n_lines, n_boiler, max_line_df,
        | CAST(n_boiler AS DOUBLE) / n_lines AS boiler_frac FROM a""".stripMargin.replace("\n", " ")
+
+  /** Boilerplate REMOVAL — the consumer of [[boilerplate]]'s signal,
+    * C4-style: drop every line that appears in ≥ minDf distinct
+    * documents and reassemble the survivors in original order. The
+    * df plumbing is [[docLines]]/[[lineDf]] shared with the profile;
+    * the only new wide op is the per-doc reassembly, whose state is
+    * bounded by the doc itself (≤[[MaxLines]] kept (line_no, line)
+    * pairs — the same per-doc memory as any whole-doc map), ordered
+    * deterministically by line_no on both engines (array_sort vs
+    * string_agg ORDER BY). A left join from the per-doc totals keeps
+    * all-boilerplate docs in the output with empty text — at 100 TB
+    * the downstream filter (drop empties, re-score quality) needs to
+    * SEE them to account tokens removed; n_removed makes the pass
+    * auditable (Σ n_removed = lines dropped corpus-wide).
+    */
+  def stripBoilerplate(t: Tables, minDf: Int = 2): DataFrame = {
+    import t.spark.implicits._
+    val lines = docLines(t)
+    val kept = lines.join(lineDf(t), "line")
+      .filter($"line_df" < minDf)
+      .groupBy($"doc_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(line_no, line))), x -> x.line), ' ')")
+          .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    lines.groupBy($"doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"clean_text", lit("")).as("clean_text"),
+        $"n_lines",
+        ($"n_lines" - coalesce($"n_kept", lit(0L))).as("n_removed"))
+  }
+
+  val stripBoilerplateSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |l AS (SELECT doc_id, r.range AS line_no, array_to_string(
+       |   toks[CAST((r.range-1)*$LineWidth+1 AS INT):CAST((r.range-1)*$LineWidth+$LineWidth AS INT)], ' ') AS line
+       | FROM d JOIN range(1, ${MaxLines + 1}) r
+       |   ON (r.range-1)*$LineWidth+1 <= greatest(len(toks), 1)),
+       |f AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line),
+       |k AS (SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS clean_text,
+       |   count(*) AS n_kept
+       | FROM l JOIN f USING (line) WHERE line_df < 2 GROUP BY doc_id),
+       |la AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+       |SELECT la.doc_id AS doc_id, coalesce(clean_text, '') AS clean_text, n_lines,
+       | n_lines - coalesce(n_kept, 0) AS n_removed
+       |FROM la LEFT JOIN k USING (doc_id)""".stripMargin.replace("\n", " ")
 
   // --------------------------------------------------------- sampling
 

@@ -288,6 +288,27 @@ class CorpusOpsSpec extends SparkSuite {
     assert(r(3L) == ((2L, 0L, 1L, 0.0)))
     // the same line twice in ONE doc is df=1: repetition, not boilerplate
     assert(r(4L) == ((2L, 0L, 1L, 0.0)))
+
+    // the strip pass drops exactly the df>=2 lines, preserves order,
+    // and keeps all-boilerplate docs with empty text
+    val s = CorpusOps.stripBoilerplate(tb).collect()
+      .map(row => row.getLong(0) ->
+        (row.getString(1), row.getLong(2), row.getLong(3))).toMap
+    assert(s(0L) == ((l2, 2L, 1L)))         // l1 stripped, l2 survives
+    assert(s(1L) == ((l3, 2L, 1L)))
+    assert(s(2L) == ((l4, 1L, 0L)))         // unique doc untouched
+    assert(s(3L)._1.endsWith(" p9") && s(3L)._3 == 0L) // ragged tail kept in order
+    assert(s(4L) == ((s"$l5 $l5", 2L, 0L))) // within-doc repeat survives
+    // a doc that is ENTIRELY shared lines strips to empty
+    val tbAll = tempTables { dir =>
+      import spark.implicits._
+      Seq((0L, l1, "en", "s", 0L), (1L, l1, "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val sAll = CorpusOps.stripBoilerplate(tbAll).collect()
+      .map(row => row.getLong(0) -> (row.getString(1), row.getLong(3))).toMap
+    assert(sAll(0L) == (("", 1L)) && sAll(1L) == (("", 1L)))
   }
 
   test("contamination flags the 4-gram overlap with the benchmark doc only") {
