@@ -134,12 +134,36 @@ object CorpusOps {
         $"col".as("line"))
   }
 
+  // One line-df table per (session, dir): corpus_boilerplate and
+  // corpus_strip_boilerplate both join against it, and the
+  // groupBy(line)+countDistinct shuffle is the expensive half of both
+  // passes — the profile and the strip of the SAME corpus share one
+  // build the way the dedup family shares signatures. Same
+  // immutable-dir assumption as Dedup.sigCache; released by
+  // clearCaches() via tools.SweepCaches once the last consumer is done.
+  private val lineDfCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Family-cache population counter for the SweepCaches
+    * no-repopulate-after-drain pin. */
+  private[graft] val cacheBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def clearCaches(): Unit = {
+    lineDfCache.values.foreach(_.unpersist())
+    lineDfCache.clear()
+  }
+
   /** Line document frequency — groupBy(line)+countDistinct(doc_id),
-    * shared by profile and strip (the join-back side of the df rule).
+    * shared by profile and strip (the join-back side of the df rule),
+    * memoized and persisted per (session, dir).
     */
   private def lineDf(t: Tables): DataFrame =
-    docLines(t).groupBy(col("line"))
-      .agg(countDistinct(col("doc_id")).as("line_df"))
+    lineDfCache.getOrElseUpdate((t.spark, t.dir), {
+      cacheBuilds.incrementAndGet()
+      docLines(t).groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("line_df"))
+        .persist()
+    })
 
   def boilerplate(t: Tables, minDf: Int = 2): DataFrame = {
     import t.spark.implicits._

@@ -2,10 +2,12 @@ package graft.tools
 
 /** Family-cache bookkeeping for full-suite sweeps (Verify/Bench).
   *
-  * The sim and dedup families memoize expensive intermediates per
-  * (session, dir) — Similarity.normCache (persisted normalized
-  * vectors + the fitted coarse quantizer) and Dedup.lshCache (the
-  * localCheckpoint'd MinHash pair table). Within a family that reuse
+  * The sim, dedup, and corpus families memoize expensive
+  * intermediates per (session, dir) — Similarity.normCache (persisted
+  * normalized vectors + the fitted coarse quantizer), Dedup.lshCache
+  * (the localCheckpoint'd MinHash pair table), and
+  * CorpusOps.lineDfCache (the boilerplate line-df table). Within a
+  * family that reuse
   * is the point, but an 89-query sweep that never releases them holds
   * every family's blocks concurrently for the rest of the run:
   * eviction pressure mid-sweep is the plausible mechanism behind the
@@ -38,20 +40,28 @@ object SweepCaches {
     "dedup_minhash_lsh", "dedup_clusters", "corpus_split_leakage",
     "dedup_incremental_near", "stream_near_dup")
 
+  /** Queries that read CorpusOps.lineDfCache (the shared
+    * boilerplate line-df table). Same pin as [[simConsumers]]. */
+  private[graft] val corpusConsumers = Set(
+    "corpus_boilerplate", "corpus_strip_boilerplate")
+
   final class Tracker {
     private val sim = collection.mutable.Set.from(simConsumers)
     private val ded = collection.mutable.Set.from(dedupConsumers)
+    private val corp = collection.mutable.Set.from(corpusConsumers)
 
     /** True once the family's last consumer has finished (and its
       * caches were released). */
     def simDrained: Boolean = sim.isEmpty
     def dedupDrained: Boolean = ded.isEmpty
+    def corpusDrained: Boolean = corp.isEmpty
 
     /** Call after query `name` completes (success or failure — a
       * failed consumer still never reads the cache again). */
     def done(name: String): Unit = {
       if (sim.remove(name) && sim.isEmpty) graft.sim.Similarity.clearCaches()
       if (ded.remove(name) && ded.isEmpty) graft.dedup.Dedup.clearCaches()
+      if (corp.remove(name) && corp.isEmpty) graft.pipeline.CorpusOps.clearCaches()
     }
   }
 
@@ -60,5 +70,6 @@ object SweepCaches {
   def releaseAll(): Unit = {
     graft.sim.Similarity.clearCaches()
     graft.dedup.Dedup.clearCaches()
+    graft.pipeline.CorpusOps.clearCaches()
   }
 }

@@ -19,8 +19,10 @@ class SweepCachesSpec extends SparkSuite {
     val names = SparkEntry.queries.keySet
     val unknownSim = SweepCaches.simConsumers.diff(names)
     val unknownDedup = SweepCaches.dedupConsumers.diff(names)
+    val unknownCorpus = SweepCaches.corpusConsumers.diff(names)
     assert(unknownSim.isEmpty, s"simConsumers not in queries: $unknownSim")
     assert(unknownDedup.isEmpty, s"dedupConsumers not in queries: $unknownDedup")
+    assert(unknownCorpus.isEmpty, s"corpusConsumers not in queries: $unknownCorpus")
   }
 
   test("full sweep: no family cache repopulates after its consumer set drains") {
@@ -30,8 +32,10 @@ class SweepCachesSpec extends SparkSuite {
     def simBuilds(): Int =
       graft.sim.Similarity.cacheBuilds.get() + graft.sim.Similarity.quantizerFits.get()
     def dedupBuilds(): Int = graft.dedup.Dedup.cacheBuilds.get()
+    def corpusBuilds(): Int = graft.pipeline.CorpusOps.cacheBuilds.get()
     var simAtDrain: Option[Int] = None
     var dedupAtDrain: Option[Int] = None
+    var corpusAtDrain: Option[Int] = None
     SparkEntry.queries.foreach { case (name, fn) =>
       fn(spark, dataDir).count()
       tracker.done(name)
@@ -39,11 +43,14 @@ class SweepCachesSpec extends SparkSuite {
         s"sim family cache repopulated after drain, at query $name"))
       dedupAtDrain.foreach(n => assert(dedupBuilds() == n,
         s"dedup family cache repopulated after drain, at query $name"))
+      corpusAtDrain.foreach(n => assert(corpusBuilds() == n,
+        s"corpus family cache repopulated after drain, at query $name"))
       if (simAtDrain.isEmpty && tracker.simDrained) simAtDrain = Some(simBuilds())
       if (dedupAtDrain.isEmpty && tracker.dedupDrained) dedupAtDrain = Some(dedupBuilds())
+      if (corpusAtDrain.isEmpty && tracker.corpusDrained) corpusAtDrain = Some(corpusBuilds())
     }
-    assert(simAtDrain.isDefined && dedupAtDrain.isDefined,
-      "both families must drain in a full sweep")
+    assert(simAtDrain.isDefined && dedupAtDrain.isDefined && corpusAtDrain.isDefined,
+      "all three families must drain in a full sweep")
     SweepCaches.releaseAll()
   }
 }
