@@ -43,7 +43,8 @@ object Plans {
       "q50_heavy_hitters" -> Relational.q50HeavyHitters(t),
       "q51_heavy_hitters_sketch" -> Relational.q51HeavyHittersSketch(t),
       "corpus_mixture_interleave" -> graft.functions.Aggs.mixtureInterleaveQuery(t),
-      "corpus_boilerplate" -> graft.pipeline.CorpusOps.boilerplate(t))
+      "corpus_boilerplate" -> graft.pipeline.CorpusOps.boilerplate(t),
+      "corpus_strip_boilerplate" -> graft.pipeline.CorpusOps.stripBoilerplate(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
       println(df.queryExecution.explainString(
