@@ -82,6 +82,8 @@ object SparkEntry {
     // context-window chunking + sharded sequence-packing accounting
     "corpus_chunk"    -> q(graft.pipeline.CorpusOps.chunk),
     "corpus_pack"     -> q(graft.pipeline.CorpusOps.pack(_)),
+    // epoch-salted deterministic shuffle of the packed sequences
+    "corpus_shuffle"  -> q(graft.pipeline.CorpusOps.shuffleSequences(_)),
     // stride-scheduled deterministic interleave of the mixture draws
     "corpus_mixture_interleave" -> q(graft.functions.Aggs.mixtureInterleaveQuery(_)),
     // cross-document boilerplate-line profile (line-df twin of
@@ -224,6 +226,7 @@ object SparkEntry {
     "agg_heavy_hitters_per_group" -> graft.functions.Aggs.mgHeavyHittersPerGroupSql,
     "corpus_chunk"    -> graft.pipeline.CorpusOps.chunkSql,
     "corpus_pack"     -> graft.pipeline.CorpusOps.packSql,
+    "corpus_shuffle"  -> graft.pipeline.CorpusOps.shuffleSequencesSql,
     "corpus_mixture_interleave" -> graft.functions.Aggs.mixtureInterleaveSql,
     "corpus_boilerplate" -> graft.pipeline.CorpusOps.boilerplateSql,
     "corpus_strip_boilerplate" -> graft.pipeline.CorpusOps.stripBoilerplateSql,

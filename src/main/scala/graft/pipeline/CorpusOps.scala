@@ -651,4 +651,59 @@ object CorpusOps {
        |SELECT doc_id, chunk_idx, shard,
        | shard*$SeqIdStride + start//$SeqTokens AS seq_id, start%$SeqTokens AS seq_off
        |FROM p""".stripMargin.replace("\n", " ")
+
+  /** Epoch-salted deterministic training-order shuffle of the packed
+    * sequences — the step after [[chunk]]→[[pack]]: a training run
+    * reads sequences in "random" order, but a REPRODUCIBLE run derives
+    * that order from a pure function of (seq_id, epoch salt), never
+    * from RNG state. shuffle_key = h32(seq_id ':' salt) (the library's
+    * md5 convention, re-derivable in SQL); within a shard, shard_pos
+    * ranks by (shuffle_key, seq_id) — a total order, since colliding
+    * 32-bit keys fall back to the unique seq_id. Changing `salt`
+    * reshuffles every epoch; salt=0 is the oracle-pinned default.
+    *
+    * Scale shape: the groupBy(shard, seq_id) collapsing chunks to
+    * sequences is map-side combinable, and the per-shard rank window
+    * streams seqs/shards rows through one task — the SAME shard-dial
+    * cost model as pack's running-total window (set shards ∝ cores;
+    * at 100 TB a sequence row is ~3 words of accounting, ~1e9 rows
+    * per shard at shards=32, so the dial matters less than pack's).
+    * In production the shard file would be WRITTEN in shard_pos order
+    * (sortWithinPartitions); the rank column is the auditable
+    * contract, not a global materialized position.
+    */
+  def shuffleSequences(t: Tables, shards: Int = PackShards, salt: Long = 0L): DataFrame = {
+    import t.spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"shuffle_key".asc, $"seq_id".asc)
+    pack(t, shards)
+      .groupBy($"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_chunks"))
+      .withColumn("shuffle_key",
+        Dedup.h32(concat($"seq_id".cast(StringType), lit(":"), lit(salt.toString))))
+      .select($"shard", $"seq_id", $"n_chunks", $"shuffle_key",
+        row_number().over(w).cast(LongType).as("shard_pos"))
+  }
+
+  val shuffleSequencesSql: String = {
+    val packCore =
+      s"""sh AS (SELECT doc_id, chunk_idx, n_toks,
+         |  (${Dedup.sqlH32("CAST(doc_id AS VARCHAR)")} % $PackShards) AS shard
+         | FROM chunked),
+         |p AS (SELECT doc_id, chunk_idx, shard, n_toks,
+         |  CAST(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id ASC, chunk_idx ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_toks AS start
+         | FROM sh)""".stripMargin
+    s"""WITH $chunkSqlCte,
+       |$packCore,
+       |seqs AS (SELECT shard, shard*$SeqIdStride + start//$SeqTokens AS seq_id,
+       |   count(*) AS n_chunks
+       | FROM p GROUP BY shard, shard*$SeqIdStride + start//$SeqTokens),
+       |k AS (SELECT shard, seq_id, n_chunks,
+       |  ${Dedup.sqlH32("CAST(seq_id AS VARCHAR) || ':0'")} AS shuffle_key
+       | FROM seqs)
+       |SELECT shard, seq_id, n_chunks, shuffle_key,
+       | row_number() OVER (PARTITION BY shard ORDER BY shuffle_key ASC, seq_id ASC) AS shard_pos
+       |FROM k""".stripMargin.replace("\n", " ")
+  }
 }

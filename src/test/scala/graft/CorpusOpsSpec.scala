@@ -216,6 +216,29 @@ class CorpusOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] { CorpusOps.pack(t, 0) }
   }
 
+  test("sequence shuffle: per-shard rank of the salted md5 key, dense and reproducible") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val packed = CorpusOps.pack(t).collect().map(r => (r.getLong(2), r.getLong(3)))
+    val nChunks = packed.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    for (salt <- Seq(0L, 7L)) {
+      val expected = nChunks.keys.toSeq.groupBy(_._1).values.flatMap { ks =>
+        ks.map { case (sh, sid) => (sh, sid, h32(s"$sid:$salt")) }
+          .sortBy { case (_, sid, key) => (key, sid) }
+          .zipWithIndex
+          .map { case ((sh, sid, key), i) =>
+            (sh, sid) -> ((nChunks((sh, sid)), key, i + 1L)) }
+      }.toMap
+      val got = CorpusOps.shuffleSequences(t, salt = salt).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expected, s"salt=$salt")
+    }
+  }
+
   test("curated pass composes dedup, repetition filter, decontamination, sampling") {
     val curated = CorpusOps.curated(t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
