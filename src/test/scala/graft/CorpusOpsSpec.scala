@@ -216,6 +216,24 @@ class CorpusOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] { CorpusOps.pack(t, 0) }
   }
 
+  test("boilerplate profile and strip agree on real data (n_boiler == n_removed)") {
+    // the two operators count the SAME df>=2 lines through different
+    // plans (agg-side vs anti-filter side of the shared lineDf); on
+    // the sf0.001 corpus every doc's n_removed must equal its
+    // n_boiler, and token conservation must hold per doc
+    val t001 = graft.io.Tables(spark, "/root/testdata/sf0.001")
+    val prof = CorpusOps.boilerplate(t001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap // n_lines, n_boiler
+    val strip = CorpusOps.stripBoilerplate(t001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap // n_lines, n_removed
+    assert(prof.keySet == strip.keySet)
+    for ((doc, (nLines, nBoiler)) <- prof) {
+      assert(strip(doc)._1 == nLines, s"doc $doc line counts differ")
+      assert(strip(doc)._2 == nBoiler, s"doc $doc: n_removed != n_boiler")
+    }
+    assert(prof.values.exists(_._2 > 0), "corpus should contain boilerplate")
+  }
+
   test("sequence shuffle: per-shard rank of the salted md5 key, dense and reproducible") {
     def h32(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
