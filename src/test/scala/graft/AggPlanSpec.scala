@@ -54,4 +54,43 @@ class AggPlanSpec extends SparkSuite {
     assert(!packPlan.contains("concat_ws"),
       s"unused chunk_text must be pruned from pack's plan:\n$packPlan")
   }
+
+  test("sequence shuffle: every hash exchange is on the shard dial") {
+    // groupBy(shard, seq_id) and the rank window both partition on
+    // shard-prefixed keys; nothing may shuffle on any other key, and
+    // chunk_text must stay pruned end-to-end (shuffle rides on pack)
+    val plan = graft.pipeline.CorpusOps.shuffleSequences(t)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(shard".r.findAllIn(plan).nonEmpty,
+      s"shuffle must partition on shard:\n$plan")
+    assert("hashpartitioning\\((?!shard)".r.findFirstIn(plan).isEmpty,
+      s"shuffle must not shuffle on any key but shard:\n$plan")
+    assert(!plan.contains("concat_ws"),
+      s"unused chunk_text must be pruned from the shuffle plan:\n$plan")
+  }
+
+  test("mixture interleave: bounded agg combines map-side, scan pruned to 3 columns") {
+    val plan = graft.functions.Aggs.mixtureInterleaveQuery(t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_"),
+      s"bounded sample buffer must combine before the exchange:\n${plan.take(2000)}")
+    assert(!plan.contains("text#"),
+      s"interleave must never read the text column:\n${plan.take(2000)}")
+  }
+
+  test("boilerplate profile/strip: df via agg + join-back, never a window; scan pruned") {
+    for ((name, df) <- Seq(
+      "profile" -> graft.pipeline.CorpusOps.boilerplate(t),
+      "strip" -> graft.pipeline.CorpusOps.stripBoilerplate(t))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // the df rule: a count-over-window would pin a hot line's rows
+      // to one partition; only strip's ordered reassembly is an agg,
+      // so NO WindowExec may appear in either plan
+      assert(!plan.contains("Window"),
+        s"$name must compute line df without a window:\n${plan.take(2000)}")
+      assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name scan must be pruned to doc_id+text:\n${plan.take(2000)}")
+    }
+    graft.pipeline.CorpusOps.clearCaches()
+  }
 }

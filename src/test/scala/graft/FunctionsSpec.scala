@@ -231,6 +231,48 @@ class FunctionsSpec extends SparkSuite {
     assert(got.map(_._5).sliding(2).forall(s => s.head <= s.last))
   }
 
+  test("property: interleave prefixes hold the stride-scheduling mix for random corpora") {
+    import spark.implicits._
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val pool = Seq("en", "fr", "de", "es", "zh", "ja", "ko", "pt")
+    val k = 10
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed)
+      val langs = rnd.shuffle(pool).take(2 + rnd.nextInt(4))
+      val docs = langs.zipWithIndex.flatMap { case (lang, li) =>
+        (1 to 1 + rnd.nextInt(30)).map(j =>
+          (li * 1000L + j, "x", lang, "s", 1L + rnd.nextInt(500)))
+      }
+      val tb = tempTables { dir =>
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.parquet(s"$dir/documents.parquet")
+      }
+      val rows = graft.functions.Aggs.mixtureInterleaveQuery(tb, k)
+        .orderBy(col("pos")).collect()
+        .map(r => (r.getString(1), r.getLong(4))) // (lang, stream_key)
+      val stride = langs.map(l => l -> 2520L / (h32(l) % 9 + 1)).toMap
+      val total = langs.map(l => l -> math.min(k, docs.count(_._3 == l))).toMap
+      // after consuming every row with stream_key <= K, each stratum
+      // must have emitted exactly min(total, K/stride) draws — the
+      // prefix-mix guarantee the scaladoc advertises, ties included
+      val counts = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      var i = 0
+      while (i < rows.length) {
+        val key = rows(i)._2
+        while (i < rows.length && rows(i)._2 == key) { counts(rows(i)._1) += 1; i += 1 }
+        for (l <- langs)
+          assert(counts(l) == math.min(total(l).toLong, key / stride(l)),
+            s"seed=$seed lang=$l after key=$key: ${counts(l)} vs " +
+              s"min(${total(l)}, ${key / stride(l)})")
+      }
+      for (l <- langs) assert(counts(l) == total(l), s"seed=$seed $l final count")
+    }
+  }
+
   test("graft_dot handles nulls and length mismatch") {
     import spark.implicits._
     withLogLevel {
