@@ -9,10 +9,26 @@ ratios bench/floor sorted worst-first, and flags ratios > 2x. Exits 1
 if any query exceeds 2x, so it can gate a round.
 
 Adjudication hint: graft.Bench (round 10+) embeds 1/5/15-min load
-averages. If load_timed[0] is already a sizeable fraction of the core
-count before the sweep starts, >2x outliers on untouched code are
-ambient load, not regressions — the script prints that context next to
-the verdict instead of making you re-run by hand.
+averages. Three ambient-load signals feed the verdict (any one fires):
+
+  1. load_timed[0] > 0.25*cpus — heavy competition at timed-sweep start.
+  2. load_start[0] > 0.125*cpus — ambient load BEFORE the bench did any
+     work. load_timed is partly self-inflicted (the bench's own warmup
+     runs between load_start and load_timed — a judge idle run went
+     1.66 -> 5.57 on its own), so load_start is the cleaner ambient
+     read and gets the lower cutoff. This is the signal that separates
+     the round-12 driver run (load_start 5.61 -> flagged 11 queries the
+     judge's idle best-of-3 then cleared) from healthy runs
+     (r10 2.86, r11 2.57, judge 1.66).
+  3. wall_sec > 1.5x expected, where expected = sum(run_totals)
+     + run_totals[0] (warmup proxy: the warmup sweep does the same work
+     as one timed run) + 30s session-init slack. Historical healthy
+     ratios are 1.0-1.2x; something else owning the cores stretches
+     wall without showing up in the per-query minima.
+
+When outliers coincide with any signal the verdict says "suspect
+ambient; re-run RUNS=3" instead of "treat as real regressions", but the
+exit code stays 1 so the round is still gated.
 """
 import json
 import re
@@ -97,25 +113,41 @@ def main():
 
     total = sum(queries.values())
     floor_total = sum(fl for _, _, _, fl in rows)
-    if rows:  # a floor table with zero shared query names would divide by 0
-        print(f"\n{'TOTAL (common queries)':34s} {total - sum(queries[m] for m in missing):8.2f} "
-              f"{floor_total:8.2f} {((total - sum(queries[m] for m in missing)) / floor_total):6.2f}x")
+    # rows is non-empty here (the zero-intersection case returned above)
+    print(f"\n{'TOTAL (common queries)':34s} {total - sum(queries[m] for m in missing):8.2f} "
+          f"{floor_total:8.2f} {((total - sum(queries[m] for m in missing)) / floor_total):6.2f}x")
     if missing:
         print(f"no floor entry (new queries?): {', '.join(sorted(missing))}")
 
     # Load-context adjudication (present in round-10+ bench lines)
     if "load_timed" in bench:
         l1 = bench["load_timed"][0]
+        l_start = bench.get("load_start", [0.0])[0]
         cpus = int(bench.get("cpus", 0)) or 1
         runs = bench.get("runs", 1)
+        wall = bench.get("wall_sec", 0.0)
+        run_totals = bench.get("run_totals", [])
         print(f"\nhost context: load(1m) at timed-sweep start = {l1:.2f} on {cpus} cpus"
-              f" | start={bench['load_start'][0]:.2f} end={bench['load_end'][0]:.2f}"
-              f" | wall {bench.get('wall_sec', 0):.0f}s | best-of-{runs}"
+              f" | start={l_start:.2f} end={bench['load_end'][0]:.2f}"
+              f" | wall {wall:.0f}s | best-of-{runs}"
               + (f" run_totals={bench['run_totals']}" if runs > 1 else ""))
-        if flagged and l1 > 0.25 * cpus:
-            print(f"VERDICT: {len(flagged)} queries >{THRESHOLD:g}x floor, but host was "
-                  f"loaded before the sweep (load {l1:.1f} vs {cpus} cpus) — suspect "
-                  f"ambient load; re-run with SPARK_GRAFT_BENCH_RUNS=3 to confirm.")
+        # Ambient-load signals (see module docstring): load at sweep
+        # start, load BEFORE the bench ran anything, and wall-clock
+        # stretch beyond what the measured sweeps + warmup account for.
+        signals = []
+        if l1 > 0.25 * cpus:
+            signals.append(f"load(1m) {l1:.1f} at timed-sweep start > {0.25 * cpus:.1f}")
+        if l_start > 0.125 * cpus:
+            signals.append(f"pre-bench load(1m) {l_start:.1f} > {0.125 * cpus:.1f}")
+        if run_totals and wall:
+            expected = sum(run_totals) + run_totals[0] + 30.0
+            if wall > 1.5 * expected:
+                signals.append(f"wall {wall:.0f}s > 1.5x expected {expected:.0f}s "
+                               f"(sum(run_totals) + warmup + 30s init)")
+        if flagged and signals:
+            print(f"VERDICT: {len(flagged)} queries >{THRESHOLD:g}x floor, but the host "
+                  f"shows ambient load ({'; '.join(signals)}) — suspect ambient; "
+                  f"re-run with SPARK_GRAFT_BENCH_RUNS=3 on an idle host to confirm.")
         elif flagged:
             print(f"VERDICT: {len(flagged)} queries >{THRESHOLD:g}x floor on a quiet host "
                   f"(load {l1:.1f}) — treat as real regressions: {', '.join(flagged)}")

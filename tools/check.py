@@ -121,16 +121,52 @@ def _band_ivf_recall(con, out_dir, name):
     return True
 
 
+def _band_ann_recall(con, out_dir, name):
+    """ann_ivf recall@5 vs the hash-checked ann_brute_force output: the
+    micro-averaged fraction of brute-force (probe_id, cand_id) top-5
+    pairs the IVF path also returns must be >= 0.8 — the same floor
+    AnnRecallSpec pins for the same metric. The measured operating
+    point at sf0.01 with the nprobe=8/nlist=16 default is 0.841
+    (deterministic: fixed KMeans seed), so 0.8 is the tightest band
+    that doesn't fail by construction; a silent quantizer/assignment
+    regression tanks recall far below it. The baseline output is
+    hash-checked by the main loop, so this band rides an
+    already-verified anchor."""
+    base = f"{out_dir}/ann_brute_force"
+    if not glob.glob(f"{base}/*.parquet"):
+        print(f"FAIL {name}[band]: baseline ann_brute_force output missing "
+              f"at {base} — recall has no anchor")
+        return False
+    truth = {tuple(r) for r in con.execute(
+        f"SELECT probe_id, cand_id FROM read_parquet('{base}/*.parquet')"
+    ).fetchall()}
+    found = {tuple(r) for r in con.execute(
+        f"SELECT probe_id, cand_id FROM read_parquet('{out_dir}/{name}/*.parquet')"
+    ).fetchall()}
+    if not truth:
+        print(f"FAIL {name}[band]: baseline top-5 pair set is empty")
+        return False
+    recall = len(truth & found) / len(truth)
+    if recall < 0.8:
+        print(f"FAIL {name}[band]: recall@5 {recall:.3f} < 0.8 "
+              f"({len(truth & found)}/{len(truth)} brute-force pairs found)")
+        return False
+    print(f"PASS {name}[band] (recall@5 {recall:.3f} >= 0.8, "
+          f"{len(truth)} brute-force pairs)")
+    return True
+
+
 # Rows-only queries and their local value checks, keyed by output-dir
 # name. extra_checks REQUIRES each registered dir to exist: renaming a
 # query without updating this table fails loudly instead of silently
-# skipping the band check (round-10 verdict item). ann_ivf and
-# text_rolling_hash carry no band here — their value pins live in
-# AnnRecallSpec / RollingHashSpec, and determinism in tools/determinism.py.
+# skipping the band check (round-10 verdict item). text_rolling_hash
+# carries no band here — its value pin lives in RollingHashSpec, and
+# determinism in tools/determinism.py.
 BAND_CHECKS = {
     "q27_approx_distinct": _band_q27,
     "q40_approx_quantile": _band_q40,
     "dedup_embedding_ivf": _band_ivf_recall,
+    "ann_ivf": _band_ann_recall,
 }
 
 
