@@ -131,6 +131,7 @@ object SparkEntry {
     // ...but the pre-winnowing window-hash table is — value-checked here
     "text_window_hashes" -> q(graft.text.RollingHash.windowHashStats),
     "text_token_count" -> q(TextAnalysis.tokenCount),
+    "text_bpe_token_count" -> q(graft.text.Tokenizer.bpeTokenCount),
     "text_scrub"      -> q(TextAnalysis.scrub),
     "mm_binary_meta"  -> q(Multimodal.binaryMeta),
     "text_repetition" -> q(graft.pipeline.CorpusOps.repetition),
@@ -257,6 +258,7 @@ object SparkEntry {
     "text_lang_id"    -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_token_count" -> TextAnalysis.tokenCountSql,
+    "text_bpe_token_count" -> graft.text.Tokenizer.bpeTokenCountSql,
     "text_scrub"      -> TextAnalysis.scrubSql,
     "text_window_hashes" -> graft.text.RollingHash.windowHashStatsSql,
     "mm_binary_meta"  -> Multimodal.binaryMetaSql,

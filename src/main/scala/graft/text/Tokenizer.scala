@@ -1,0 +1,177 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables
+
+/** Tokenizer-aware token accounting — the real token-budget currency of
+  * a 100 TB training-data pipeline, where the whitespace/regex word
+  * proxies ([[TextAnalysis.tokenCount]]) systematically under-count:
+  * an LLM's BPE tokenizer splits rare words into several subword
+  * pieces, so budget arithmetic done in "words" buys fewer model
+  * tokens than it claims.
+  *
+  * The tokenizer here is a fixed-vocabulary greedy longest-match
+  * subword segmenter (WordPiece-style inference): the BPE merge table
+  * is represented by its closed piece vocabulary ([[pieces2]] /
+  * [[pieces3]] / [[pieces4]], plus every single character as the
+  * implicit base alphabet), and a word is segmented left-to-right by
+  * always taking the longest vocabulary piece that prefixes the
+  * remainder. Deterministic by construction: the vocabulary is a
+  * compile-time constant, matching is set membership (no tie-break
+  * order), and every position falls back to a 1-char token, so
+  * segmentation always terminates with pos = len + 1 exactly.
+  *
+  * Scale shape (see SCALING.md): the whole query is ROW-LOCAL — one
+  * projection over the documents scan, zero shuffles, zero joins. The
+  * piece vocabulary ships as plan literals inside the fold expression,
+  * which at this vocab size (~100 pieces) is strictly better than a
+  * broadcast-dim join: every task gets the table for free with no
+  * build side at all. (A production 50k-piece vocab would graduate to
+  * a broadcast trie; the accounting query shape — fold per word, sum
+  * per doc — is unchanged.) Cost is O(word length) set probes per
+  * word, so throughput scales with bytes scanned, the same budget as
+  * the parquet decode it rides on.
+  *
+  * Oracle symmetry: the DuckDB replay ([[bpeTokenCountSql]]) is a
+  * recursive CTE that advances one token per iteration with a
+  * CASE/IN longest-match — and its IN-lists are GENERATED from the
+  * same Scala piece constants, so the two engines cannot drift.
+  * Recursion depth is bounded by [[MaxWordChars]] (words are capped
+  * symmetrically on both sides, invariant-6 style).
+  *
+  * Reference scope: the reference engine has no tokenizer (its text
+  * surface is word-count style queries, e.g. demo scripts
+  * maple_demo.py / juice_demo.py); this operator is part of the
+  * beyond-reference LLM-pipeline surface the brief asks for.
+  */
+object Tokenizer {
+
+  /** Symmetric word-length cap: bounds the Spark fold's sequence and
+    * the oracle's recursion depth. Corpus words are <= 8 chars; real
+    * text rarely exceeds it either, and a capped word still counts
+    * every surviving character.
+    */
+  val MaxWordChars = 16
+
+  /** Closed piece vocabulary by length — frequent English bigrams,
+    * trigrams and 4-grams (the shape a small BPE merge table closes
+    * to). Single characters are the implicit base alphabet.
+    */
+  val pieces2: Seq[String] = Seq(
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+    "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+    "ra", "ce", "li", "ch", "ll", "be", "ma", "si", "om", "ur")
+
+  val pieces3: Seq[String] = Seq(
+    "the", "ing", "and", "ion", "tio", "ent", "ati", "for", "her",
+    "ter", "hat", "tha", "ere", "ate", "his", "con", "res", "ver",
+    "all", "ons", "nce", "men", "ith", "ted", "ers", "pro", "thi",
+    "wit", "are", "ess", "not", "ive", "was", "ect", "rea", "com",
+    "eve", "per", "int", "est", "sta", "cti", "ica", "ist", "ear",
+    "ain", "one", "our", "iti", "rat")
+
+  val pieces4: Seq[String] = Seq(
+    "tion", "atio", "that", "ther", "with", "ment", "ions", "this",
+    "here", "ould", "ting", "hich", "ence", "have", "ical", "they",
+    "inte", "ough", "were", "ight", "sion", "ever", "ance", "able",
+    "ress")
+
+  // Vocabulary integrity: wrong-length or duplicated pieces would
+  // silently skew the longest-match (a 3-char string in pieces4 can
+  // never match and a duplicate changes nothing but lies about size).
+  require(pieces2.forall(p => p.length == 2 && p.forall(c => c.isLower || c.isDigit)))
+  require(pieces3.forall(p => p.length == 3 && p.forall(c => c.isLower || c.isDigit)))
+  require(pieces4.forall(p => p.length == 4 && p.forall(c => c.isLower || c.isDigit)))
+  require((pieces2 ++ pieces3 ++ pieces4).distinct.size ==
+    pieces2.size + pieces3.size + pieces4.size)
+
+  /** Longest piece length matching at 1-based position `i` of `w`.
+    * substr past the end returns a short string, which cannot equal a
+    * full-length piece, so no bounds checks are needed: a match of
+    * length L proves L chars remain, and pos lands on len+1 exactly.
+    */
+  private def matchLen(w: Column, i: Column): Column =
+    when(w.substr(i, lit(4)).isin(pieces4: _*), lit(4))
+      .when(w.substr(i, lit(3)).isin(pieces3: _*), lit(3))
+      .when(w.substr(i, lit(2)).isin(pieces2: _*), lit(2))
+      .otherwise(lit(1))
+
+  /** Token count of one capped word: a positional fold. The sequence
+    * visits every char position; positions inside an already-consumed
+    * piece pass the accumulator through, token starts advance `nxt`
+    * by the matched piece length and bump the count.
+    */
+  private def tokensOf(w: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(1).as("nxt"), lit(0).as("ntok")),
+      (acc, i) =>
+        when(i < acc.getField("nxt"), acc)
+          .otherwise(struct(
+            (i + matchLen(w, i)).as("nxt"),
+            (acc.getField("ntok") + lit(1)).as("ntok"))),
+      acc => acc.getField("ntok"))
+
+  /** Per-document subword token accounting: word count, subword token
+    * count under the fixed vocabulary, and fertility (tokens per
+    * word — the under-count factor of a word-based budget). Fertility
+    * is a single IEEE division of exactly-representable integers
+    * (invariant 3).
+    */
+  def bpeTokenCount(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val words = expr("regexp_extract_all(text, '[a-z0-9]+', 0)")
+    val capped = transform(words, w => w.substr(lit(1), lit(MaxWordChars)))
+    t.widen(t.documents)
+      .select(
+        $"doc_id",
+        size(words).cast(IntegerType).as("n_words"),
+        aggregate(transform(capped, tokensOf(_)), lit(0L),
+          (a, x) => a + x.cast(LongType)).as("n_tokens"))
+      .select(
+        $"doc_id", $"n_words", $"n_tokens",
+        when($"n_words" === 0, lit(null).cast(DoubleType))
+          .otherwise($"n_tokens".cast(DoubleType) / $"n_words")
+          .as("fertility"))
+  }
+
+  private def inList(ps: Seq[String]): String =
+    ps.map(p => s"'$p'").mkString(", ")
+
+  /** DuckDB replay: recursive CTE, one token per iteration, IN-lists
+    * generated from the same piece constants as the Spark fold.
+    * DuckDB sum(INTEGER) is HUGEINT → cast to BIGINT (invariant 12).
+    */
+  val bpeTokenCountSql: String =
+    s"""WITH RECURSIVE wi AS (
+       | SELECT doc_id, substr(x, 1, $MaxWordChars) AS word,
+       |  row_number() OVER () AS wid
+       | FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS x
+       |       FROM documents)
+       |), seg AS (
+       | SELECT wid, doc_id, word, 1 AS pos, 0 AS ntok FROM wi
+       | UNION ALL
+       | SELECT wid, doc_id, word,
+       |  pos + CASE WHEN substr(word, pos, 4) IN (${inList(pieces4)}) THEN 4
+       |             WHEN substr(word, pos, 3) IN (${inList(pieces3)}) THEN 3
+       |             WHEN substr(word, pos, 2) IN (${inList(pieces2)}) THEN 2
+       |             ELSE 1 END,
+       |  ntok + 1
+       | FROM seg WHERE pos <= length(word)
+       |), fin AS (
+       | SELECT doc_id, ntok FROM seg WHERE pos > length(word)
+       |)
+       |SELECT d.doc_id,
+       | CAST(coalesce(f.nw, 0) AS INT) AS n_words,
+       | CAST(coalesce(f.nt, 0) AS BIGINT) AS n_tokens,
+       | CASE WHEN f.nw IS NULL THEN NULL
+       |      ELSE CAST(f.nt AS DOUBLE) / f.nw END AS fertility
+       |FROM documents d LEFT JOIN
+       | (SELECT doc_id, count(*) AS nw, sum(ntok) AS nt FROM fin GROUP BY doc_id) f
+       | ON d.doc_id = f.doc_id""".stripMargin.replace("\n", " ")
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.io.Tables
+import graft.text.Tokenizer
+
+class TokenizerSpec extends SparkSuite {
+
+  private lazy val t = withLogLevel(Tables(spark, "/root/testdata/sf0.001"))
+
+  private val P2 = Tokenizer.pieces2.toSet
+  private val P3 = Tokenizer.pieces3.toSet
+  private val P4 = Tokenizer.pieces4.toSet
+
+  /** Independent greedy longest-match segmenter: a plain while-loop
+    * over substring probes, sharing only the piece constants with the
+    * Catalyst fold under test.
+    */
+  private def refTokens(word: String): Int = {
+    val w = word.take(Tokenizer.MaxWordChars)
+    var pos = 0
+    var n = 0
+    while (pos < w.length) {
+      val len =
+        if (pos + 4 <= w.length && P4(w.substring(pos, pos + 4))) 4
+        else if (pos + 3 <= w.length && P3(w.substring(pos, pos + 3))) 3
+        else if (pos + 2 <= w.length && P2(w.substring(pos, pos + 2))) 2
+        else 1
+      pos += len
+      n += 1
+    }
+    n
+  }
+
+  private def refWords(text: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(text).toSeq
+
+  test("fold matches the independent reference on every sf0.001 document") {
+    val got = Tokenizer.bpeTokenCount(t).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val docs = t.documents.select("doc_id", "text").collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val ws = refWords(text)
+      val want = (ws.size, ws.map(refTokens(_).toLong).sum)
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+  }
+
+  test("hand anchors: vocab words are 1 token, unknown chars fall back to singles") {
+    assert(refTokens("the") == 1)     // pieces3 hit
+    assert(refTokens("that") == 1)    // pieces4 hit
+    assert(refTokens("a") == 1)       // base alphabet
+    assert(refTokens("x9") == 2)      // digits: singles only
+    // greedy longest-match: "there" takes "ther"+"e", not "the"+"re"
+    assert(refTokens("there") == 2)
+  }
+
+  test("token count bounds: ceil(len/4) <= ntok <= len for all corpus words") {
+    val words = t.documents.select("text").collect()
+      .flatMap(r => refWords(r.getString(0))).distinct
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val n = refTokens(w)
+      val len = math.min(w.length, Tokenizer.MaxWordChars)
+      assert(n >= (len + 3) / 4 && n <= len, s"word $w: $n tokens, len $len")
+    }
+  }
+
+  test("fertility is tokens/words and >= 1 when words exist") {
+    Tokenizer.bpeTokenCount(t).collect().foreach { r =>
+      val (nw, nt) = (r.getInt(1), r.getLong(2))
+      if (nw == 0) assert(r.isNullAt(3))
+      else {
+        val f = r.getDouble(3)
+        assert(f == nt.toDouble / nw)
+        assert(f >= 1.0, s"fertility $f < 1 (every word is >= 1 token)")
+      }
+    }
+  }
+
+  test("plan is row-local: no hash exchange, no join (vocab is a plan literal)") {
+    val plan = Tokenizer.bpeTokenCount(t).queryExecution.executedPlan.toString
+    // widen()'s conditional round-robin split of the single test-file
+    // scan is the only exchange allowed (identity at real split counts);
+    // any hashpartitioning would mean the fold grew a keyed shuffle.
+    assert(!plan.contains("hashpartitioning"),
+      s"tokenizer fold must not key-shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"no build side expected:\n$plan")
+  }
+}
