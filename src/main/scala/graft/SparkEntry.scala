@@ -139,6 +139,7 @@ object SparkEntry {
     "contamination"   -> q(graft.pipeline.CorpusOps.contamination),
     "corpus_curated"  -> q(graft.pipeline.CorpusOps.curated),
     "corpus_token_budget" -> q(graft.pipeline.CorpusOps.tokenBudget),
+    "corpus_bpe_budget" -> q(graft.text.Tokenizer.bpeBudget),
     "q42_sliding_window" -> q(Relational.q42SlidingWindow),
     "q43_full_outer"  -> q(Relational.q43FullOuter),
     "corpus_budget_sample" -> q(graft.pipeline.CorpusOps.budgetSample),
@@ -267,6 +268,7 @@ object SparkEntry {
     "contamination"   -> graft.pipeline.CorpusOps.contaminationSql,
     "corpus_curated"  -> graft.pipeline.CorpusOps.curatedSql,
     "corpus_token_budget" -> graft.pipeline.CorpusOps.tokenBudgetSql,
+    "corpus_bpe_budget" -> graft.text.Tokenizer.bpeBudgetSql,
     "q42_sliding_window" -> Relational.q42Sql,
     "q43_full_outer"  -> Relational.q43Sql,
     "corpus_budget_sample" -> graft.pipeline.CorpusOps.budgetSampleSql,

@@ -140,15 +140,61 @@ object Tokenizer {
           .as("fertility"))
   }
 
+  /** Per-source token-budget accounting in the SUBWORD currency — the
+    * follow-through on why this tokenizer exists: the word-proxy
+    * budget ([[graft.pipeline.CorpusOps.tokenBudget]]) under-counts
+    * by each source's fertility, so a mixture weighted in words buys
+    * fewer model tokens from high-fertility sources than it claims.
+    * Emits, per source: doc count, word-proxy total, subword total,
+    * the source's share of the corpus subword budget, and the
+    * under-count factor (subword/word — exactly what a budget stated
+    * in words must be multiplied by).
+    *
+    * Shape: the row-local fold, then ONE map-side-combinable
+    * groupBy(source) — group cardinality = number of sources, so the
+    * grand-total share window runs over already-aggregated rows (the
+    * sanctioned grand-total-window shape, input is group-cardinality).
+    * share and undercount are single IEEE divisions of
+    * exactly-representable longs (invariant 3; corpus token totals
+    * stay under 2^53 even at 100 TB ≈ 25T tokens).
+    */
+  def bpeBudget(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = expr("regexp_extract_all(text, '[a-z0-9]+', 0)")
+    val capped = transform(words, w => w.substr(lit(1), lit(MaxWordChars)))
+    t.widen(t.documents)
+      .select(
+        $"source",
+        size(words).as("nw_doc"),
+        aggregate(transform(capped, tokensOf(_)), lit(0L),
+          (a, x) => a + x.cast(LongType)).as("nt_doc"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nw_doc").as("n_words"),
+        sum($"nt_doc").as("n_bpe_tokens"))
+      .select(
+        $"source", $"n_docs", $"n_words", $"n_bpe_tokens",
+        ($"n_bpe_tokens".cast(DoubleType) /
+          sum($"n_bpe_tokens").over(Window.partitionBy()).cast(DoubleType))
+          .as("share"),
+        when($"n_words" === 0, lit(null).cast(DoubleType))
+          .otherwise($"n_bpe_tokens".cast(DoubleType) / $"n_words")
+          .as("undercount"))
+  }
+
   private def inList(ps: Seq[String]): String =
     ps.map(p => s"'$p'").mkString(", ")
 
-  /** DuckDB replay: recursive CTE, one token per iteration, IN-lists
-    * generated from the same piece constants as the Spark fold.
-    * DuckDB sum(INTEGER) is HUGEINT → cast to BIGINT (invariant 12).
+  /** Shared oracle fragment: recursive segmentation CTEs ending in
+    * `perdoc(doc_id, nw, nt)` — word and subword-token counts per doc.
+    * One token per iteration, CASE/IN longest-match generated from the
+    * same piece constants as the Spark fold. Every consumer query
+    * prefixes this with WITH RECURSIVE.
     */
-  val bpeTokenCountSql: String =
-    s"""WITH RECURSIVE wi AS (
+  private val perDocCte: String =
+    s"""wi AS (
        | SELECT doc_id, substr(x, 1, $MaxWordChars) AS word,
        |  row_number() OVER () AS wid
        | FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS x
@@ -165,13 +211,40 @@ object Tokenizer {
        | FROM seg WHERE pos <= length(word)
        |), fin AS (
        | SELECT doc_id, ntok FROM seg WHERE pos > length(word)
-       |)
+       |), perdoc AS (
+       | SELECT doc_id, count(*) AS nw, sum(ntok) AS nt FROM fin GROUP BY doc_id
+       |)""".stripMargin
+
+  /** DuckDB replay of [[bpeTokenCount]]. DuckDB sum(INTEGER) is
+    * HUGEINT → cast to BIGINT (invariant 12).
+    */
+  val bpeTokenCountSql: String =
+    s"""WITH RECURSIVE $perDocCte
        |SELECT d.doc_id,
-       | CAST(coalesce(f.nw, 0) AS INT) AS n_words,
-       | CAST(coalesce(f.nt, 0) AS BIGINT) AS n_tokens,
-       | CASE WHEN f.nw IS NULL THEN NULL
-       |      ELSE CAST(f.nt AS DOUBLE) / f.nw END AS fertility
-       |FROM documents d LEFT JOIN
-       | (SELECT doc_id, count(*) AS nw, sum(ntok) AS nt FROM fin GROUP BY doc_id) f
-       | ON d.doc_id = f.doc_id""".stripMargin.replace("\n", " ")
+       | CAST(coalesce(p.nw, 0) AS INT) AS n_words,
+       | CAST(coalesce(p.nt, 0) AS BIGINT) AS n_tokens,
+       | CASE WHEN p.nw IS NULL THEN NULL
+       |      ELSE CAST(p.nt AS DOUBLE) / p.nw END AS fertility
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
+      .replace("\n", " ")
+
+  /** DuckDB replay of [[bpeBudget]]: same CTEs, grouped by source.
+    * Both ratio operands cast to DOUBLE explicitly so the division is
+    * the identical IEEE op on both engines (DuckDB window sum over
+    * BIGINT is HUGEINT).
+    */
+  val bpeBudgetSql: String =
+    s"""WITH RECURSIVE $perDocCte
+       |SELECT source, n_docs, n_words, n_bpe_tokens,
+       | CAST(n_bpe_tokens AS DOUBLE) /
+       |   CAST(sum(n_bpe_tokens) OVER () AS DOUBLE) AS share,
+       | CASE WHEN n_words = 0 THEN NULL
+       |      ELSE CAST(n_bpe_tokens AS DOUBLE) / n_words END AS undercount
+       |FROM (
+       | SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(coalesce(p.nw, 0)) AS BIGINT) AS n_words,
+       |  CAST(sum(coalesce(p.nt, 0)) AS BIGINT) AS n_bpe_tokens
+       | FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       | GROUP BY d.source)""".stripMargin.replace("\n", " ")
 }

@@ -79,6 +79,35 @@ class TokenizerSpec extends SparkSuite {
     }
   }
 
+  test("bpeBudget totals equal the per-doc query re-aggregated by source") {
+    val perDoc = Tokenizer.bpeTokenCount(t).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getLong(2)))).toMap
+    val srcOf = t.documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = srcOf.groupBy(_._2).map { case (src, docs) =>
+      val stats = docs.keys.toSeq.map(perDoc) // toSeq BEFORE map: a set-map collapses equal (nw,nt) pairs
+      src -> ((docs.size.toLong, stats.map(_._1).sum, stats.map(_._2).sum))
+    }
+    val rows = Tokenizer.bpeBudget(t).collect()
+    assert(rows.map(_.getString(0)).toSet == want.keySet)
+    var shareSum = 0.0
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == want(src), s"source $src")
+      assert(r.getDouble(5) == r.getLong(3).toDouble / r.getLong(2), s"undercount $src")
+      assert(r.getDouble(5) >= 1.0, s"undercount < 1 for $src")
+      shareSum += r.getDouble(4)
+    }
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+  }
+
+  test("bpeBudget plan: one hash exchange on source, fold stays below the agg") {
+    val plan = Tokenizer.bpeBudget(t).queryExecution.executedPlan.toString
+    val hashEx = "hashpartitioning\\(source".r.findAllIn(plan).length
+    assert(hashEx >= 1, s"expected the source groupBy exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"no join expected:\n$plan")
+  }
+
   test("plan is row-local: no hash exchange, no join (vocab is a plan literal)") {
     val plan = Tokenizer.bpeTokenCount(t).queryExecution.executedPlan.toString
     // widen()'s conditional round-robin split of the single test-file
