@@ -126,12 +126,13 @@ def _band_ann_recall(con, out_dir, name):
     micro-averaged fraction of brute-force (probe_id, cand_id) top-5
     pairs the IVF path also returns must be >= 0.8 — the same floor
     AnnRecallSpec pins for the same metric. The measured operating
-    point at sf0.01 with the nprobe=8/nlist=16 default is 0.841
-    (deterministic: fixed KMeans seed), so 0.8 is the tightest band
-    that doesn't fail by construction; a silent quantizer/assignment
-    regression tanks recall far below it. The baseline output is
-    hash-checked by the main loop, so this band rides an
-    already-verified anchor."""
+    point with the nprobe=10/nlist=16 default is ~0.89 at BOTH sf0.01
+    and sf0.1 (AnnProbeScan; small drift across session shapes is the
+    quantizer's documented partitioning-determinism scope), so the 0.8
+    band has real margin at either scale; a silent
+    quantizer/assignment regression tanks recall far below it. The
+    baseline output is hash-checked by the main loop, so this band
+    rides an already-verified anchor."""
     base = f"{out_dir}/ann_brute_force"
     if not glob.glob(f"{base}/*.parquet"):
         print(f"FAIL {name}[band]: baseline ann_brute_force output missing "
