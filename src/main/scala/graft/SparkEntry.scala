@@ -122,6 +122,8 @@ object SparkEntry {
     "ann_brute_force" -> q(Similarity.annBruteForce),
     "ann_lsh"         -> q(Similarity.annLsh(_)),
     "ann_ivf"         -> q((t: Tables) => Similarity.annIvf(t)),
+    "emb_quantize_int8" -> q(Similarity.embQuantizeInt8),
+    "ann_int8"        -> q(Similarity.annInt8),
     "text_stats"      -> q(TextAnalysis.stats),
     "text_quality"    -> q(TextAnalysis.quality),
     "text_lang_id"    -> q(TextAnalysis.langId),
@@ -251,6 +253,11 @@ object SparkEntry {
     // hyperplanes re-derive in SQL, so both engines bucket identically
     // and the reported neighbor set + cosines hash-compare exactly.
     "ann_lsh"         -> Similarity.annLshSql,
+    // int8 quantization: every step is a single IEEE double op DuckDB
+    // mirrors bitwise; ann_int8's scores are exact small integers, so
+    // both carry FULL hash oracles (unlike the KMeans-based ivf pair)
+    "emb_quantize_int8" -> Similarity.embQuantizeInt8Sql,
+    "ann_int8"        -> Similarity.annInt8Sql,
     // ann_ivf: KMeans quantizer isn't SQL-expressible — rows-only at
     // the driver; AnnRecallSpec independently re-verifies every
     // reported cosine and the rank order (plain-Scala fold).

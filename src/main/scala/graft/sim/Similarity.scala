@@ -434,4 +434,124 @@ object Similarity {
     buckets.unpersist()
     out
   }
+
+  /** Per-vector symmetric int8 scalar quantization of the NORMALIZED
+    * embeddings: `codes_i = floor(u_i * (127/qmax) + 0.5)` with
+    * `u = v/nrm`, `qmax = max|u_i|`. The element attaining qmax maps to
+    * ±127, everything else scales linearly — the standard first
+    * compression step of a 100 TB vector store (4x less storage and
+    * memory bandwidth than float32, 8x less than the double pipeline).
+    *
+    * Every arithmetic step is a SINGLE IEEE double op (one divide for
+    * u_i, one divide for the scale, one multiply, one add, floor), so
+    * DuckDB evaluating the same expression tree reproduces the codes
+    * bit for bit — the codes carry a full hash oracle. nrm reuses the
+    * left-fold dot accumulation the cosine oracles already
+    * hash-validate (file header); max is order-insensitive.
+    *
+    * Derived lazily from the persisted [[withNorm]] projection — a
+    * pure per-row map (zero shuffle, plan-pinned in QuantizeSpec), so
+    * no extra cache entry: recomputing the map is cheaper than holding
+    * a second 64-long column copy resident for the sweep.
+    */
+  private def quantizedCodes(t: Tables): DataFrame = {
+    val e = withNorm(t).filter(col("nrm") > 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+    e.withColumn("qmax", array_max(transform(col("u"), x => abs(x))))
+      .withColumn("codes",
+        transform(col("u"), x => floor(x * (lit(127.0) / col("qmax")) + lit(0.5))))
+      .select(col("vec_id"), col("label"), col("qmax"), col("codes"))
+  }
+
+  /** Shared oracle CTE: normalized vectors and their int8 codes.
+    * Expression trees mirror [[quantizedCodes]] op for op.
+    */
+  private val quantSqlCte: String = {
+    val d = dotSql.format("embedding", "embedding")
+    s"""WITH n AS (
+       | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt($d) AS nrm
+       | FROM embeddings),
+       |un AS (
+       | SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
+       | FROM n WHERE nrm > 0),
+       |m AS (
+       | SELECT vec_id, label, u,
+       |  list_max(list_transform(u, y -> abs(y))) AS qmax
+       | FROM un),
+       |q AS (
+       | SELECT vec_id, label, qmax,
+       |  list_transform(u, x -> CAST(floor(x * (127.0 / qmax) + 0.5) AS BIGINT)) AS codes
+       | FROM m)""".stripMargin
+  }
+
+  /** Quantization table: vec_id, label, qmax, the codes stringified
+    * (no array-typed output cells), and an exact integer checksum.
+    */
+  def embQuantizeInt8(t: Tables): DataFrame =
+    quantizedCodes(t).select(
+      col("vec_id"), col("label"), col("qmax"),
+      concat_ws(":", transform(col("codes"), x => x.cast(StringType))).as("codes"),
+      aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"))
+
+  val embQuantizeInt8Sql: String =
+    s"""$quantSqlCte
+       |SELECT vec_id, label, qmax,
+       | array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ':') AS codes,
+       | CAST(list_sum(codes) AS BIGINT) AS code_sum
+       |FROM q""".stripMargin.replace("\n", " ")
+
+  /** Brute-force top-5 by scale-corrected int8 dot product — the
+    * quantized search baseline. The integer score `qdot` is a sum of
+    * 64 products each ≤ 127², so the double-typed graft_dot
+    * accumulates it EXACTLY (every intermediate < 2^53). Raw qdot is
+    * NOT rank-preserving across candidates (each candidate's own
+    * per-vector scale qmax_c distorts it — measured recall@5 0.68), so
+    * ranking uses the asymmetric dequantized estimate
+    * `score = qdot·qmax_p·qmax_c/127²` ≈ cos(p,c) — the scale
+    * correction every scalar-quantized ADC scorer applies (measured
+    * recall@5 0.990 at sf0.01, QuantizeSpec floor 0.9). score is a
+    * three-multiply/one-divide IEEE chain over exact inputs, mirrored
+    * op for op in SQL, so the full output hash-compares. Same probe
+    * set and total tiebreak as [[annBruteForce]]; QuantizeSpec pins
+    * recall@5 vs the float baseline. At 100 TB the int8 corpus is the
+    * resident set (4x smaller scans than float32); the integer dot is
+    * the SIMD-friendly hot loop and the scale correction is two
+    * scalars per pair.
+    */
+  def annInt8(t: Tables): DataFrame = {
+    val qc = quantizedCodes(t)
+    val probes = qc.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("probe_id"), col("qmax").as("qp"),
+        col("codes").cast("array<double>").as("cp"))
+    val cands = qc.select(col("vec_id").as("cand_id"), col("qmax").as("qc"),
+      col("codes").cast("array<double>").as("cc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    // No broadcast hint, same reasoning as annBruteForce: probes grow
+    // with the corpus.
+    probes.join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("qdot", dot(col("cp"), col("cc")).cast(LongType))
+      .withColumn("score",
+        col("qdot") * col("qp") * col("qc") / lit(16129.0))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rnk"), col("qdot"), col("score"))
+  }
+
+  val annInt8Sql: String = {
+    val qd = "CAST(list_dot_product(CAST(p.codes AS DOUBLE[]), CAST(c.codes AS DOUBLE[])) AS BIGINT)"
+    s"""$quantSqlCte
+       |SELECT probe_id, cand_id, rnk, qdot, score FROM (
+       | SELECT probe_id, cand_id, qdot, score,
+       |  row_number() OVER (PARTITION BY probe_id
+       |   ORDER BY score DESC, cand_id ASC) AS rnk
+       | FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, $qd AS qdot,
+       |   $qd * p.qmax * c.qmax / 16129.0 AS score
+       |  FROM q p JOIN q c ON p.vec_id <> c.vec_id
+       |  WHERE p.vec_id % 13 = 0))
+       |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
+  }
 }

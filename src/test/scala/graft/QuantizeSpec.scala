@@ -1,0 +1,116 @@
+package graft
+
+import graft.io.Tables
+import graft.sim.Similarity
+
+/** Pins for the int8 quantization pair (emb_quantize_int8 / ann_int8)
+  * on real sf0.01 data:
+  *
+  *  - the codes are EXACTLY reproducible by an independent plain-Scala
+  *    computation (same sequential-fold norm, same single-op IEEE
+  *    expression tree) — the in-JVM mirror of the DuckDB hash oracle;
+  *  - codes stay in int8 range and the max-|u| element saturates ±127;
+  *  - dequantization error obeys the half-step bound qmax/127/2;
+  *  - quantization is a pure per-row map: zero exchanges in the
+  *    executed plan (the 100 TB claim — compressing the corpus never
+  *    shuffles it);
+  *  - ann_int8 keeps recall@5 >= 0.9 vs the exact float baseline
+  *    (int8 on 64-dim normalized vectors loses almost nothing — the
+  *    quantized corpus can serve as the resident search set).
+  */
+class QuantizeSpec extends SparkSuite {
+
+  private lazy val t = {
+    spark.sparkContext.setLogLevel("WARN")
+    Tables(spark, "/root/testdata/sf0.01")
+  }
+
+  /** vec_id -> (qmax, codes) from the production query's stringified
+    * output — parsing what ships, not a private intermediate.
+    */
+  private lazy val quantized: Map[Long, (Double, Array[Long])] =
+    Similarity.embQuantizeInt8(t).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("qmax"),
+          r.getAs[String]("codes").split(':').map(_.toLong))
+    }.toMap
+
+  /** Independent recompute: float→double cast, sequential-fold norm
+    * (the same left-to-right accumulation graft_dot codegens), one
+    * divide per element, floor(x*(127/qmax)+0.5).
+    */
+  private lazy val recomputed: Map[Long, (Double, Array[Long])] =
+    t.embeddings.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray
+      val nrm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+      val u = v.map(_ / nrm)
+      val qmax = u.map(math.abs).max
+      val s = 127.0 / qmax
+      r.getAs[Long]("vec_id") ->
+        (qmax, u.map(x => math.floor(x * s + 0.5).toLong))
+    }.toMap
+
+  test("codes and qmax match an independent plain-Scala recompute exactly") {
+    assert(quantized.nonEmpty)
+    assert(quantized.keySet == recomputed.keySet)
+    quantized.foreach { case (id, (qmax, codes)) =>
+      val (rq, rc) = recomputed(id)
+      assert(qmax == rq, s"vec $id qmax $qmax != recomputed $rq")
+      assert(codes.sameElements(rc),
+        s"vec $id codes ${codes.mkString(",")} != recomputed ${rc.mkString(",")}")
+    }
+  }
+
+  test("codes stay in int8 range and the extreme element saturates to ±127") {
+    quantized.foreach { case (id, (_, codes)) =>
+      assert(codes.forall(c => c >= -127 && c <= 127),
+        s"vec $id has a code outside [-127,127]")
+      assert(codes.exists(c => math.abs(c) == 127),
+        s"vec $id: no element saturates — qmax scaling is off")
+    }
+  }
+
+  test("dequantization error obeys the half-step bound") {
+    t.embeddings.select("vec_id", "embedding").collect().foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray
+      val nrm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+      val u = v.map(_ / nrm)
+      val (qmax, codes) = quantized(id)
+      val step = qmax / 127.0
+      u.zip(codes).foreach { case (x, c) =>
+        val err = math.abs(c * step - x)
+        assert(err <= step / 2 + 1e-12,
+          s"vec $id: dequant error $err exceeds half-step ${step / 2}")
+      }
+    }
+  }
+
+  test("emb_quantize_int8 adds zero exchanges above the shared projection scan") {
+    // The cached normalized projection's stored lineage may contain the
+    // conditional widen repartition (printed INSIDE the InMemoryRelation
+    // block); the pin is that quantization itself — everything above the
+    // cached scan — is a pure per-row map with no shuffle.
+    val plan = Similarity.embQuantizeInt8(t).queryExecution.executedPlan.toString
+    val scanAt = plan.indexOf("InMemoryTableScan")
+    assert(scanAt >= 0, s"expected the shared cached projection:\n$plan")
+    assert(!plan.substring(0, scanAt).contains("Exchange"),
+      s"quantization must not shuffle the corpus:\n$plan")
+  }
+
+  test("ann_int8 recall@5 vs the exact float baseline >= 0.9 on sf0.01") {
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (p, rows) => p -> rows.map(_._2).toSet }
+    val truth = neighbors(Similarity.annBruteForce(t))
+    val approx = neighbors(Similarity.annInt8(t))
+    val hit = truth.iterator.map { case (p, tr) =>
+      (tr & approx.getOrElse(p, Set.empty)).size
+    }.sum
+    val recall = hit.toDouble / truth.valuesIterator.map(_.size).sum
+    info(f"ann_int8 recall@5 = $recall%.3f")
+    assert(recall >= 0.9, f"ann_int8 recall@5 $recall%.3f below 0.9 floor")
+  }
+}
