@@ -44,7 +44,9 @@ object Plans {
       "q51_heavy_hitters_sketch" -> Relational.q51HeavyHittersSketch(t),
       "corpus_mixture_interleave" -> graft.functions.Aggs.mixtureInterleaveQuery(t),
       "corpus_boilerplate" -> graft.pipeline.CorpusOps.boilerplate(t),
-      "corpus_strip_boilerplate" -> graft.pipeline.CorpusOps.stripBoilerplate(t))
+      "corpus_strip_boilerplate" -> graft.pipeline.CorpusOps.stripBoilerplate(t),
+      "emb_quantize_int8" -> graft.sim.Similarity.embQuantizeInt8(t),
+      "ann_int8" -> graft.sim.Similarity.annInt8(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
       println(df.queryExecution.explainString(
