@@ -124,6 +124,9 @@ object SparkEntry {
     "ann_ivf"         -> q((t: Tables) => Similarity.annIvf(t)),
     "emb_quantize_int8" -> q(Similarity.embQuantizeInt8),
     "ann_int8"        -> q(Similarity.annInt8),
+    // rows-only like ann_ivf (KMeans fit); check.py bands recall@5 vs
+    // ann_brute_force, QuantizeSpec re-verifies the integer scores
+    "ann_ivf_int8"    -> q((t: Tables) => Similarity.annIvfInt8(t)),
     "text_stats"      -> q(TextAnalysis.stats),
     "text_quality"    -> q(TextAnalysis.quality),
     "text_lang_id"    -> q(TextAnalysis.langId),

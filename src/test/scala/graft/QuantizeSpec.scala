@@ -113,4 +113,34 @@ class QuantizeSpec extends SparkSuite {
     info(f"ann_int8 recall@5 = $recall%.3f")
     assert(recall >= 0.9, f"ann_int8 recall@5 $recall%.3f below 0.9 floor")
   }
+
+  test("ann_ivf_int8: recall@5 >= 0.8 and every reported qdot is genuine") {
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (p, rows) => p -> rows.map(_._2).toSet }
+    val truth = neighbors(Similarity.annBruteForce(t))
+    val rows = Similarity.annIvfInt8(t).collect()
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).toSet }
+    val hit = truth.iterator.map { case (p, tr) =>
+      (tr & approx.getOrElse(p, Set.empty)).size
+    }.sum
+    val recall = hit.toDouble / truth.valuesIterator.map(_.size).sum
+    info(f"ann_ivf_int8 recall@5 = $recall%.3f")
+    assert(recall >= 0.8, f"ann_ivf_int8 recall@5 $recall%.3f below 0.8 floor")
+    // candidate generation is approximate; the SCORES must not be:
+    // every reported qdot equals the independent plain-Scala dot of
+    // the recomputed codes (and score its exact scale correction)
+    rows.foreach { r =>
+      val (p, c) = (r.getLong(0), r.getLong(1))
+      val qdot = r.getAs[Long]("qdot")
+      val (qp, cp) = recomputed(p)
+      val (qc, cc) = recomputed(c)
+      val expect = cp.zip(cc).foldLeft(0L) { case (acc, (x, y)) => acc + x * y }
+      assert(qdot == expect, s"pair ($p,$c): reported qdot $qdot != $expect")
+      val score = r.getAs[Double]("score")
+      assert(score == qdot.toDouble * qp * qc / 16129.0,
+        s"pair ($p,$c): score $score is not the exact scale correction")
+    }
+  }
 }

@@ -122,17 +122,19 @@ def _band_ivf_recall(con, out_dir, name):
 
 
 def _band_ann_recall(con, out_dir, name):
-    """ann_ivf recall@5 vs the hash-checked ann_brute_force output: the
-    micro-averaged fraction of brute-force (probe_id, cand_id) top-5
-    pairs the IVF path also returns must be >= 0.8 — the same floor
-    AnnRecallSpec pins for the same metric. The measured operating
-    point with the nprobe=10/nlist=16 default is ~0.89 at BOTH sf0.01
-    and sf0.1 (AnnProbeScan; small drift across session shapes is the
-    quantizer's documented partitioning-determinism scope), so the 0.8
-    band has real margin at either scale; a silent
-    quantizer/assignment regression tanks recall far below it. The
-    baseline output is hash-checked by the main loop, so this band
-    rides an already-verified anchor."""
+    """Recall@5 vs the hash-checked ann_brute_force output (used for
+    both ann_ivf and ann_ivf_int8): the micro-averaged fraction of
+    brute-force (probe_id, cand_id) top-5 pairs the approximate path
+    also returns must be >= 0.8 — the same floor AnnRecallSpec /
+    QuantizeSpec pin for the same metric. The measured operating point
+    with the nprobe=10/nlist=16 default is ~0.89 at BOTH sf0.01 and
+    sf0.1 for ann_ivf (AnnProbeScan; small drift across session shapes
+    is the quantizer's documented partitioning-determinism scope), and
+    int8 ADC scoring costs ~1 recall point on top, so the 0.8 band has
+    real margin at either scale; a silent quantizer/assignment
+    regression tanks recall far below it. The baseline output is
+    hash-checked by the main loop, so this band rides an
+    already-verified anchor."""
     base = f"{out_dir}/ann_brute_force"
     if not glob.glob(f"{base}/*.parquet"):
         print(f"FAIL {name}[band]: baseline ann_brute_force output missing "
@@ -168,6 +170,7 @@ BAND_CHECKS = {
     "q40_approx_quantile": _band_q40,
     "dedup_embedding_ivf": _band_ivf_recall,
     "ann_ivf": _band_ann_recall,
+    "ann_ivf_int8": _band_ann_recall,
 }
 
 

@@ -6,8 +6,9 @@ Defaults to the rows-only set."""
 import sys
 import duckdb
 
-ROWS_ONLY = ["ann_ivf", "dedup_embedding_ivf", "q27_approx_distinct",
-             "q40_approx_quantile", "text_rolling_hash"]
+ROWS_ONLY = ["ann_ivf", "ann_ivf_int8", "dedup_embedding_ivf",
+             "q27_approx_distinct", "q40_approx_quantile",
+             "text_rolling_hash"]
 
 def main():
     a, b = sys.argv[1], sys.argv[2]
