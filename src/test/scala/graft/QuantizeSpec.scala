@@ -114,6 +114,52 @@ class QuantizeSpec extends SparkSuite {
     assert(recall >= 0.9, f"ann_int8 recall@5 $recall%.3f below 0.9 floor")
   }
 
+  test("adversarial vectors quantize correctly through the real Spark path") {
+    import spark.implicits._
+    // magnitude extremes, sign mixes, one-hot, near-uniform, and a
+    // descending ramp — shapes real embeddings don't exercise
+    val adversarial: Seq[(Long, Seq[Float], Int)] = Seq(
+      (1L, Seq.fill(64)(1e-8f), 0),                    // tiny uniform
+      (2L, Seq.fill(64)(3e8f), 0),                     // huge uniform
+      (3L, Seq.tabulate(64)(i => if (i == 7) 5f else 0f), 0),     // one-hot
+      (4L, Seq.tabulate(64)(i => if (i % 2 == 0) 2f else -2f), 0), // sign flip
+      (5L, Seq.tabulate(64)(i => (i - 32).toFloat), 0),            // ramp
+      (6L, Seq.tabulate(64)(i => math.pow(-1.13, i % 11).toFloat), 0),
+      (7L, Seq.fill(64)(-4.25f), 0),                   // all negative
+      (13L, Seq.tabulate(64)(i => 1f / (i + 1)), 0)    // probe (13%13==0)
+    )
+    val ti = tempTables { dir =>
+      adversarial.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+    }
+    val got = Similarity.embQuantizeInt8(ti).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("qmax"),
+          r.getAs[String]("codes").split(':').map(_.toLong))
+    }.toMap
+    assert(got.keySet == adversarial.map(_._1).toSet)
+    adversarial.foreach { case (id, emb, _) =>
+      val v = emb.map(_.toDouble).toArray
+      val nrm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+      val u = v.map(_ / nrm)
+      val qmax = u.map(math.abs).max
+      val s = 127.0 / qmax
+      val expect = u.map(x => math.floor(x * s + 0.5).toLong)
+      val (gq, gc) = got(id)
+      assert(gq == qmax, s"vec $id qmax $gq != $qmax")
+      assert(gc.sameElements(expect),
+        s"vec $id codes ${gc.mkString(",")} != ${expect.mkString(",")}")
+      assert(gc.forall(c => c >= -127 && c <= 127))
+      assert(gc.exists(c => math.abs(c) == 127))
+    }
+    // the one-hot vector must quantize to exactly one ±127 and 63 zeros
+    assert(got(3L)._2.count(_ != 0L) == 1)
+    // the ADC ANN runs end-to-end over the adversarial table too
+    val ann = Similarity.annInt8(ti).collect()
+    assert(ann.nonEmpty && ann.forall(_.getAs[Int]("rnk") <= 5))
+    Similarity.clearCaches() // temp dir: don't leave its norm projection cached
+  }
+
   test("ann_ivf_int8: recall@5 >= 0.8 and every reported qdot is genuine") {
     def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => (r.getLong(0), r.getLong(1)))
