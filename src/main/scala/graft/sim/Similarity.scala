@@ -447,7 +447,12 @@ object Similarity {
     * DuckDB evaluating the same expression tree reproduces the codes
     * bit for bit — the codes carry a full hash oracle. nrm reuses the
     * left-fold dot accumulation the cosine oracles already
-    * hash-validate (file header); max is order-insensitive.
+    * hash-validate (file header); max is order-insensitive. Same
+    * contingency class as annLsh / corpus_weighted_sample (CLAUDE.md):
+    * if a DuckDB upgrade ever changes list_dot_product's accumulation
+    * order, demote emb_quantize_int8/ann_int8 to rows-only (the codes
+    * themselves stay bit-deterministic on the Spark side) rather than
+    * chasing ulps.
     *
     * Derived lazily from the persisted [[withNorm]] projection — a
     * pure per-row map (zero shuffle, plan-pinned in QuantizeSpec), so
