@@ -46,7 +46,8 @@ object Plans {
       "corpus_boilerplate" -> graft.pipeline.CorpusOps.boilerplate(t),
       "corpus_strip_boilerplate" -> graft.pipeline.CorpusOps.stripBoilerplate(t),
       "emb_quantize_int8" -> graft.sim.Similarity.embQuantizeInt8(t),
-      "ann_int8" -> graft.sim.Similarity.annInt8(t))
+      "ann_int8" -> graft.sim.Similarity.annInt8(t),
+      "ann_ivf_int8" -> graft.sim.Similarity.annIvfInt8(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
       println(df.queryExecution.explainString(

@@ -94,13 +94,46 @@ def main():
             missing.append(name)
     rows.sort(reverse=True)
 
+    # The first member of each cache family to run in the sweep pays
+    # the family's one-time build (shared norm projection + KMeans fit,
+    # LSH pair table, boilerplate line-df) that later members reuse —
+    # see the attribution notes in BASELINE.md's floor preambles. The
+    # bench JSON's query order IS the sweep order, so the first family
+    # member present identifies this run's payer; a high ratio there is
+    # attribution, not (necessarily) a regression. Mirrors
+    # graft.tools.SweepCaches consumer sets.
+    CACHE_FAMILIES = {
+        "sim (norm projection + quantizer fit)": [
+            "dedup_embedding", "dedup_embedding_ivf", "ann_brute_force",
+            "ann_ivf", "ann_lsh", "emb_quantize_int8", "ann_int8",
+            "ann_ivf_int8"],
+        "dedup (MinHash signature/pair tables)": [
+            "dedup_minhash_lsh", "dedup_clusters", "corpus_split_leakage",
+            "dedup_incremental_near", "stream_near_dup"],
+        "corpus (boilerplate line-df)": [
+            "corpus_boilerplate", "corpus_strip_boilerplate"],
+    }
+    first_payer = {}
+    for fam, members in CACHE_FAMILIES.items():
+        for name in queries:       # dict order == sweep order
+            if name in members:
+                first_payer[name] = fam
+                break
+
     print(f"{'query':34s} {'bench':>8s} {'floor':>8s} {'ratio':>7s}")
     flagged = []
+    payer_notes = []
     for ratio, name, sec, fl in rows:
         mark = "  <-- >%gx" % THRESHOLD if ratio > THRESHOLD else ""
         if ratio > THRESHOLD:
             flagged.append(name)
+        if name in first_payer and ratio > 1.4:
+            payer_notes.append(
+                f"{name} ({ratio:.2f}x) ran first in the {first_payer[name]} "
+                f"family this sweep and pays its one-time cache build")
         print(f"{name:34s} {sec:8.2f} {fl:8.2f} {ratio:6.2f}x{mark}")
+    for note in payer_notes:
+        print(f"cache-family context: {note}")
 
     if not rows:
         # Zero shared query names means nothing was compared at all —
