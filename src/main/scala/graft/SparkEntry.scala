@@ -127,6 +127,16 @@ object SparkEntry {
     // rows-only like ann_ivf (KMeans fit); check.py bands recall@5 vs
     // ann_brute_force, QuantizeSpec re-verifies the integer scores
     "ann_ivf_int8"    -> q((t: Tables) => Similarity.annIvfInt8(t)),
+    // the streaming module's retrieval path driven in batch mode:
+    // row-local probe quantization + stream-static index join + the
+    // bounded top-k aggregator — output must equal ann_int8 minus qdot
+    // bit for bit, so it carries annStreamSql as a full hash oracle
+    "stream_ann_int8" -> q((t: Tables) => {
+      val probes = t.widen(t.embeddings).filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id"), col("embedding"),
+          timestamp_seconds(col("vec_id")).as("ts"))
+      graft.streaming.Streams.annStream(probes, Similarity.quantizedIndex(t))
+    }),
     "text_stats"      -> q(TextAnalysis.stats),
     "text_quality"    -> q(TextAnalysis.quality),
     "text_lang_id"    -> q(TextAnalysis.langId),
@@ -261,6 +271,7 @@ object SparkEntry {
     // both carry FULL hash oracles (unlike the KMeans-based ivf pair)
     "emb_quantize_int8" -> Similarity.embQuantizeInt8Sql,
     "ann_int8"        -> Similarity.annInt8Sql,
+    "stream_ann_int8" -> Similarity.annStreamSql,
     // ann_ivf: KMeans quantizer isn't SQL-expressible — rows-only at
     // the driver; AnnRecallSpec independently re-verifies every
     // reported cosine and the rank order (plain-Scala fold).

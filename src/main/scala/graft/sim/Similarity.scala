@@ -463,7 +463,7 @@ object Similarity {
     * column-level map, so [[annIvfInt8]] can quantize its cell-assigned
     * table inline instead of joining two corpus-sized projections.
     */
-  private def withQuantCols(df: DataFrame): DataFrame =
+  private[graft] def withQuantCols(df: DataFrame): DataFrame =
     df.filter(col("nrm") > 0)
       .withColumn("u", transform(col("v"), x => x / col("nrm")))
       .withColumn("qmax", array_max(transform(col("u"), x => abs(x))))
@@ -474,6 +474,14 @@ object Similarity {
   private def quantizedCodes(t: Tables): DataFrame =
     withQuantCols(withNorm(t))
       .select(col("vec_id"), col("label"), col("qmax"), col("codes"))
+
+  /** The static int8 resident index (vec_id, qmax, codes) — what an
+    * ingest-time retrieval stream probes (Streams.annStream): the
+    * nightly batch job maintains this table; the stream never rebuilds
+    * it.
+    */
+  def quantizedIndex(t: Tables): DataFrame =
+    quantizedCodes(t).select(col("vec_id"), col("qmax"), col("codes"))
 
   /** Shared oracle CTE: normalized vectors and their int8 codes.
     * Expression trees mirror [[quantizedCodes]] op for op.
@@ -560,6 +568,27 @@ object Similarity {
        |   ORDER BY score DESC, cand_id ASC) AS rnk
        | FROM (
        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, $qd AS qdot,
+       |   $qd * p.qmax * c.qmax / 16129.0 AS score
+       |  FROM q p JOIN q c ON p.vec_id <> c.vec_id
+       |  WHERE p.vec_id % 13 = 0))
+       |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
+  }
+
+  /** Oracle for the streaming retrieval path (Streams.annStream driven
+    * in batch mode): ann_int8's plan minus the qdot column — the
+    * stream's bounded top-k aggregator ranks by the identical
+    * (score DESC, cand_id ASC) total order, so the batch-mode output
+    * hash-matches this SQL bit for bit.
+    */
+  val annStreamSql: String = {
+    val qd = "CAST(list_dot_product(CAST(p.codes AS DOUBLE[]), CAST(c.codes AS DOUBLE[])) AS BIGINT)"
+    s"""$quantSqlCte
+       |SELECT probe_id, cand_id, rnk, score FROM (
+       | SELECT probe_id, cand_id, score,
+       |  row_number() OVER (PARTITION BY probe_id
+       |   ORDER BY score DESC, cand_id ASC) AS rnk
+       | FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
        |   $qd * p.qmax * c.qmax / 16129.0 AS score
        |  FROM q p JOIN q c ON p.vec_id <> c.vec_id
        |  WHERE p.vec_id % 13 = 0))

@@ -183,6 +183,61 @@ object Streams {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** Streaming int8 retrieval — the ingest-side twin of
+    * Similarity.annInt8: each arriving probe vector searches the STATIC
+    * quantized resident index (Similarity.quantizedIndex — the table
+    * the nightly batch job maintains) for its top-k neighbors by the
+    * scale-corrected integer dot.
+    *
+    * Stream-safety: probe-side quantization is row-LOCAL pure
+    * expressions (cast, fold-norm, scale, floor — bitwise the batch
+    * Similarity.withQuantCols chain, never state); the index join is
+    * stream-static; the only stateful op is the per-(window, probe)
+    * top-k, held in Aggs.topKOf's bounded O(k) buffer and evicted once
+    * the watermark passes the probe's window — so state on an
+    * unbounded probe stream is k pairs per in-flight probe, not the
+    * candidate set. The full-index probe here is the brute-force
+    * baseline; at 100 TB the index join keys on the IVF cell
+    * (Similarity.annIvfInt8's pruning) so a probe touches nprobe
+    * partitions of codes, and the aggregator's map-side trim still
+    * ships only k pairs per partition into the exchange.
+    *
+    * Driven on a batch frame (watermark a no-op, window degenerate per
+    * probe) the output equals ann_int8 minus the qdot column bit for
+    * bit — Similarity.annStreamSql is its full hash oracle;
+    * StreamingSpec pins the batch/stream agreement on a real
+    * MemoryStream.
+    */
+  def annStream(probes: DataFrame, index0: DataFrame, k: Int = 5,
+                horizon: String = "1 hour"): DataFrame = {
+    import graft.functions.GraftFunctions
+    val p = probes
+      .withWatermark("ts", horizon)
+      .select(col("vec_id").as("probe_id"), col("ts"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(GraftFunctions.graftDot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      .withColumn("qp", array_max(transform(col("u"), x => abs(x))))
+      .withColumn("cp",
+        transform(col("u"), x => floor(x * (lit(127.0) / col("qp")) + lit(0.5)))
+          .cast("array<double>"))
+      .select(col("probe_id"), col("ts"), col("qp"), col("cp"))
+    val idx = index0.select(col("vec_id").as("cand_id"),
+      col("qmax").as("qc"), col("codes").cast("array<double>").as("cc"))
+    val scored = p.join(idx, col("probe_id") =!= col("cand_id")) // stream-static
+      .withColumn("qdot", GraftFunctions.graftDot(col("cp"), col("cc")).cast(LongType))
+      .withColumn("score", col("qdot") * col("qp") * col("qc") / lit(16129.0))
+    val topk = udaf(graft.functions.Aggs.topKOf[(Double, Long)](k)(_._1, _._2),
+      Encoders.product[(Double, Long)])
+    scored
+      .groupBy(window(col("ts"), horizon), col("probe_id"))
+      .agg(topk(col("score"), col("cand_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._2").as("cand_id"),
+        (col("pos") + 1).cast("long").as("rnk"), col("col._1").as("score"))
+  }
+
   /** Event-time sessionization with explicit state: sessions close after
     * `gapMinutes` of per-user silence (state timeout = watermark-driven
     * eviction). The streaming twin of Relational.q17Sessionize.

@@ -289,4 +289,61 @@ class StreamingSpec extends SparkSuite {
         fromBatch.exceptAll(fromStreamsCode).isEmpty)
     }
   }
+
+  final case class VecProbe(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
+
+  test("batch-driven annStream equals ann_int8 minus qdot bit for bit") {
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val probes = t.widen(t.embeddings).filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id"), col("embedding"),
+          timestamp_seconds(col("vec_id")).as("ts"))
+      val stream = Streams.annStream(probes, graft.sim.Similarity.quantizedIndex(t))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.sim.Similarity.annInt8(t).collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Int]("rnk").toLong, r.getAs[Double]("score"))).toSet
+      assert(stream.nonEmpty && stream == batch)
+    }
+  }
+
+  test("streaming annStream: probes search the static int8 index; rows match batch") {
+    import spark.implicits._
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val index = graft.sim.Similarity.quantizedIndex(t)
+      val probeVecs = t.embeddings.filter(col("vec_id").isin(13L, 26L))
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)).toMap
+      assert(probeVecs.keySet == Set(13L, 26L))
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[VecProbe]
+      val q = Streams.annStream(input.toDF(), index)
+        .writeStream.format("memory").queryName("annstream")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          VecProbe(13L, probeVecs(13L), ts(5)),
+          VecProbe(26L, probeVecs(26L), ts(10)))
+        q.processAllAvailable()
+        // advance event time 3 hours so the watermark closes hour 0
+        input.addData(VecProbe(13L, probeVecs(13L), ts(185)))
+        q.processAllAvailable()
+        val got = spark.table("annstream").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        // expected: the batch path restricted to the two flushed probes,
+        // which includes each other as candidates (both are in the index)
+        val expected = Streams.annStream(
+            t.embeddings.filter(col("vec_id").isin(13L, 26L))
+              .select(col("vec_id"), col("embedding"),
+                timestamp_seconds(col("vec_id")).as("ts")), index)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        assert(expected.nonEmpty && got == expected,
+          s"stream rows must equal the batch path for the flushed probes")
+      } finally q.stop()
+    }
+  }
 }
