@@ -158,6 +158,8 @@ object SparkEntry {
     "q42_sliding_window" -> q(Relational.q42SlidingWindow),
     "q43_full_outer"  -> q(Relational.q43FullOuter),
     "corpus_budget_sample" -> q(graft.pipeline.CorpusOps.budgetSample),
+    "corpus_temperature_mix" -> q(graft.pipeline.CorpusOps.temperatureMix),
+    "corpus_temperature_sample" -> q(graft.pipeline.CorpusOps.temperatureSample),
     "text_vocab_coverage" -> q(TextAnalysis.vocabCoverage),
     "q44_histogram"   -> q(Relational.q44Histogram),
     "q45_except_all"  -> q(Relational.q45ExceptAll),
@@ -293,6 +295,8 @@ object SparkEntry {
     "q42_sliding_window" -> Relational.q42Sql,
     "q43_full_outer"  -> Relational.q43Sql,
     "corpus_budget_sample" -> graft.pipeline.CorpusOps.budgetSampleSql,
+    "corpus_temperature_mix" -> graft.pipeline.CorpusOps.temperatureMixSql,
+    "corpus_temperature_sample" -> graft.pipeline.CorpusOps.temperatureSampleSql,
     "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "q44_histogram"   -> Relational.q44Sql,
     "q45_except_all"  -> Relational.q45Sql,

@@ -535,6 +535,110 @@ object CorpusOps {
       |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
       | FROM documents GROUP BY source)""".stripMargin.replace("\n", " ")
 
+  // --------------------------------------- temperature-flattened mixture
+
+  /** Document budget the temperature allocation distributes, and the
+    * weight resolution (w = floor(sqrt(n·10^6)) = ~1000·√n, three extra
+    * decimal digits of α-weight precision as an exact integer). */
+  private[graft] val TempBudget = 300L
+  private[graft] val TempScale = 1000000L
+
+  /** Temperature-flattened mixture allocation — α-sampling as used for
+    * multilingual LM training mixtures (sample language i with
+    * p_i ∝ n_i^α, α<1 upweighting tail languages; the published range
+    * is α ∈ [0.3, 0.7]). Complements `Aggs.weightedSample`, which takes
+    * externally-given weights and draws exactly k: here the weights
+    * derive from the corpus itself and the draw (temperatureSample) is
+    * an expected-size Bernoulli threshold that scales to any target.
+    *
+    * α is pinned to 1/2 — deliberately, for oracle determinism: sqrt is
+    * the one power IEEE 754 requires to be CORRECTLY ROUNDED, so
+    * w = floor(sqrt(double(n·10^6))) is bit-identical in Spark and
+    * DuckDB (int64→double cast is round-half-even in both, sqrt is
+    * exact-then-rounded in both, floor of the same double agrees), and
+    * every step after it is integer arithmetic. A general-α variant
+    * would route through pow/exp·ln, which carry no such guarantee
+    * (the ann_lsh / aesKey ulp-contingency class) — α=0.5 sits inside
+    * the published range AND is the unique temperature with bit-exact
+    * cross-engine semantics, so the full hash oracle is safe with no
+    * demote contingency.
+    *
+    * Exact-integer weights also kill the summation-order problem: the
+    * grand total W = Σw is an integer sum (order-free), not a float
+    * fold, so the grand-total window needs no frame-order argument.
+    * The window runs over ALREADY-AGGREGATED rows (|langs| of them) —
+    * the accepted group-cardinality pattern, not a data-sized sort.
+    * target_i = min(n_i, (BUDGET·w_i) div W) floors identically in
+    * both engines (invariant 3); the min caps oversampled tail
+    * languages at their actual size.
+    *
+    * At 100 TB: one map-side-combinable groupBy(lang) is the only pass
+    * over the corpus; everything downstream operates on the
+    * |langs|-row allocation table. n up to 10^12 docs keeps n·10^6
+    * inside int64, and BUDGET·w_i inside int64 for any budget the
+    * int64 doc-id space can express.
+    */
+  def temperatureMix(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    t.documents.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(($"n_docs" * TempScale).cast(DoubleType))))
+      .withColumn("w_total", sum($"w").over(Window.partitionBy()))
+      .withColumn("target_docs",
+        least($"n_docs", expr(s"($TempBudget * w) div w_total")))
+      .drop("w_total")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH alloc AS (
+       | SELECT lang, count(*) AS n_docs,
+       |  CAST(floor(sqrt(CAST(count(*) * $TempScale AS DOUBLE))) AS BIGINT) AS w
+       | FROM documents GROUP BY lang)
+       |SELECT lang, n_docs, w,
+       | least(n_docs, ($TempBudget * w) // CAST(sum(w) OVER () AS BIGINT)) AS target_docs
+       |FROM alloc""".stripMargin.replace("\n", " ")
+
+  /** The draw side of `temperatureMix`: keep a document iff
+    * h32(doc_id‖':tmix') mod 2^20 < (target·2^20) div n — a
+    * deterministic expected-size Bernoulli sample hitting each
+    * language's temperature target in expectation. Same auditable
+    * integer-threshold shape as `budgetSample`, but on a 2^20 grid
+    * instead of 2^32: target·2^20 stays inside int64 even for
+    * 10^12-document targets (target·2^32 would overflow at ~2·10^9),
+    * so the predicate survives any corpus the int64 id space can hold.
+    * The ':tmix' salt keeps this draw independent of the split and
+    * budget hashes over the same ids. target = n ⇒ threshold caps at
+    * 2^20 ⇒ the whole language is kept (tail languages at their size
+    * cap). At 100 TB: the allocation table is |langs| rows (AQE
+    * broadcasts the join), the filter is one hash compare per row —
+    * the corpus itself never shuffles.
+    */
+  def temperatureSample(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val alloc = temperatureMix(t).select($"lang", $"n_docs", $"target_docs")
+    t.documents.select($"doc_id", $"lang", $"source")
+      .join(alloc, "lang")
+      .filter(Dedup.h32(concat($"doc_id".cast("string"), lit(":tmix"))) % 1048576L <
+        least(lit(1048576L), expr("(target_docs * 1048576) div greatest(n_docs, 1L)")))
+      .select($"doc_id", $"lang", $"source")
+  }
+
+  val temperatureSampleSql: String =
+    s"""WITH alloc AS (
+       | SELECT lang, count(*) AS n_docs,
+       |  CAST(floor(sqrt(CAST(count(*) * $TempScale AS DOUBLE))) AS BIGINT) AS w
+       | FROM documents GROUP BY lang),
+       |tgt AS (
+       | SELECT lang, n_docs,
+       |  least(n_docs, ($TempBudget * w) // CAST(sum(w) OVER () AS BIGINT)) AS target_docs
+       | FROM alloc)
+       |SELECT doc_id, d.lang AS lang, source
+       |FROM documents d JOIN tgt ON d.lang = tgt.lang
+       |WHERE ${Dedup.sqlH32("CAST(doc_id AS VARCHAR)||':tmix'")} % 1048576
+       |  < least(1048576, (target_docs * 1048576) // greatest(n_docs, 1))""".stripMargin
+      .replace("\n", " ")
+
   // ---------------------------------------------------- chunk / pack
 
   /** Tokens per chunk (context-window slice), chunks per doc cap (the

@@ -78,6 +78,21 @@ class AggPlanSpec extends SparkSuite {
       s"interleave must never read the text column:\n${plan.take(2000)}")
   }
 
+  test("temperature mix/sample: pruned scans, map-side counts, window only on lang rows") {
+    val mp = graft.pipeline.CorpusOps.temperatureMix(t)
+      .queryExecution.executedPlan.toString
+    assert(mp.contains("partial_count"),
+      s"lang counts must combine map-side:\n${mp.take(2000)}")
+    assert(mp.contains("ReadSchema: struct<lang:string>"),
+      s"mix scan must be pruned to lang only:\n${mp.take(2000)}")
+    // the grand-total window sits above the aggregate (|langs| rows),
+    // so the only exchanges are the count's and the window's singleton
+    val sp = graft.pipeline.CorpusOps.temperatureSample(t)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("text#"),
+      s"sample must never read the text column:\n${sp.take(2000)}")
+  }
+
   test("boilerplate profile/strip: df via agg + join-back, never a window; scan pruned") {
     for ((name, df) <- Seq(
       "profile" -> graft.pipeline.CorpusOps.boilerplate(t),

@@ -364,4 +364,66 @@ class CorpusOpsSpec extends SparkSuite {
     // the benchmark doc itself is never reported
     assert(!rows.contains(0L))
   }
+
+  /** Skewed multi-lang corpus for the temperature mixture: en 400,
+    * fr 100, de 25 docs. √-flattening at budget 300 gives integer
+    * targets 171/85/25 (de caps at its size) where proportional
+    * allocation would give 228/57/14.
+    */
+  private lazy val tempT = {
+    import spark.implicits._
+    tempTables { dir =>
+      val rows = (0 until 400).map(i => (i.toLong, s"en doc $i", "en", "web", 10L)) ++
+        (0 until 100).map(i => (1000L + i, s"fr doc $i", "fr", "web", 10L)) ++
+        (0 until 25).map(i => (2000L + i, s"de doc $i", "de", "web", 10L))
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+  }
+
+  test("temperature mix: sqrt-flattened integer allocation matches an exact recompute") {
+    val rows = CorpusOps.temperatureMix(tempT).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val n = Map("en" -> 400L, "fr" -> 100L, "de" -> 25L)
+    // same arithmetic path as the engine: int64→double cast, correctly
+    // rounded sqrt, floor, then pure integer division
+    val w = n.map { case (l, v) =>
+      l -> math.floor(math.sqrt((v * 1000000L).toDouble)).toLong
+    }
+    val wTot = w.values.sum
+    for ((lang, nd) <- n) {
+      val target = math.min(nd, 300L * w(lang) / wTot)
+      assert(rows(lang) == ((nd, w(lang), target)), s"allocation for $lang")
+    }
+    // α=1/2 flattening: tail languages gain share vs proportional,
+    // the head loses, and a tail target never exceeds its size
+    assert(rows("de")._3 == 25L, "capped tail language keeps everything")
+    assert(rows("fr")._3 > 300L * 100 / 525, "tail share must exceed proportional")
+    assert(rows("en")._3 < 300L * 400 / 525, "head share must shrink vs proportional")
+  }
+
+  test("temperature sample: threshold draw matches an independent md5 recompute") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val alloc = CorpusOps.temperatureMix(tempT).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val docs = tempT.documents.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.collect {
+      case (id, lang) if h32(id.toString + ":tmix") % 1048576L <
+        math.min(1048576L, alloc(lang)._2 * 1048576L / math.max(alloc(lang)._1, 1L)) => id
+    }.toSet
+    val got = CorpusOps.temperatureSample(tempT).collect().map(_.getLong(0)).toSet
+    assert(got == expected, "draw must match the integer-threshold recompute")
+    // de's target equals its size → threshold caps at 2^20 → whole lang kept
+    val deIds = docs.collect { case (id, "de") => id }.toSet
+    assert(deIds.subsetOf(got), "capped language must be kept whole")
+    // expected-size draw lands near the budget on the capped-head mix
+    val targetSum = alloc.values.map(_._2).sum
+    assert(math.abs(got.size - targetSum) < 60,
+      s"drew ${got.size} vs target sum $targetSum")
+  }
 }
