@@ -30,18 +30,30 @@ final case class Tables(spark: SparkSession, dir: String) {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as a
-    * raw long (spark.sql.legacy.parquet.nanosAsLong=true — set in
-    * Verify/Bench/test sessions). Spark timestamps are microsecond
-    * precision, so truncate ns→µs; DuckDB truncates identically at
-    * sub-second group granularity.
+  /** Normalize events.ts to a session-TZ TIMESTAMP regardless of how
+    * the driver encoded it. Two encodings have been observed across
+    * testdata generations:
+    *
+    *  - TIMESTAMP(NANOS): Spark reads it only as a raw long
+    *    (spark.sql.legacy.parquet.nanosAsLong=true — set in
+    *    Verify/Bench/test sessions). Spark timestamps are microsecond
+    *    precision, so truncate ns→µs; DuckDB truncates identically at
+    *    sub-second group granularity.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ. Every graft session pins
+    *    spark.sql.session.timeZone=UTC, so the NTZ→TIMESTAMP cast
+    *    relabels the same microsecond value (unix_micros(ts) ==
+    *    DuckDB epoch_us(ts), invariant 11) — and time functions like
+    *    unix_micros/window() require plain TIMESTAMP.
     */
   private def withNanosTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   lazy val region: DataFrame = t("region")

@@ -43,6 +43,22 @@ object Similarity {
     quantCache.clear()
   }
 
+  /** Dir-scoped eviction: drop only the cache entries for `dir`.
+    * Tests that build a throwaway table in a temp dir use this so
+    * they don't also evict the shared testdata entries other suites
+    * in the same JVM reuse (a cost-only perturbation — recompute —
+    * but it also invalidates cacheBuilds-counter pins like
+    * SweepCachesSpec's).
+    */
+  def clearCaches(dir: String): Unit = {
+    normCache.filterInPlace { case ((_, d), df) =>
+      val keep = d != dir
+      if (!keep) df.unpersist()
+      keep
+    }
+    quantCache.filterInPlace { case ((_, d, _), _) => d != dir }
+  }
+
   /** Family-cache population counter (normCache entries built; quant
     * fits have their own [[quantizerFits]]), for the SweepCaches
     * no-repopulate-after-drain pin. */

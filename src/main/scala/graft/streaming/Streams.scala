@@ -207,6 +207,14 @@ object Streams {
     * bit — Similarity.annStreamSql is its full hash oracle;
     * StreamingSpec pins the batch/stream agreement on a real
     * MemoryStream.
+    *
+    * Signed-zero note: the score here can be exactly 0.0 (orthogonal
+    * quantized vectors) but never -0.0 — qdot is an integer cast and
+    * the qp/qc scales are strictly positive, so 0·positive stays
+    * +0.0. That is what keeps Aggs.topKOf's ordering identical to the
+    * oracle's SQL row_number (topKOf's documented -0.0/0.0 residual
+    * caveat cannot fire). A score-formula change that can produce
+    * -0.0 (e.g. a float subtraction) would silently reintroduce it.
     */
   def annStream(probes: DataFrame, index0: DataFrame, k: Int = 5,
                 horizon: String = "1 hour"): DataFrame = {

@@ -217,12 +217,21 @@ object Tokenizer {
 
   /** DuckDB replay of [[bpeTokenCount]]. DuckDB sum(INTEGER) is
     * HUGEINT → cast to BIGINT (invariant 12).
+    *
+    * NULL-text mirror: Spark's `size(regexp_extract_all(NULL))` is
+    * NULL, so a NULL-text doc yields (NULL, NULL, NULL) — the LEFT
+    * JOIN + coalesce path here would say (0, 0, NULL) for the same
+    * doc because `unnest(NULL)` produces no wi rows, exactly like an
+    * empty text. The CASE on `d.text IS NULL` restores the asymmetry:
+    * coalesce-to-0 is only the empty-text (no word matches) case.
     */
   val bpeTokenCountSql: String =
     s"""WITH RECURSIVE $perDocCte
        |SELECT d.doc_id,
-       | CAST(coalesce(p.nw, 0) AS INT) AS n_words,
-       | CAST(coalesce(p.nt, 0) AS BIGINT) AS n_tokens,
+       | CAST(CASE WHEN d.text IS NULL THEN NULL
+       |           ELSE coalesce(p.nw, 0) END AS INT) AS n_words,
+       | CAST(CASE WHEN d.text IS NULL THEN NULL
+       |           ELSE coalesce(p.nt, 0) END AS BIGINT) AS n_tokens,
        | CASE WHEN p.nw IS NULL THEN NULL
        |      ELSE CAST(p.nt AS DOUBLE) / p.nw END AS fertility
        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
@@ -231,7 +240,11 @@ object Tokenizer {
   /** DuckDB replay of [[bpeBudget]]: same CTEs, grouped by source.
     * Both ratio operands cast to DOUBLE explicitly so the division is
     * the identical IEEE op on both engines (DuckDB window sum over
-    * BIGINT is HUGEINT).
+    * BIGINT is HUGEINT). Same NULL-text mirror as
+    * [[bpeTokenCountSql]]: a NULL-text doc contributes NULL (ignored
+    * by sum, as Spark's NULL nw_doc/nt_doc are) instead of 0, so a
+    * source whose every doc has NULL text sums to NULL on both
+    * engines rather than 0 here vs NULL there.
     */
   val bpeBudgetSql: String =
     s"""WITH RECURSIVE $perDocCte
@@ -243,8 +256,10 @@ object Tokenizer {
        |FROM (
        | SELECT d.source,
        |  CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(coalesce(p.nw, 0)) AS BIGINT) AS n_words,
-       |  CAST(sum(coalesce(p.nt, 0)) AS BIGINT) AS n_bpe_tokens
+       |  CAST(sum(CASE WHEN d.text IS NULL THEN NULL
+       |                ELSE coalesce(p.nw, 0) END) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN d.text IS NULL THEN NULL
+       |                ELSE coalesce(p.nt, 0) END) AS BIGINT) AS n_bpe_tokens
        | FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
        | GROUP BY d.source)""".stripMargin.replace("\n", " ")
 }

@@ -157,7 +157,9 @@ class QuantizeSpec extends SparkSuite {
     // the ADC ANN runs end-to-end over the adversarial table too
     val ann = Similarity.annInt8(ti).collect()
     assert(ann.nonEmpty && ann.forall(_.getAs[Int]("rnk") <= 5))
-    Similarity.clearCaches() // temp dir: don't leave its norm projection cached
+    // temp dir: drop only ITS norm projection — a blanket clearCaches()
+    // would also evict the shared testdata entries other suites reuse
+    Similarity.clearCaches(ti.dir)
   }
 
   test("ann_ivf_int8: recall@5 >= 0.8 and every reported qdot is genuine") {

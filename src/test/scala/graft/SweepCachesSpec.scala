@@ -25,6 +25,41 @@ class SweepCachesSpec extends SparkSuite {
     assert(unknownCorpus.isEmpty, s"corpusConsumers not in queries: $unknownCorpus")
   }
 
+  test("benchdiff CACHE_FAMILIES mirror the SweepCaches consumer sets") {
+    // tools/benchdiff.py attributes a slow first family member to the
+    // family's one-time cache build; its member lists are a hand-kept
+    // mirror of the consumer sets here. If the two drift, benchdiff's
+    // first-payer note silently points at the wrong query (or none),
+    // so parse the Python literal and pin set equality.
+    val src = {
+      val s = scala.io.Source.fromFile("tools/benchdiff.py", "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val start = src.indexOf("CACHE_FAMILIES = {")
+    assert(start >= 0, "CACHE_FAMILIES literal not found in tools/benchdiff.py")
+    val end = src.indexOf("\n    }", start)
+    assert(end > start, "CACHE_FAMILIES literal not closed as expected")
+    val block = src.substring(start, end)
+    val famRe = """"([^"]+)":\s*\[([^\]]*)\]""".r
+    val nameRe = """"([A-Za-z0-9_]+)"""".r
+    val fams: Map[String, Set[String]] = famRe.findAllMatchIn(block).map { m =>
+      m.group(1) -> nameRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSet
+    }.toMap
+    assert(fams.size == 3, s"expected 3 cache families in benchdiff, got ${fams.keySet}")
+    def fam(prefix: String): Set[String] =
+      fams.collectFirst { case (k, v) if k.startsWith(prefix) => v }
+        .getOrElse(fail(s"no benchdiff family labeled '$prefix ...'"))
+    assert(fam("sim") == SweepCaches.simConsumers,
+      s"sim family drifted: benchdiff-only=${fam("sim").diff(SweepCaches.simConsumers)}, " +
+        s"sweepcaches-only=${SweepCaches.simConsumers.diff(fam("sim"))}")
+    assert(fam("dedup") == SweepCaches.dedupConsumers,
+      s"dedup family drifted: benchdiff-only=${fam("dedup").diff(SweepCaches.dedupConsumers)}, " +
+        s"sweepcaches-only=${SweepCaches.dedupConsumers.diff(fam("dedup"))}")
+    assert(fam("corpus") == SweepCaches.corpusConsumers,
+      s"corpus family drifted: benchdiff-only=${fam("corpus").diff(SweepCaches.corpusConsumers)}, " +
+        s"sweepcaches-only=${SweepCaches.corpusConsumers.diff(fam("corpus"))}")
+  }
+
   test("full sweep: no family cache repopulates after its consumer set drains") {
     spark.sparkContext.setLogLevel("WARN")
     SweepCaches.releaseAll()

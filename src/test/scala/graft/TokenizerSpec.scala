@@ -101,6 +101,36 @@ class TokenizerSpec extends SparkSuite {
     assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
   }
 
+  test("NULL text yields NULL counts; empty text yields zeros (the oracle's CASE mirror)") {
+    // The DuckDB oracle can't tell NULL text from empty text through
+    // its unnest (both produce zero wi rows), so it branches on
+    // `d.text IS NULL` to reproduce what this pins: Spark's
+    // size(regexp_extract_all(NULL)) is NULL, not 0.
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok-null").toString
+    val docs = t.documents.limit(3).collect()
+    assert(docs.length == 3)
+    import org.apache.spark.sql.Row
+    val schema = t.documents.schema
+    val ti = schema.fieldIndex("text")
+    val edited = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row.fromSeq(docs(0).toSeq),                              // real text
+        Row.fromSeq(docs(1).toSeq.updated(ti, null)),            // NULL text
+        Row.fromSeq(docs(2).toSeq.updated(ti, "!!! ??? ..."))),  // no word matches
+      schema)
+    edited.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Tokenizer.bpeTokenCount(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val idOf = (i: Int) => docs(i).getLong(docs(i).fieldIndex("doc_id"))
+    val nullRow = rows(idOf(1))
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) && nullRow.isNullAt(3),
+      s"NULL text must yield NULL n_words/n_tokens/fertility, got $nullRow")
+    val emptyRow = rows(idOf(2))
+    assert(emptyRow.getInt(1) == 0 && emptyRow.getLong(2) == 0L && emptyRow.isNullAt(3),
+      s"no-word text must yield 0/0/NULL, got $emptyRow")
+    assert(!rows(idOf(0)).isNullAt(1), "real text row stays non-NULL")
+  }
+
   test("bpeBudget plan: one hash exchange on source, fold stays below the agg") {
     val plan = Tokenizer.bpeBudget(t).queryExecution.executedPlan.toString
     val hashEx = "hashpartitioning\\(source".r.findAllIn(plan).length

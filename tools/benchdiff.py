@@ -29,6 +29,20 @@ averages. Three ambient-load signals feed the verdict (any one fires):
 When outliers coincide with any signal the verdict says "suspect
 ambient; re-run RUNS=3" instead of "treat as real regressions", but the
 exit code stays 1 so the round is still gated.
+
+The "treat as real regressions" wording additionally requires a
+best-of-N run with N >= 2: per-query minima over multiple sweeps are
+what makes a flag load-resistant, and a load ramp that starts mid-sweep
+can evade all three signals on a single run. The round-13 driver run
+did exactly that (1-min load 2.6 at start ramping to 13.0 by the end:
+load_timed 5.97 < 8.0, load_start 2.6 < 4.0, wall 202s < 1.5x expected
+260s) and flagged 30 queries "on a quiet host" — every one of which a
+judge idle best-of-3 cleared (corpus_curated 18.7x -> 1.17x). load_end
+cannot serve as a fourth signal because it is self-inflicted even on
+idle runs (the judge's own idle run ended at 12.41). So a runs=1 bench
+with outliers and no ambient signal prints the "re-run RUNS=3" branch;
+only runs >= 2 can produce the "treat as real regressions" verdict.
+The exit code is 1 whenever anything is flagged, regardless of branch.
 """
 import json
 import re
@@ -113,12 +127,25 @@ def main():
         "corpus (boilerplate line-df)": [
             "corpus_boilerplate", "corpus_strip_boilerplate"],
     }
-    first_payer = {}
+    # For each family: the actual payer is the first member in sweep
+    # order (checked against `queries`, floor entry or not). When the
+    # payer itself is a new query with no floor entry it never appears
+    # in `rows`, so the note would be silently dropped and a slow later
+    # member would get no family context — in that case the note
+    # attaches to the first family member in `rows` that crosses the
+    # 1.4x attention threshold, naming the actual payer.
+    row_names = {name for _, name, _, _ in rows}
+    ratio_of = {name: ratio for ratio, name, _, _ in rows}
+    first_payer = {}                # display name -> (family, actual payer)
     for fam, members in CACHE_FAMILIES.items():
-        for name in queries:       # dict order == sweep order
-            if name in members:
-                first_payer[name] = fam
-                break
+        payer = next((n for n in queries if n in members), None)
+        if payer is None:
+            continue
+        display = payer if payer in row_names else next(
+            (n for n in queries
+             if n in members and ratio_of.get(n, 0.0) > 1.4), None)
+        if display is not None:
+            first_payer[display] = (fam, payer)
 
     print(f"{'query':34s} {'bench':>8s} {'floor':>8s} {'ratio':>7s}")
     flagged = []
@@ -128,9 +155,16 @@ def main():
         if ratio > THRESHOLD:
             flagged.append(name)
         if name in first_payer and ratio > 1.4:
-            payer_notes.append(
-                f"{name} ({ratio:.2f}x) ran first in the {first_payer[name]} "
-                f"family this sweep and pays its one-time cache build")
+            fam, payer = first_payer[name]
+            if payer == name:
+                payer_notes.append(
+                    f"{name} ({ratio:.2f}x) ran first in the {fam} "
+                    f"family this sweep and pays its one-time cache build")
+            else:
+                payer_notes.append(
+                    f"{name} ({ratio:.2f}x) is in the {fam} family, whose "
+                    f"one-time cache build was paid earlier this sweep by "
+                    f"{payer} (a query with no floor entry)")
         print(f"{name:34s} {sec:8.2f} {fl:8.2f} {ratio:6.2f}x{mark}")
     for note in payer_notes:
         print(f"cache-family context: {note}")
@@ -181,9 +215,21 @@ def main():
             print(f"VERDICT: {len(flagged)} queries >{THRESHOLD:g}x floor, but the host "
                   f"shows ambient load ({'; '.join(signals)}) — suspect ambient; "
                   f"re-run with SPARK_GRAFT_BENCH_RUNS=3 on an idle host to confirm.")
-        elif flagged:
+        elif flagged and runs >= 2:
             print(f"VERDICT: {len(flagged)} queries >{THRESHOLD:g}x floor on a quiet host "
-                  f"(load {l1:.1f}) — treat as real regressions: {', '.join(flagged)}")
+                  f"(load {l1:.1f}, best-of-{runs} minima) — treat as real "
+                  f"regressions: {', '.join(flagged)}")
+        elif flagged:
+            # A single-run sweep can be poisoned by a load ramp that
+            # starts mid-sweep and evades all three ambient signals
+            # (the r13 driver run: 2.6 -> 13.0, 30 false flags).
+            # Best-of-N minima with N >= 2 are what makes a flag
+            # load-resistant, so a best-of-1 run never reaches the
+            # "treat as real regressions" wording.
+            print(f"VERDICT: {len(flagged)} queries >{THRESHOLD:g}x floor with no ambient "
+                  f"signal, but this is a best-of-1 run — a mid-sweep load ramp "
+                  f"can evade every signal on a single sweep; re-run with "
+                  f"SPARK_GRAFT_BENCH_RUNS=3 on an idle host to confirm.")
         else:
             print("VERDICT: all queries within 2x of the recorded floor.")
     elif flagged:
