@@ -137,6 +137,19 @@ object SparkEntry {
           timestamp_seconds(col("vec_id")).as("ts"))
       graft.streaming.Streams.annStream(probes, Similarity.quantizedIndex(t))
     }),
+    // the cell-keyed streaming probe (production shape): probes rank
+    // the broadcast-scale centroid constants row-locally and join only
+    // their nprobe cells of the static cell-partitioned codes index.
+    // Rows-only like ann_ivf_int8 (KMeans fit); batch-driven output
+    // equals ann_ivf_int8 minus qdot bit for bit (StreamingSpec pin),
+    // check.py bands recall@5 vs ann_brute_force
+    "stream_ann_ivf_int8" -> q((t: Tables) => {
+      val (idx, cents) = Similarity.quantizedCellIndex(t)
+      val probes = t.widen(t.embeddings).filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id"), col("embedding"),
+          timestamp_seconds(col("vec_id")).as("ts"))
+      graft.streaming.Streams.annStreamIvf(probes, idx, cents)
+    }),
     "text_stats"      -> q(TextAnalysis.stats),
     "text_quality"    -> q(TextAnalysis.quality),
     "text_lang_id"    -> q(TextAnalysis.langId),

@@ -632,8 +632,39 @@ object Similarity {
     * at sf0.01: 0.913 — identical to the float [[annIvf]] (cell
     * pruning dominates the error; int8 ADC costs nothing here).
     */
-  def annIvfInt8(t: Tables, nlist: Int = 16, nprobe: Int = 10): DataFrame = {
+  /** Cell-assigned int8 codes (vec_id, cell, qmax, codes) — the
+    * resident table of the IVF+int8 search path, shared by the batch
+    * [[annIvfInt8]] and the streaming probe's static index
+    * ([[quantizedCellIndex]]). Unpersisted: callers decide residency.
+    */
+  private def cellAssignedCodes(t: Tables, nlist: Int): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
+    val model = coarseQuantizer(t, nlist)
+    withQuantCols(
+      model.transform(withNorm(t).withColumn("features", array_to_vector(col("v"))))
+        .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell")))
+      .select(col("vec_id"), col("cell"),
+        col("qmax"), col("codes").cast("array<double>").as("codes"))
+  }
+
+  /** The static cell-keyed int8 index plus the driver-side centroid
+    * list — what the cell-keyed ingest-time retrieval stream probes
+    * (Streams.annStreamIvf): the nightly batch job maintains the
+    * cell-partitioned codes table, the centroids are a tiny model
+    * artifact (nlist × 64 doubles) every probe task holds, and the
+    * stream never touches the float vectors at all. Same fit cache as
+    * [[annIvfInt8]], so batch search and streaming ingest share one
+    * coarse index per (session, dir, nlist).
+    */
+  def quantizedCellIndex(t: Tables, nlist: Int = 16): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val model = coarseQuantizer(t, nlist)
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    (cellAssignedCodes(t, nlist), cents)
+  }
+
+  def annIvfInt8(t: Tables, nlist: Int = 16, nprobe: Int = 10): DataFrame = {
     val e = withNorm(t)
     val model = coarseQuantizer(t, nlist)
     // The RESIDENT table is codes-only (vec_id, cell, scale, 64 int8
@@ -641,11 +672,8 @@ object Similarity {
     // asymmetry IS the 4x memory win. Probes re-derive their own
     // quantization below (a map over N/13 rows), the production shape
     // where queries arrive full-precision and residents are compressed.
-    val assigned = withQuantCols(
-      model.transform(e.withColumn("features", array_to_vector(col("v"))))
-        .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell")))
-      .select(col("vec_id"), col("cell"),
-        col("qmax"), col("codes").cast("array<double>").as("cd"))
+    val assigned = cellAssignedCodes(t, nlist)
+      .withColumnRenamed("codes", "cd")
       .persist()
 
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -234,6 +234,94 @@ object Streams {
     val idx = index0.select(col("vec_id").as("cand_id"),
       col("qmax").as("qc"), col("codes").cast("array<double>").as("cc"))
     val scored = p.join(idx, col("probe_id") =!= col("cand_id")) // stream-static
+      .withColumn("qdot", GraftFunctions.graftDot(col("cp"), col("cc")).cast(LongType))
+      .withColumn("score", col("qdot") * col("qp") * col("qc") / lit(16129.0))
+    val topk = udaf(graft.functions.Aggs.topKOf[(Double, Long)](k)(_._1, _._2),
+      Encoders.product[(Double, Long)])
+    scored
+      .groupBy(window(col("ts"), horizon), col("probe_id"))
+      .agg(topk(col("score"), col("cand_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._2").as("cand_id"),
+        (col("pos") + 1).cast("long").as("rnk"), col("col._1").as("score"))
+  }
+
+  /** Cell-keyed streaming int8 retrieval — the production probe shape
+    * [[annStream]]'s scaladoc promises: instead of scoring every
+    * resident, each arriving probe ranks the nlist coarse centroids
+    * ROW-LOCALLY and joins only its nprobe nearest cells of the static
+    * cell-partitioned codes index (Similarity.quantizedCellIndex), so
+    * per-probe candidate work drops by ~nlist/nprobe and, at 100 TB, a
+    * probe touches nprobe partitions of the codes table instead of all
+    * of it.
+    *
+    * The centroid ranking needs no window function (streams can't run
+    * row_number): the centroids arrive as DRIVER-SIDE constants (the
+    * coarse quantizer is a tiny model artifact, nlist × 64 doubles)
+    * baked into one array-of-structs literal; cdist = ‖c‖² − 2·p·c per
+    * element, array_sort's struct ordering gives exactly the
+    * (cdist asc, cell asc) total order of the batch path's
+    * row_number, and slice takes the nprobe head. All row-local —
+    * the stream's only stateful op remains the bounded per-(window,
+    * probe) top-k, as in [[annStream]]. (A 65k-cell production index
+    * would graduate the literal to a broadcast join + per-group
+    * bounded top-k aggregator; the shape is unchanged.)
+    *
+    * Because cells partition the corpus (a candidate appears via
+    * exactly one cell) and every arithmetic step reuses the batch
+    * expressions, driving this on a batch frame yields
+    * Similarity.annIvfInt8's output minus qdot bit for bit —
+    * StreamingSpec pins that, plus the candidate-count reduction.
+    * Rows-only like ann_ivf_int8 (the KMeans fit isn't
+    * SQL-derivable); check.py bands recall@5 vs ann_brute_force.
+    * Same signed-zero argument as [[annStream]]: integer qdot ×
+    * positive scales can't produce -0.0, so topKOf's order stays
+    * identical to the batch row_number.
+    */
+  /** (cdist, cell) structs for every centroid, sorted by the batch
+    * path's (cdist asc, cell asc) order, as ONE row-local array
+    * expression over the probe's raw vector column `v`. ‖c‖² is
+    * precomputed driver-side with the same left-to-right fold as
+    * graft_dot; p·c uses the HOF form, which DotProduct's scaladoc
+    * pins as bitwise identical to graft_dot — so cdist here equals
+    * Similarity.annIvfInt8's `dot(centroid,centroid) −
+    * 2·dot(vp,centroid)` bit for bit. (graft_dot itself can't take an
+    * array literal: its Column accessor round-trips through the
+    * parser.)
+    */
+  private[graft] def rankedCellArray(centroids: Seq[(Int, Seq[Double])],
+                                     v: Column): Column =
+    array_sort(array(centroids.map { case (cellId, cv) =>
+      val cnorm2 = { var s = 0.0; cv.foreach(x => s += x * x); s }
+      val pdotc = aggregate(zip_with(v, typedLit(cv), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      struct((lit(cnorm2) - lit(2.0) * pdotc).as("cdist"),
+        lit(cellId).as("cell"))
+    }: _*))
+
+  def annStreamIvf(probes: DataFrame, cellIndex: DataFrame,
+                   centroids: Seq[(Int, Seq[Double])], k: Int = 5,
+                   nprobe: Int = 10, horizon: String = "1 hour"): DataFrame = {
+    import graft.functions.GraftFunctions
+    val rankedCells = rankedCellArray(centroids, col("v"))
+    val p = probes
+      .withWatermark("ts", horizon)
+      .select(col("vec_id").as("probe_id"), col("ts"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(GraftFunctions.graftDot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      .withColumn("qp", array_max(transform(col("u"), x => abs(x))))
+      .withColumn("cp",
+        transform(col("u"), x => floor(x * (lit(127.0) / col("qp")) + lit(0.5)))
+          .cast("array<double>"))
+      .withColumn("pc", explode(slice(rankedCells, 1, nprobe)))
+      .select(col("probe_id"), col("ts"), col("qp"), col("cp"),
+        col("pc.cell").as("cell"))
+    val idx = cellIndex.select(col("vec_id").as("cand_id"), col("cell"),
+      col("qmax").as("qc"), col("codes").cast("array<double>").as("cc"))
+    val scored = p.join(idx, Seq("cell")) // stream-static, cell-keyed
+      .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("qdot", GraftFunctions.graftDot(col("cp"), col("cc")).cast(LongType))
       .withColumn("score", col("qdot") * col("qp") * col("qc") / lit(16129.0))
     val topk = udaf(graft.functions.Aggs.topKOf[(Double, Long)](k)(_._1, _._2),

@@ -308,6 +308,96 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("batch-driven annStreamIvf equals ann_ivf_int8 minus qdot bit for bit") {
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val (idx, cents) = graft.sim.Similarity.quantizedCellIndex(t)
+      val probes = t.widen(t.embeddings).filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id"), col("embedding"),
+          timestamp_seconds(col("vec_id")).as("ts"))
+      val stream = Streams.annStreamIvf(probes, idx, cents).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.sim.Similarity.annIvfInt8(t).collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Int]("rnk").toLong, r.getAs[Double]("score"))).toSet
+      assert(stream.nonEmpty && stream == batch,
+        s"cell-keyed stream path must reproduce the batch IVF+int8 search " +
+          s"(stream-only=${(stream -- batch).take(3)}, batch-only=${(batch -- stream).take(3)})")
+    }
+  }
+
+  test("cell-keyed probe scores ~nprobe/nlist of the candidates the full-index probe does") {
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val nlist = 16
+      val nprobe = 10
+      val (idx0, cents) = graft.sim.Similarity.quantizedCellIndex(t, nlist)
+      val idx = idx0.persist()
+      val nIndex = idx.count()
+      val probes = t.embeddings.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id"), col("embedding"),
+          timestamp_seconds(col("vec_id")).as("ts"))
+      val nProbes = probes.count()
+      // candidate pairs actually scored = probe-cells joined to the
+      // cell-keyed index (before top-k); the full-index probe scores
+      // every (probe, resident != probe) pair
+      val rankedCells = Streams.rankedCellArray(cents, col("v"))
+      val probeCells = probes
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("pc", explode(slice(rankedCells, 1, nprobe)))
+        .select(col("probe_id"), col("pc.cell").as("cell"))
+      val candRows = probeCells.join(idx, Seq("cell"))
+        .filter(col("probe_id") =!= col("vec_id")).count()
+      val fullRows = nProbes * (nIndex - 1)
+      idx.unpersist()
+      val frac = candRows.toDouble / fullRows
+      info(f"cell-keyed probe scores $candRows of $fullRows pairs " +
+        f"(${frac * 100}%.1f%%, nprobe/nlist = ${nprobe * 100.0 / nlist}%.1f%%)")
+      assert(candRows > 0)
+      // cells aren't perfectly balanced, so allow slack around
+      // nprobe/nlist = 62.5%; the point is a REAL reduction, not ~100%
+      assert(frac < 0.85, f"expected ~${nprobe.toDouble / nlist}%.2f, got $frac%.2f — " +
+        "cell pruning isn't reducing candidate work")
+    }
+  }
+
+  test("streaming annStreamIvf: MemoryStream probes match the batch-driven path") {
+    import spark.implicits._
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val (idx0, cents) = graft.sim.Similarity.quantizedCellIndex(t)
+      val idx = idx0.localCheckpoint() // file streams need a static plan; pin it
+      val probeVecs = t.embeddings.filter(col("vec_id").isin(13L, 26L))
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)).toMap
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[VecProbe]
+      val q = Streams.annStreamIvf(input.toDF(), idx, cents)
+        .writeStream.format("memory").queryName("annstreamivf")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          VecProbe(13L, probeVecs(13L), ts(5)),
+          VecProbe(26L, probeVecs(26L), ts(10)))
+        q.processAllAvailable()
+        input.addData(VecProbe(13L, probeVecs(13L), ts(185)))
+        q.processAllAvailable()
+        val got = spark.table("annstreamivf").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        val expected = Streams.annStreamIvf(
+            t.embeddings.filter(col("vec_id").isin(13L, 26L))
+              .select(col("vec_id"), col("embedding"),
+                timestamp_seconds(col("vec_id")).as("ts")), idx, cents)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        assert(expected.nonEmpty && got == expected,
+          "stream rows must equal the batch path for the flushed probes")
+      } finally q.stop()
+    }
+  }
+
   test("streaming annStream: probes search the static int8 index; rows match batch") {
     import spark.implicits._
     withLogLevel {

@@ -123,7 +123,9 @@ def _band_ivf_recall(con, out_dir, name):
 
 def _band_ann_recall(con, out_dir, name):
     """Recall@5 vs the hash-checked ann_brute_force output (used for
-    both ann_ivf and ann_ivf_int8): the micro-averaged fraction of
+    ann_ivf, ann_ivf_int8 and stream_ann_ivf_int8 — the last two share
+    cell selection and scoring, so their bands move together): the
+    micro-averaged fraction of
     brute-force (probe_id, cand_id) top-5 pairs the approximate path
     also returns must be >= 0.8 — the same floor AnnRecallSpec /
     QuantizeSpec pin for the same metric. The measured operating point
@@ -171,6 +173,7 @@ BAND_CHECKS = {
     "dedup_embedding_ivf": _band_ivf_recall,
     "ann_ivf": _band_ann_recall,
     "ann_ivf_int8": _band_ann_recall,
+    "stream_ann_ivf_int8": _band_ann_recall,
 }
 
 

@@ -6,7 +6,8 @@ Defaults to the rows-only set."""
 import sys
 import duckdb
 
-ROWS_ONLY = ["ann_ivf", "ann_ivf_int8", "dedup_embedding_ivf",
+ROWS_ONLY = ["ann_ivf", "ann_ivf_int8", "stream_ann_ivf_int8",
+             "dedup_embedding_ivf",
              "q27_approx_distinct", "q40_approx_quantile",
              "text_rolling_hash"]
 
