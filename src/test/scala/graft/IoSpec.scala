@@ -13,6 +13,40 @@ class IoSpec extends SparkSuite {
     Tables(spark, "/root/testdata/sf0.001")
   }
 
+  test("events.ts normalizes to TIMESTAMP from both observed encodings") {
+    // The driver has shipped events.parquet as TIMESTAMP(NANOS) (read
+    // as a raw long under nanosAsLong) and, since the 2026-08 regen,
+    // as TIMESTAMP(MICROS, NTZ). Tables.withNanosTs must yield the
+    // same session-TZ TIMESTAMP micros from either — pinned here by
+    // writing the same instants in both physical shapes.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val micros = Seq(0L, 1L, 1700000000123456L)
+
+    val ntzDir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    spark.range(micros.size)
+      .select(col("id").as("event_id"),
+        timestamp_micros(element_at(lit(micros.toArray), col("id").cast("int") + 1))
+          .cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$ntzDir/events.parquet")
+    val ntz = Tables(spark, ntzDir).events
+    assert(ntz.schema("ts").dataType == TimestampType,
+      s"NTZ branch must yield TIMESTAMP, got ${ntz.schema("ts").dataType}")
+
+    val longDir = java.nio.file.Files.createTempDirectory("graft-ns").toString
+    spark.range(micros.size)
+      .select(col("id").as("event_id"),
+        (element_at(lit(micros.toArray), col("id").cast("int") + 1) * 1000L).as("ts"))
+      .write.parquet(s"$longDir/events.parquet")
+    val fromLong = Tables(spark, longDir).events
+    assert(fromLong.schema("ts").dataType == TimestampType,
+      s"nanos-as-long branch must yield TIMESTAMP, got ${fromLong.schema("ts").dataType}")
+
+    def us(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted.toSeq
+    assert(us(ntz) == micros && us(fromLong) == micros,
+      s"both encodings must decode to the same microsecond instants")
+  }
+
   test("put/get round-trip preserves content (S1/S2)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
     val orig = t.nation
