@@ -4,10 +4,13 @@ import org.apache.spark.sql.SparkSession
 import graft.io.Tables
 import graft.sim.Similarity
 
-/** Adjudication tool: recall@5 of annIvf vs brute force across nprobe
-  * values at a given SF dir — the measurement behind the nprobe
-  * default (see Similarity.annIvf scaladoc) and the check.py ann_ivf
-  * recall band. Run:
+/** Adjudication tool: recall@5 of the pruned ANN variants vs brute
+  * force across nprobe values at a given SF dir — the measurement
+  * behind the nprobe defaults (see Similarity.annIvf / annIvfInt8
+  * scaladoc) and the check.py recall bands. Covers the float IVF path
+  * and the int8 ADC path (whose batch output the cell-keyed streaming
+  * probe reproduces bit for bit, so its curve is ALSO the streaming
+  * probe's curve). Run:
   *   sbt -batch "runMain graft.tools.AnnProbeScan /root/testdata/sf0.1"
   */
 object AnnProbeScan {
@@ -28,7 +31,12 @@ object AnnProbeScan {
     for (np <- Seq(8, 10, 12)) {
       val found = pairs(Similarity.annIvf(t, nprobe = np))
       val r = (truth & found).size.toDouble / truth.size
-      println(f"ANNPROBE nprobe=$np recall@5=$r%.3f (${(truth & found).size}/${truth.size})")
+      println(f"ANNPROBE ivf nprobe=$np recall@5=$r%.3f (${(truth & found).size}/${truth.size})")
+    }
+    for (np <- Seq(8, 10, 12)) {
+      val found = pairs(Similarity.annIvfInt8(t, nprobe = np))
+      val r = (truth & found).size.toDouble / truth.size
+      println(f"ANNPROBE ivf_int8 nprobe=$np recall@5=$r%.3f (${(truth & found).size}/${truth.size})")
     }
     spark.stop()
   }
