@@ -173,6 +173,15 @@ object SparkEntry {
     "corpus_budget_sample" -> q(graft.pipeline.CorpusOps.budgetSample),
     "corpus_temperature_mix" -> q(graft.pipeline.CorpusOps.temperatureMix),
     "corpus_temperature_sample" -> q(graft.pipeline.CorpusOps.temperatureSample),
+    // the ingest-side admission gate: a stateless stream-static join
+    // against the batch-maintained allocation table + the same
+    // integer-threshold draw — batch-driven output equals
+    // corpus_temperature_sample bit for bit, so it shares that FULL
+    // hash oracle
+    "stream_temperature_gate" -> q((t: Tables) => {
+      val alloc = graft.pipeline.CorpusOps.temperatureMix(t)
+      graft.streaming.Streams.temperatureGate(t.widen(t.documents), alloc)
+    }),
     "text_vocab_coverage" -> q(TextAnalysis.vocabCoverage),
     "q44_histogram"   -> q(Relational.q44Histogram),
     "q45_except_all"  -> q(Relational.q45ExceptAll),
@@ -310,6 +319,7 @@ object SparkEntry {
     "corpus_budget_sample" -> graft.pipeline.CorpusOps.budgetSampleSql,
     "corpus_temperature_mix" -> graft.pipeline.CorpusOps.temperatureMixSql,
     "corpus_temperature_sample" -> graft.pipeline.CorpusOps.temperatureSampleSql,
+    "stream_temperature_gate" -> graft.pipeline.CorpusOps.temperatureSampleSql,
     "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "q44_histogram"   -> Relational.q44Sql,
     "q45_except_all"  -> Relational.q45Sql,

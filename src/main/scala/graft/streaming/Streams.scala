@@ -97,6 +97,34 @@ object Streams {
       .select(col("doc_id"), col("text"), col("ts"))
   }
 
+  /** Streaming temperature-mixture admission gate — the ingest-side
+    * twin of CorpusOps.temperatureSample: each arriving document is
+    * kept iff its language's temperature-flattened quota admits it,
+    * decided by the same deterministic integer-threshold Bernoulli
+    * draw (h32(doc_id‖':tmix') mod 2²⁰ vs (target·2²⁰) div n) against
+    * the STATIC allocation table (CorpusOps.temperatureMix — |langs|
+    * rows, maintained by the nightly batch job over the corpus the
+    * stream is growing; the 2²⁰ grid keeps target·2²⁰ inside int64 at
+    * 10¹² docs).
+    *
+    * Completely STATELESS: the draw is one hash compare per row, the
+    * allocation join is stream-static on a fixed-|langs| table (AQE
+    * broadcasts it), no watermark, no state store — admission control
+    * at any ingest rate costs exactly the filter. Batch-driven, the
+    * output equals corpus_temperature_sample bit for bit (the draw
+    * depends only on doc_id and the static allocation), so it carries
+    * temperatureSampleSql as a FULL hash oracle; StreamingSpec pins
+    * the real MemoryStream drive against the batch path.
+    */
+  def temperatureGate(docs: DataFrame, alloc: DataFrame): DataFrame = {
+    import graft.dedup.Dedup
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(alloc.select(col("lang"), col("n_docs"), col("target_docs")), Seq("lang"))
+      .filter(Dedup.h32(concat(col("doc_id").cast("string"), lit(":tmix"))) % 1048576L <
+        least(lit(1048576L), expr("(target_docs * 1048576) div greatest(n_docs, 1L)")))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Streaming ingest NEAR-dup — the MinHash twin of [[dedupStream]]
     * and the streaming form of Dedup.incrementalNearDup: each arriving
     * document's near-duplicates in the EXISTING corpus, probed against

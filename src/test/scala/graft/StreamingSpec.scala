@@ -292,6 +292,47 @@ class StreamingSpec extends SparkSuite {
 
   final case class VecProbe(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
 
+  final case class DocIn(doc_id: Long, lang: String, source: String)
+
+  test("batch-driven temperatureGate equals corpus_temperature_sample bit for bit") {
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val alloc = graft.pipeline.CorpusOps.temperatureMix(t)
+      val gate = Streams.temperatureGate(t.documents, alloc).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val batch = graft.pipeline.CorpusOps.temperatureSample(t).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(gate.nonEmpty && gate == batch)
+    }
+  }
+
+  test("streaming temperatureGate admits exactly the batch draw for streamed docs") {
+    import spark.implicits._
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val alloc = graft.pipeline.CorpusOps.temperatureMix(t).localCheckpoint()
+      val docs = t.documents.select("doc_id", "lang", "source").limit(50)
+        .collect().map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2)))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[DocIn]
+      val q = Streams.temperatureGate(input.toDF(), alloc)
+        .writeStream.format("memory").queryName("tempgate")
+        .outputMode("append").start()
+      try {
+        input.addData(docs.toIndexedSeq)
+        q.processAllAvailable()
+        val got = spark.table("tempgate").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+        val ids = docs.map(_.doc_id).toSet
+        val expected = graft.pipeline.CorpusOps.temperatureSample(t).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .filter(p => ids(p._1)).toSet
+        assert(got == expected, "stream admissions must equal the batch draw restricted to streamed ids")
+        assert(got.size < docs.length, "the gate must actually reject some docs")
+      } finally q.stop()
+    }
+  }
+
   test("batch-driven annStream equals ann_int8 minus qdot bit for bit") {
     withLogLevel {
       val t = Tables(spark, "/root/testdata/sf0.001")
