@@ -23,6 +23,25 @@ import org.apache.spark.sql.SparkSession
   *     spikes rarely hit the same query in every run). "run_totals"
   *     keeps the raw per-run sums so the spread itself is visible.
   *
+  * AUTO best-of-3 under ambient load (round 15): two consecutive
+  * rounds of driver bench signal were destroyed by host contention
+  * (r13 load 2.6→13.0, r14 6.4→8.8 — 86 queries flagged >2x that an
+  * idle re-run cleared entirely). When SPARK_GRAFT_BENCH_RUNS is NOT
+  * set, the bench now escalates itself instead of relying on the
+  * caller to notice:
+  *   - upfront: 1-min load at JVM start > 2.0 → 3 runs. load_start is
+  *     the clean ambient signal (pre-warmup, nothing is self-inflicted).
+  *   - mid-run ramp: after run 1, ambient ≈ load(1m) − (this process's
+  *     CPU-seconds / wall-seconds over the run). Subtracting our own
+  *     contribution matters — a 32-thread sweep alone pushes load past
+  *     any fixed threshold, and the point is to detect OTHER work. If
+  *     the estimate exceeds 2.0 the bench extends to 3 total runs.
+  *   An explicit SPARK_GRAFT_BENCH_RUNS always wins (runs_auto=false):
+  *   a caller pinning runs=1 for a quick spot check keeps runs=1.
+  *   The JSON line records "runs" (actually executed), "runs_auto",
+  *   and "ambient_run1" (the post-run-1 estimate, -1 when not taken)
+  *   so benchdiff can adjudicate a driver run by itself.
+  *
   * Compare against BASELINE.md's floor table with tools/benchdiff.py,
   * which flags per-query ratios >2x.
   */
@@ -43,12 +62,49 @@ object Bench {
   private def loadJson(l: (Double, Double, Double)): String =
     s"[${l._1},${l._2},${l._3}]"
 
+  /** This JVM's cumulative CPU time (ns); -1 if the platform bean
+    * doesn't expose it. Used to subtract the bench's own contribution
+    * from the load average when estimating ambient load mid-run. */
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** Ambient load escalation threshold: ~6% of a 32-core host. Above
+    * it, a best-of-1 sweep reads contention as regression (r13/r14). */
+  private[graft] val AmbientLoadThreshold = 2.0
+  private[graft] val AutoRuns = 3
+
+  /** Initial run count: the env var (explicit, never auto-escalated)
+    * or 1, escalated to [[AutoRuns]] when ambient 1-min load at JVM
+    * start already exceeds the threshold. Returns (runs, auto). */
+  private[graft] def initialRuns(explicit: Option[String], load1m: Double): (Int, Boolean) =
+    explicit match {
+      case Some(v) => (math.max(1, v.toInt), false)
+      case None if load1m > AmbientLoadThreshold => (AutoRuns, true)
+      case None => (1, false)
+    }
+
+  /** Ambient load estimate after a sweep: the current 1-min load minus
+    * this JVM's average core occupancy over the sweep (cpuNs/wallNs).
+    * Negative clamps to 0; missing CPU accounting (-1) disables the
+    * subtraction (conservative: over-estimates ambient → escalates). */
+  private[graft] def ambientEstimate(load1m: Double, cpuDeltaNs: Long,
+                                     wallDeltaNs: Long): Double = {
+    val self =
+      if (cpuDeltaNs < 0 || wallDeltaNs <= 0) 0.0
+      else cpuDeltaNs.toDouble / wallDeltaNs
+    math.max(0.0, load1m - self)
+  }
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
     val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    val runsEnv = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+    val (nRuns0, auto0) = initialRuns(runsEnv, loadStart._1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,7 +127,7 @@ object Bench {
     // for the WARM dir; later runs filled them for sfDir) and releases
     // each family after its last consumer — bounds storage residency and
     // makes run 1 and run N time the same work (see tools.SweepCaches).
-    val runs: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
+    def sweep(): Map[String, Double] = {
       graft.tools.SweepCaches.releaseAll()
       val caches = new graft.tools.SweepCaches.Tracker
       SparkEntry.queries.map { case (name, fn) =>
@@ -82,6 +138,27 @@ object Bench {
         name -> dt
       }.toMap
     }
+    val runBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    var targetRuns = nRuns0
+    var runsAuto = auto0
+    var ambientRun1 = -1.0
+    while (runBuf.size < targetRuns) {
+      val cpu0 = processCpuNs()
+      val w0 = System.nanoTime()
+      runBuf += sweep()
+      // Mid-run ramp detection: only when nothing else already asked
+      // for more runs (no env override, no upfront escalation).
+      if (runBuf.size == 1 && runsEnv.isEmpty && targetRuns == 1) {
+        ambientRun1 = ambientEstimate(loadAvg()._1,
+          processCpuNs() - cpu0, System.nanoTime() - w0)
+        if (ambientRun1 > AmbientLoadThreshold) {
+          targetRuns = AutoRuns
+          runsAuto = true
+        }
+      }
+    }
+    val runs: Seq[Map[String, Double]] = runBuf.toSeq
+    val nRuns = runs.size
     // Best-of-N per query (order of the queries map preserved for output)
     val results = SparkEntry.queries.map { case (name, _) =>
       name -> runs.map(_(name)).min
@@ -94,7 +171,8 @@ object Bench {
     val runTotals = runs.map(_.values.sum).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        s""","runs":$nRuns,"run_totals":$runTotals,"wall_sec":$wallSec""" +
+        s""","runs":$nRuns,"runs_auto":$runsAuto,"ambient_run1":$ambientRun1""" +
+      s""","run_totals":$runTotals,"wall_sec":$wallSec""" +
         s""","load_start":${loadJson(loadStart)},"load_timed":${loadJson(loadTimed)}""" +
         s""","load_end":${loadJson(loadEnd)},"cpus":$cpus}"""
     println(json)

@@ -154,7 +154,8 @@ object SparkEntry {
     "text_quality"    -> q(TextAnalysis.quality),
     "text_lang_id"    -> q(TextAnalysis.langId),
     "text_fingerprint" -> q(TextAnalysis.fingerprint),
-    // rows-only: winnowing selection isn't SQL-expressible; pinned by spec
+    // full oracle since r15: the banded winnowing is min-per-band +
+    // distinct, plain integer arithmetic DuckDB reproduces exactly
     "text_rolling_hash" -> q(graft.text.RollingHash.fingerprintTable),
     // ...but the pre-winnowing window-hash table is — value-checked here
     "text_window_hashes" -> q(graft.text.RollingHash.windowHashStats),
@@ -162,6 +163,9 @@ object SparkEntry {
     "text_bpe_token_count" -> q(graft.text.Tokenizer.bpeTokenCount),
     "text_scrub"      -> q(TextAnalysis.scrub),
     "mm_binary_meta"  -> q(Multimodal.binaryMeta),
+    // real RIFF chunk-walk parse of synthesized (valid) WAV containers;
+    // oracle re-derives every column by byte arithmetic on doc_id/text
+    "mm_audio_meta"   -> q(Multimodal.audioMeta),
     "text_repetition" -> q(graft.pipeline.CorpusOps.repetition),
     "corpus_sample"   -> q(graft.pipeline.CorpusOps.stratifiedSample),
     "contamination"   -> q(graft.pipeline.CorpusOps.contamination),
@@ -307,7 +311,9 @@ object SparkEntry {
     "text_bpe_token_count" -> graft.text.Tokenizer.bpeTokenCountSql,
     "text_scrub"      -> TextAnalysis.scrubSql,
     "text_window_hashes" -> graft.text.RollingHash.windowHashStatsSql,
+    "text_rolling_hash" -> graft.text.RollingHash.fingerprintTableSql,
     "mm_binary_meta"  -> Multimodal.binaryMetaSql,
+    "mm_audio_meta"   -> Multimodal.audioMetaSql,
     "text_repetition" -> graft.pipeline.CorpusOps.repetitionSql,
     "corpus_sample"   -> graft.pipeline.CorpusOps.stratifiedSampleSql,
     "contamination"   -> graft.pipeline.CorpusOps.contaminationSql,

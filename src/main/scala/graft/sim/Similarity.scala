@@ -126,36 +126,60 @@ object Similarity {
     */
   private[graft] val quantizerFits = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Coarse quantizer (KMeans, fixed seeds) fit on a sample — shared
-    * by [[annIvf]] and [[embeddingNearDupIvf]] via [[quantCache]].
-    * Centroid quality needs a representative sample, not the corpus:
-    * at 100 TB fitting on the full data would be the pipeline's
-    * bottleneck. Random init (not k-means||) drops the multi-pass init
-    * jobs; 5 Lloyd iterations over the sample converge plenty for a
-    * coarse quantizer. Falls back to the full (tiny) corpus when the
-    * sample can't fill nlist.
+  /** Rows per centroid in the quantizer's fit budget: the fit set is
+    * capped at FitRowsPerCentroid·nlist rows, so fit cost is O(nlist)
+    * at ANY corpus size (~256 points per centroid is plenty for a
+    * 5-iteration coarse fit). */
+  private[graft] val FitRowsPerCentroid = 256
+
+  /** Coarse quantizer (KMeans, fixed seeds) fit on a bounded,
+    * partitioning-independent subset — shared by [[annIvf]] and
+    * [[embeddingNearDupIvf]] via [[quantCache]]. Centroid quality
+    * needs a representative subset, not the corpus: at 100 TB fitting
+    * on the full data would be the pipeline's bottleneck. Random init
+    * (not k-means||) drops the multi-pass init jobs; 5 Lloyd
+    * iterations over the fit set converge plenty for a coarse
+    * quantizer.
     *
-    * Determinism scope: `sample` draws per partition, so the fit — and
-    * the downstream candidate sets — are bit-deterministic for a FIXED
-    * (data, partitioning) but can shift when the session's core count
-    * changes the input split layout (e.g. 934 vs 937 ivf pairs at
-    * sf0.01 under cpus=32 vs 4). That is the expected contract for an
-    * approximate index; the invariants that hold at ANY layout are the
-    * double-Verify determinism gate (same config twice) and the
-    * recall floors (AnnRecallSpec ≥0.9, check.py's ivf recall band).
+    * Fit-set selection (round 15 — replaces the fixed 25% sample
+    * fraction, whose `sample.count()` guard was itself a full-scan
+    * action and whose per-partition draws made the fit depend on the
+    * input split layout): take the [[FitRowsPerCentroid]]·nlist rows
+    * with the smallest md5-derived hash of vec_id. `orderBy(h).limit`
+    * plans as a distributed top-k (TakeOrderedAndProject): one O(N)
+    * scan with O(budget) state per partition, no count() action, and
+    * the total (hash, vec_id) order is derived from DATA only — the
+    * fit set, hence the centroids and every downstream candidate set,
+    * is identical under any partitioning or session core count
+    * (QuantizeSpec pins this across repartitionings). A corpus smaller
+    * than the budget fits on everything, subsuming the old
+    * too-small-sample fallback. The hash-order subset is an unbiased
+    * draw (the hash is independent of the embedding values), same as
+    * the uniform sample it replaces.
     */
   private def coarseQuantizer(t: Tables, nlist: Int) =
     quantCache.getOrElseUpdate((t.spark, t.dir, nlist), {
-      import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       quantizerFits.incrementAndGet()
       val withVec = withNorm(t).withColumn("features", array_to_vector(col("v")))
-      val sample = withVec.sample(withReplacement = false, 0.25, seed = 7L)
-      val fitOn = if (sample.count() >= 10L * nlist) sample else withVec
-      new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-        .setInitMode("random")
-        .fit(fitOn)
+      fitQuantizer(withVec, nlist)
     })
+
+  /** The cache-free fit (exposed for QuantizeSpec's partitioning-
+    * independence pin): expects a frame carrying (vec_id, features). */
+  private[graft] def fitQuantizer(withVec: DataFrame, nlist: Int) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val budget = FitRowsPerCentroid * nlist
+    val fitOn = withVec
+      .withColumn("fh", graft.dedup.Dedup.h32(
+        concat(col("vec_id").cast("string"), lit(":qfit"))))
+      .orderBy(col("fh").asc, col("vec_id").asc)
+      .limit(budget)
+      .drop("fh")
+    new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
+      .fit(fitOn)
+  }
 
   /** Embedding near-dup pairs blocked on the IVF coarse-quantizer cell
     * — the scale-true form of [[embeddingNearDup]]: where label
@@ -655,6 +679,15 @@ object Similarity {
     * stream never touches the float vectors at all. Same fit cache as
     * [[annIvfInt8]], so batch search and streaming ingest share one
     * coarse index per (session, dir, nlist).
+    *
+    * RESIDENCY IS THE CALLER'S (r15 advisor item): the returned frame
+    * is unpersisted, so a continuous streaming run would recompute the
+    * KMeans transform + quantization over the full corpus EVERY
+    * micro-batch on the static side — persist()/localCheckpoint() it
+    * before handing it to Streams.annStreamIvf for a real
+    * StreamingQuery (StreamingSpec does; the batch-driven Verify path
+    * is a single job, where an eager persist would only add a stacked
+    * cache entry per sweep).
     */
   def quantizedCellIndex(t: Tables, nlist: Int = 16): (DataFrame, Seq[(Int, Seq[Double])]) = {
     val model = coarseQuantizer(t, nlist)

@@ -247,6 +247,7 @@ object Streams {
   def annStream(probes: DataFrame, index0: DataFrame, k: Int = 5,
                 horizon: String = "1 hour"): DataFrame = {
     import graft.functions.GraftFunctions
+    GraftFunctions.register(probes.sparkSession) // idempotent; see annStreamIvf
     val p = probes
       .withWatermark("ts", horizon)
       .select(col("vec_id").as("probe_id"), col("ts"),
@@ -318,7 +319,14 @@ object Streams {
     * parser.)
     */
   private[graft] def rankedCellArray(centroids: Seq[(Int, Seq[Double])],
-                                     v: Column): Column =
+                                     v0: Column): Column = {
+    // Dimension guard (r15, advisor item): zip_with null-pads when the
+    // probe's length differs from the centroid's, which would silently
+    // rank cells differently from the batch path's graft_dot — a
+    // malformed embedding must fail LOUDLY instead.
+    val dim = centroids.head._2.length
+    val v = when(size(v0) === dim, v0).otherwise(raise_error(concat(
+      lit(s"probe vector dimension != $dim: got "), size(v0).cast("string"))))
     array_sort(array(centroids.map { case (cellId, cv) =>
       val cnorm2 = { var s = 0.0; cv.foreach(x => s += x * x); s }
       val pdotc = aggregate(zip_with(v, typedLit(cv), (x, y) => x * y),
@@ -326,11 +334,18 @@ object Streams {
       struct((lit(cnorm2) - lit(2.0) * pdotc).as("cdist"),
         lit(cellId).as("cell"))
     }: _*))
+  }
 
   def annStreamIvf(probes: DataFrame, cellIndex: DataFrame,
                    centroids: Seq[(Int, Seq[Double])], k: Int = 5,
                    nprobe: Int = 10, horizon: String = "1 hour"): DataFrame = {
     import graft.functions.GraftFunctions
+    // graftDot parses to the session-registered graft_dot function —
+    // register defensively (idempotent) rather than relying on an
+    // earlier withNorm/quantizedCellIndex call on the same session
+    // having done it (r15 advisor item: an externally built index
+    // would otherwise hit an unresolved-function analysis error).
+    GraftFunctions.register(probes.sparkSession)
     val rankedCells = rankedCellArray(centroids, col("v"))
     val p = probes
       .withWatermark("ts", horizon)

@@ -13,9 +13,14 @@ import graft.io.Tables
   * boilerplate or quoted passages) that whole-document hashing misses.
   *
   * Runs per-partition; state is one window per document at a time, so
-  * memory is O(window) regardless of corpus size. Rows-only checked
-  * (the winnowing selection is not reasonably SQL-expressible);
-  * RollingHashSpec pins the hashes against an independent recompute.
+  * memory is O(window) regardless of corpus size. Oracle-checked in
+  * FULL since round 15: the banded winnowing selection (min hash per
+  * SelectBand-sized position band, distinct) is plain integer
+  * arithmetic + GROUP BY, so [[fingerprintTableSql]] reproduces the
+  * exact (doc_id, fingerprint) set in DuckDB. RollingHashSpec
+  * additionally pins the hashes against an independent recompute, and
+  * check.py's [band] entry validates winnow membership/density against
+  * the pre-winnowing window-hash table.
   */
 object RollingHash {
 
@@ -47,10 +52,16 @@ object RollingHash {
   }
 
   /** Winnowed fingerprint set: the minimum window hash of each
-    * SelectBand-sized band (ties keep the rightmost, per winnowing).
+    * SelectBand-sized band. Start positions are capped at [[MaxStarts]]
+    * per the symmetric-cap invariant (CLAUDE.md #6; never binds below
+    * ~8 KB docs), mirrored by the oracle's range(0, 8191).
     */
   def fingerprints(s: String): Seq[Long] =
-    windowHashes(s).grouped(SelectBand).map(_.min).toSeq.distinct
+    windowHashes(s).take(MaxStarts).grouped(SelectBand).map(_.min).toSeq.distinct
+
+  /** Per-row work bound shared by [[fingerprints]], [[windowHashStats]]
+    * and both oracles' range(0, 8191) tables. */
+  val MaxStarts = 8191
 
   /** (doc_id, fingerprint) table over documents — join it with itself
     * on the fingerprint to locate partial-overlap candidates.
@@ -92,22 +103,39 @@ object RollingHash {
         min($"h").as("min_h"), max($"h").as("max_h"))
   }
 
-  /** The same polynomial written out with precomputed B^k mod M
-    * literals — term sums stay far under 2^63, one final mod.
+  /** The window-hash polynomial written out with precomputed B^k mod M
+    * literals (term sums stay far under 2^63, one final mod; unicode()
+    * CAST to BIGINT before the multiply per CLAUDE.md #10): the inner
+    * (doc_id, i, h) table both oracles read, positions capped at
+    * [[MaxStarts]].
     */
-  val windowHashStatsSql: String = {
+  private val windowHashSqlInner: String = {
     val pows = Array.iterate(1L, Window)(p => p * B % M).reverse
     val poly = pows.zipWithIndex
       .map { case (p, j) =>
         s"CAST(unicode(substr(text, i + ${j + 1}, 1)) AS BIGINT) * $p" }
       .mkString(" + ")
+    s"""SELECT doc_id, i, ($poly) % $M AS h
+       | FROM (SELECT doc_id, text, CAST(r.range AS INT) AS i
+       |       FROM documents d JOIN range(0, $MaxStarts) r
+       |       ON r.range <= length(d.text) - $Window)""".stripMargin
+  }
+
+  val windowHashStatsSql: String =
     s"""SELECT doc_id, count(*) AS n_hashes, CAST(sum(h) AS BIGINT) AS sum_h,
        | min(h) AS min_h, max(h) AS max_h
-       |FROM (
-       | SELECT doc_id, ($poly) % $M AS h
-       | FROM (SELECT doc_id, text, CAST(r.range AS INT) AS i
-       |       FROM documents d JOIN range(0, 8191) r
-       |       ON r.range <= length(d.text) - $Window))
+       |FROM ($windowHashSqlInner)
        |GROUP BY doc_id""".stripMargin.replace("\n", " ")
-  }
+
+  /** Full oracle for [[fingerprintTable]]: the banded winnowing is
+    * min-per-(doc, i div SelectBand) + DISTINCT — pure integer
+    * arithmetic over the same window-hash table, so DuckDB reproduces
+    * the exact fingerprint set (tie handling is value-level min on
+    * both sides; which position attains it never surfaces).
+    */
+  val fingerprintTableSql: String =
+    s"""SELECT DISTINCT doc_id, fp AS fingerprint FROM (
+       | SELECT doc_id, min(h) AS fp
+       | FROM ($windowHashSqlInner)
+       | GROUP BY doc_id, i // $SelectBand)""".stripMargin.replace("\n", " ")
 }

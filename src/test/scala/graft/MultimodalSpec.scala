@@ -89,4 +89,70 @@ class MultimodalSpec extends SparkSuite {
     assert(a == Multimodal.decodeStub("payload-a".getBytes))
     assert(a != b)
   }
+
+  test("WAV golden: a hand-laid 44.1k stereo 16-bit file parses exactly") {
+    // hand-assembled bytes, NOT buildWav — pins the wire format itself
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 2 * 2)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(4)
+      .put(Array[Byte](1, 2, 3, 4))
+    val m = Multimodal.parseWav(bb.array()).get
+    assert(m == Multimodal.WavMeta(1, 2, 44100, 16, 4L,
+      4L * 1000000L / (44100L * 2 * 2)))
+  }
+
+  test("WAV parse is a real chunk walker: extra LIST chunk and odd-size padding survive") {
+    // LIST metadata chunk (odd 7-byte body -> 1 pad byte) between fmt
+    // and data: offset-44 arithmetic would misread this file
+    val info = "INFOxyz".getBytes("US-ASCII")
+    val data = Array[Byte](9, 8, 7, 6, 5) // odd data size too
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + (8 + 7 + 1) + 8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 16 + 8 + 6)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+      .put("LIST".getBytes("US-ASCII")).putInt(7).put(info).put(0.toByte)
+      .put("data".getBytes("US-ASCII")).putInt(5).put(data).put(0.toByte)
+    val m = Multimodal.parseWav(bb.array()).get
+    assert(m == Multimodal.WavMeta(1, 1, 8000, 8, 5L, 5L * 1000000L / 8000L))
+    // non-WAV payloads refuse loudly (None), not garbage
+    assert(Multimodal.parseWav("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.parseWav(Array[Byte](82, 73)).isEmpty) // truncated "RI"
+  }
+
+  test("buildWav round-trips through parseWav, odd data sizes padded per RIFF") {
+    for ((rate, ch, bits, n) <- Seq((8000, 1, 8, 0), (22050, 2, 16, 7),
+      (44100, 1, 16, 64), (16000, 2, 8, 33))) {
+      val data = Array.tabulate[Byte](n)(i => (i * 7 % 251).toByte)
+      val wav = Multimodal.buildWav(rate, ch, bits, data)
+      assert(wav.length % 2 == 0, "RIFF files are even-sized (pad byte)")
+      val m = Multimodal.parseWav(wav).get
+      assert(m.audioFormat == 1 && m.channels == ch &&
+        m.sampleRate == rate && m.bits == bits && m.dataBytes == n)
+      assert(m.durationUs == n.toLong * 1000000L / (rate.toLong * ch * (bits / 8)))
+    }
+  }
+
+  test("mm_audio_meta end-to-end equals the oracle arithmetic on sf0.001") {
+    val got = Multimodal.audioMeta(t).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }.toMap
+    val docs = t.documents.selectExpr("doc_id", "octet_length(text)").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    assert(got.keySet == docs.keySet && got.nonEmpty)
+    docs.foreach { case (id, n) =>
+      val (rate, ch, bits) =
+        (Multimodal.wavRate(id).toLong, Multimodal.wavChannels(id).toLong,
+          Multimodal.wavBits(id).toLong)
+      assert(got(id) == ((rate, ch, bits, n, n * 1000000L / (rate * ch * (bits / 8)))),
+        s"doc $id metadata mismatch")
+    }
+  }
 }

@@ -194,9 +194,13 @@ def main():
         runs = bench.get("runs", 1)
         wall = bench.get("wall_sec", 0.0)
         run_totals = bench.get("run_totals", [])
+        runs_auto = bench.get("runs_auto", False)
+        ambient1 = bench.get("ambient_run1", -1.0)
         print(f"\nhost context: load(1m) at timed-sweep start = {l1:.2f} on {cpus} cpus"
               f" | start={l_start:.2f} end={bench['load_end'][0]:.2f}"
               f" | wall {wall:.0f}s | best-of-{runs}"
+              + (" (auto-escalated: ambient load)" if runs_auto else "")
+              + (f" ambient_run1={ambient1:.2f}" if ambient1 >= 0 else "")
               + (f" run_totals={bench['run_totals']}" if runs > 1 else ""))
         # Ambient-load signals (see module docstring): load at sweep
         # start, load BEFORE the bench ran anything, and wall-clock

@@ -92,6 +92,69 @@ def _band_q40(con, out_dir, name):
     return ok
 
 
+def _band_rolling_hash(con, out_dir, name):
+    """Winnow membership + density vs the pre-winnowing window-hash
+    table (whose aggregates are oracle-green as text_window_hashes):
+      - membership: every selected fingerprint appears in its doc's
+        window-hash set (recomputed here with the same polynomial the
+        text_window_hashes oracle validates);
+      - density: >= 1 selection per full SelectBand(=8) window span —
+        winnowing's coverage guarantee — i.e. n_fp >= ceil(n_hashes/8)
+        before dedup, checked as n_fp >= 1 whenever n_hashes >= 1 and
+        n_fp <= ceil(n_hashes/8) (selection can't exceed band count).
+    Since r15 the query also carries a FULL hash oracle; this band
+    stays as the independent structural check (it would catch a
+    co-broken query+oracle pair that drifted from winnowing).
+    """
+    B, M, W, SB = 257, 1000000007, 16, 8
+    pows = [1]
+    for _ in range(W - 1):
+        pows.append(pows[-1] * B % M)
+    pows = pows[::-1]
+    poly = " + ".join(
+        f"CAST(unicode(substr(text, i + {j + 1}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(pows))
+    wh = con.execute(
+        f"SELECT doc_id, i, ({poly}) % {M} AS h "
+        f"FROM (SELECT doc_id, text, CAST(r.range AS INT) AS i "
+        f"      FROM documents d JOIN range(0, 8191) r "
+        f"      ON r.range <= length(d.text) - {W})").fetchall()
+    hashes = {}
+    for d, _, h in wh:
+        hashes.setdefault(d, set()).add(h)
+    n_hashes = {}
+    for d, _, _ in wh:
+        n_hashes[d] = n_hashes.get(d, 0) + 1
+    got = con.execute(
+        f"SELECT doc_id, fingerprint "
+        f"FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
+    fps = {}
+    for d, fp in got:
+        fps.setdefault(d, set()).add(fp)
+    ok = True
+    for d, sel in fps.items():
+        missing = sel - hashes.get(d, set())
+        if missing:
+            print(f"FAIL {name}[band]: doc {d} fingerprints {sorted(missing)[:3]} "
+                  f"not in its window-hash set")
+            ok = False
+    for d, n in n_hashes.items():
+        n_fp = len(fps.get(d, ()))
+        bands = (n + SB - 1) // SB
+        if n >= 1 and n_fp < 1:
+            print(f"FAIL {name}[band]: doc {d} has {n} window hashes "
+                  f"but zero fingerprints (coverage)")
+            ok = False
+        if n_fp > bands:
+            print(f"FAIL {name}[band]: doc {d} selected {n_fp} fingerprints "
+                  f"> {bands} bands (density)")
+            ok = False
+    if ok:
+        print(f"PASS {name}[band] (winnow membership + density over "
+              f"{len(n_hashes)} docs)")
+    return ok
+
+
 def _band_ivf_recall(con, out_dir, name):
     """IVF pair recall vs the oracle-green label-blocked baseline: the
     fraction of dedup_embedding's (id_a, id_b) pairs the cell-blocked
@@ -165,8 +228,8 @@ def _band_ann_recall(con, out_dir, name):
 # name. extra_checks REQUIRES each registered dir to exist: renaming a
 # query without updating this table fails loudly instead of silently
 # skipping the band check (round-10 verdict item). text_rolling_hash
-# carries no band here — its value pin lives in RollingHashSpec, and
-# determinism in tools/determinism.py.
+# additionally carries a FULL hash oracle since r15; its band here is
+# the independent structural check (winnow membership + density).
 BAND_CHECKS = {
     "q27_approx_distinct": _band_q27,
     "q40_approx_quantile": _band_q40,
@@ -174,6 +237,7 @@ BAND_CHECKS = {
     "ann_ivf": _band_ann_recall,
     "ann_ivf_int8": _band_ann_recall,
     "stream_ann_ivf_int8": _band_ann_recall,
+    "text_rolling_hash": _band_rolling_hash,
 }
 
 
