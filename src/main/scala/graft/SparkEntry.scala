@@ -127,6 +127,11 @@ object SparkEntry {
     // rows-only like ann_ivf (KMeans fit); check.py bands recall@5 vs
     // ann_brute_force, QuantizeSpec re-verifies the integer scores
     "ann_ivf_int8"    -> q((t: Tables) => Similarity.annIvfInt8(t)),
+    // product-quantization ADC + exact re-rank: 8-byte codes scan
+    // (32x compression), shortlist re-ranked with true cosines.
+    // Rows-only (Lloyd fit isn't SQL-derivable); check.py bands
+    // recall@5 vs ann_brute_force, PqSpec re-verifies every cosine
+    "ann_pq"          -> q((t: Tables) => Similarity.annPq(t)),
     // the streaming module's retrieval path driven in batch mode:
     // row-local probe quantization + stream-static index join + the
     // bounded top-k aggregator — output must equal ann_int8 minus qdot

@@ -41,6 +41,8 @@ object Similarity {
     normCache.values.foreach(_.unpersist())
     normCache.clear()
     quantCache.clear()
+    sizeCache.clear()
+    pqCache.clear()
   }
 
   /** Dir-scoped eviction: drop only the cache entries for `dir`.
@@ -57,7 +59,53 @@ object Similarity {
       keep
     }
     quantCache.filterInPlace { case ((_, d, _), _) => d != dir }
+    sizeCache.filterInPlace { case ((_, d), _) => d != dir }
+    pqCache.filterInPlace { case ((_, d, _, _), _) => d != dir }
   }
+
+  // Corpus row count per (session, dir): one count() on the persisted
+  // normalized projection, memoized — the IVF family derives its
+  // default nlist from it (a 100 TB store knows its cardinality from
+  // table metadata; this is the local stand-in).
+  private val sizeCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Long]
+
+  def corpusSize(t: Tables): Long =
+    sizeCache.getOrElseUpdate((t.spark, t.dir), withNorm(t).count())
+
+  /** Default nlist for the IVF family: √N scaling (SCALING.md's
+    * prescription — cell population ∝ √N keeps both the per-cell join
+    * and the centroid table growing as √N rather than one of them
+    * linearly), anchored so the 500-row gate corpus keeps the
+    * measured nlist=16 operating point: nlist = 16·√(n/500), floored
+    * at 16. sf0.1 (n=2000) derives 32; n=10¹⁰ derives ~71k cells —
+    * the usual IVF range for a 10B-vector store.
+    */
+  def nlistFor(n: Long): Int =
+    math.max(16, math.round(16.0 * math.sqrt(n / 500.0)).toInt)
+
+  /** Default nprobe for a derived nlist: holds the measured 5/8 cell
+    * fraction of the nlist=16/nprobe=10 operating point (recall@5
+    * ~0.89 on this corpus). The fraction is a property of the DATA'S
+    * clusteredness: these synthetic embeddings are near-uniform — the
+    * adversarial case, where recall needs a constant cell fraction.
+    * Clustered real corpora hold recall with nprobe ~constant as
+    * nlist grows √N (the actual 100 TB win); the AnnProbeScan sweep
+    * in SCALING.md records both curves' local anchor.
+    */
+  def nprobeFor(nlist: Int): Int = math.max(10, nlist * 5 / 8)
+
+  /** Default multi-assignment for a derived nlist in the IVF-blocked
+    * dedup: assign = ⌈√nlist⌉ (4 at nlist=16, 6 at nlist=32). Smaller
+    * cells lose boundary-straddling pairs, so assign must grow as
+    * cells shrink; √nlist keeps per-pair work assign²/nlist — hence
+    * total pair work at fixed nlist — constant across the derivation.
+    * Measured at sf0.1/nlist=32: assign 4/5/6 → pair recall
+    * 0.790/0.899/0.961 vs the 0.9 band — ⌈√nlist⌉ is the smallest
+    * integer rule that clears it with margin (AnnProbeScan sweep,
+    * recorded in SCALING.md).
+    */
+  def assignFor(nlist: Int): Int = math.ceil(math.sqrt(nlist)).toInt
 
   /** Family-cache population counter (normCache entries built; quant
     * fits have their own [[quantizerFits]]), for the SweepCaches
@@ -201,13 +249,18 @@ object Similarity {
     * against the label-blocked oracle-green baseline (measured knob
     * sweep at sf0.01: assign 2/3/4 at nlist=16 → recall
     * 0.53/0.80/0.96 — recall is bought with assignments the way
-    * annLsh buys it with tables; floor pinned at 0.9 for the 4-assign
-    * default).
+    * annLsh buys it with tables; floor pinned at 0.9).
+    * Defaults derive from corpus size (r15): nlist = [[nlistFor]](N),
+    * assign = [[assignFor]](nlist) — at sf0.1 that is (32, 6),
+    * measured pair recall 0.961 (vs 0.790 had assign stayed 4; see
+    * assignFor's sweep). Explicit (> 0) args override.
     */
-  def embeddingNearDupIvf(t: Tables, nlist: Int = 16, assign: Int = 4,
+  def embeddingNearDupIvf(t: Tables, nlist: Int = 0, assign: Int = 0,
       minCos: Double = 0.3): DataFrame = {
+    val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
+    val a = if (assign > 0) assign else assignFor(nl)
     val e = withNorm(t)
-    val model = coarseQuantizer(t, nlist)
+    val model = coarseQuantizer(t, nl)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
@@ -222,7 +275,7 @@ object Similarity {
       .withColumn("cdist",
         dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("v"), col("centroid")))
       .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= assign)
+      .filter(col("cr") <= a)
       .select(col("vec_id"), col("cell"))
       .persist() // read twice (both sides of the pair join)
 
@@ -286,20 +339,21 @@ object Similarity {
     * 1 by construction → rows-only check (no SQL oracle); the
     * guarantee is that reported cosines are genuine.
     *
-    * Default nprobe = 10 of 16: measured recall@5 vs brute force is
-    * ~0.89 at BOTH sf0.01 and sf0.1 (AnnProbeScan), a solid margin
-    * over the 0.8 recall band (AnnRecallSpec + check.py BAND_CHECKS).
-    * The previous nprobe=8 default sat ON the band edge at sf0.1
-    * (0.788–0.808 across session shapes — exactly the documented
-    * partitioning-determinism scope of the quantizer fit below), so a
-    * harmless partitioning change could flip the gate; 10 buys the
-    * margin for ~25% more probe work.
+    * Knobs derive from corpus size by default (r15): nlist =
+    * [[nlistFor]](N) (√N cells), nprobe = [[nprobeFor]](nlist) (the
+    * measured 5/8 cell fraction). Measured recall@5 vs brute force at
+    * the derived points: 0.883 at sf0.01 (16/10) and 0.930 at sf0.1
+    * (32/20) — solid margin over the 0.8 recall band (AnnRecallSpec +
+    * check.py BAND_CHECKS; AnnProbeScan sweep in SCALING.md). Passing
+    * explicit nlist/nprobe (> 0) overrides the derivation.
     */
-  def annIvf(t: Tables, nlist: Int = 16, nprobe: Int = 10): DataFrame = {
+  def annIvf(t: Tables, nlist: Int = 0, nprobe: Int = 0): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
+    val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
+    val np = if (nprobe > 0) nprobe else nprobeFor(nl)
     val e = withNorm(t)
     val withVec = e.withColumn("features", array_to_vector(col("v")))
-    val model = coarseQuantizer(t, nlist)
+    val model = coarseQuantizer(t, nl)
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
       .persist()
@@ -321,7 +375,7 @@ object Similarity {
       .withColumn("cdist",
         dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("vp"), col("centroid")))
       .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= nprobe)
+      .filter(col("cr") <= np)
       .select(col("probe_id"), col("vp"), col("np"), col("cell"))
 
     val cands = assigned.select(col("vec_id").as("cand_id"),
@@ -689,23 +743,219 @@ object Similarity {
     * is a single job, where an eager persist would only add a stacked
     * cache entry per sweep).
     */
-  def quantizedCellIndex(t: Tables, nlist: Int = 16): (DataFrame, Seq[(Int, Seq[Double])]) = {
-    val model = coarseQuantizer(t, nlist)
+  def quantizedCellIndex(t: Tables, nlist: Int = 0): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
+    val model = coarseQuantizer(t, nl)
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
-    (cellAssignedCodes(t, nlist), cents)
+    (cellAssignedCodes(t, nl), cents)
   }
 
-  def annIvfInt8(t: Tables, nlist: Int = 16, nprobe: Int = 10): DataFrame = {
+  // ---- Product quantization (ann_pq) ----
+
+  // One codebook per (session, dir, m, ks): m subspace codebooks of
+  // ks centroids each — a tiny driver-side model artifact
+  // (m·ks·(d/m) doubles = d·ks = 8 KB at the defaults), same
+  // immutable-dir contract as quantCache.
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int),
+      Array[Array[Array[Double]]]]
+
+  /** Deterministic driver-side Lloyd iterations: init = first ks
+    * distinct points in fit-set (hash) order, assignment ties break to
+    * the lowest centroid id, empty clusters keep their centroid, all
+    * accumulation left-to-right over the deterministic point order —
+    * the fit is a pure function of the fit set, independent of Spark
+    * partitioning by construction. Runs on ≤ FitRowsPerCentroid·ks
+    * points of d/m doubles: trivially driver-sized (the same
+    * bounded-by-construction class as BloomJoin's bitmap collect).
+    */
+  private def lloyd(points: Array[Array[Double]], ks: Int, iters: Int = 10): Array[Array[Double]] = {
+    val ds = points.head.length
+    def nearest(cents: Array[Array[Double]], p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var j = 0
+      while (j < cents.length) {
+        var d2 = 0.0; var k = 0
+        while (k < ds) { val dx = p(k) - cents(j)(k); d2 += dx * dx; k += 1 }
+        if (d2 < bestD) { bestD = d2; best = j } // strict: ties keep lowest j
+        j += 1
+      }
+      best
+    }
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.Set.empty[Seq[Double]]
+    var i = 0
+    while (init.size < ks && i < points.length) {
+      if (seen.add(points(i).toSeq)) init += points(i).clone()
+      i += 1
+    }
+    // degenerate tiny/duplicate-heavy fit sets: cycle what we have
+    while (init.size < ks)
+      init += (if (init.isEmpty) new Array[Double](ds)
+               else init(init.size % init.size.max(1)).clone())
+    var cents = init.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(ks)(new Array[Double](ds))
+      val cnt = new Array[Long](ks)
+      points.foreach { p =>
+        val j = nearest(cents, p)
+        cnt(j) += 1
+        var k = 0; while (k < ds) { sums(j)(k) += p(k); k += 1 }
+      }
+      cents = Array.tabulate(ks) { j =>
+        if (cnt(j) == 0) cents(j)
+        else { val c = new Array[Double](ds); var k = 0
+          while (k < ds) { c(k) = sums(j)(k) / cnt(j); k += 1 }; c }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Rows per centroid in the PQ fit budget: smaller than the coarse
+    * quantizer's 256 — PQ trains m codebooks on d/m-dim points, where
+    * ~64 points per centroid is ample (FAISS's floor is 39). At
+    * ks=256 the budget is 16384 rows — still O(ks), never O(N). */
+  private[graft] val PqFitRowsPerCentroid = 64
+
+  /** PQ codebook fit: the same hash-ordered row-budget selection as
+    * [[fitQuantizer]] (O(ks) cost at any corpus size,
+    * partitioning-independent), collected once, then m independent
+    * [[lloyd]] fits — one per d/m-dim subspace of the NORMALIZED
+    * vectors. */
+  private[graft] def fitPqCodebook(t: Tables, m: Int, ks: Int): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate((t.spark, t.dir, m, ks), {
+      val budget = PqFitRowsPerCentroid * ks
+      val rows = withNorm(t)
+        .filter(col("nrm") > 0)
+        .withColumn("fh", graft.dedup.Dedup.h32(
+          concat(col("vec_id").cast("string"), lit(":qfit"))))
+        .orderBy(col("fh").asc, col("vec_id").asc)
+        .limit(budget)
+        .select(transform(col("v"), x => x / col("nrm")).as("u"))
+        .collect().map(_.getAs[scala.collection.Seq[Double]]("u").toArray)
+      val d = rows.head.length
+      val ds = d / m
+      Array.tabulate(m) { s =>
+        lloyd(rows.map(r => java.util.Arrays.copyOfRange(r, s * ds, (s + 1) * ds)), ks)
+      }
+    })
+
+  /** Product-quantization ADC search (PQ8: m=8 subspaces × 8-bit
+    * codes) — the compression successor to scalar int8 for 100 TB
+    * retrieval: the normalized vector is split into m subvectors,
+    * each encoded as the id of its nearest centroid in a per-subspace
+    * codebook (ks=256 centroids), so a resident is m bytes —
+    * 8 BYTES at the defaults vs 256 bytes float32: a 32x resident-set
+    * compression (vs int8's 4x), with the codebook itself a
+    * broadcast-scale 128 KB artifact. (The 4-bit ks=16 "fast-scan"
+    * variant measured recall@5 0.785 on these near-uniform synthetic
+    * embeddings — the adversarial case — so the defaults are the
+    * classic 8-bit PQ, which holds ~0.99 here.)
+    *
+    * Search is the classic two-stage ADC pipeline:
+    *   1. shortlist by ADC: each probe precomputes ROW-LOCALLY an
+    *      m×ks lookup table of subspace dot products (probe subvector
+    *      · centroid), and a candidate's approximate score is m array
+    *      lookups summed — no float vectors touched, the scan reads
+    *      codes only; top `rerank` by (adc desc, cand_id asc);
+    *   2. exact re-rank: the shortlist (rerank rows per probe, not
+    *      the corpus) joins back to the float vectors for true
+    *      cosines, top-5 by (cos desc, cand_id asc).
+    * Reported cosines are therefore GENUINE (PqSpec re-verifies them
+    * against an independent plain-Scala fold) — only the candidate
+    * shortlist is approximate, exactly like the IVF family. At 100 TB
+    * stage 1 composes with IVF cell pruning (key the codes table by
+    * cell id as annIvfInt8 does) without changing either stage.
+    *
+    * Encode and LUT build are pure per-row maps in mapPartitions with
+    * the codebook in the task closure (m·ks argmin/dot loops per row —
+    * at ks=256 that is 2048 small expressions, far past what a codegen
+    * expression tree should carry; the ks=16 expression form already
+    * produced 1.2 MB task binaries). Assignment ties break to the
+    * lowest code id and the fit is deterministic driver-side Lloyd on
+    * the hash-budgeted fit set ([[lloyd]]), so the whole pipeline is
+    * bit-deterministic and partitioning-independent. Lloyd isn't
+    * SQL-derivable → rows-only entry; check.py bands recall@5 vs
+    * ann_brute_force (the exact re-rank recovers nearly everything
+    * the 8-byte codes blur).
+    */
+  def annPq(t: Tables, m: Int = 8, ks: Int = 256, rerank: Int = 64): DataFrame = {
     val e = withNorm(t)
-    val model = coarseQuantizer(t, nlist)
+    val cb = fitPqCodebook(t, m, ks)
+    val ds = cb(0)(0).length
+    val spark = t.spark
+    import spark.implicits._
+    // residents → m codes: per-row argmin over each subspace codebook
+    val codes = e.filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        rows.map { case (id, u) =>
+          val c = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            var best = 0; var bd = Double.MaxValue; var j = 0
+            while (j < ks) {
+              var d2 = 0.0; var k = 0
+              while (k < ds) { val dx = u(s * ds + k) - cb(s)(j)(k); d2 += dx * dx; k += 1 }
+              if (d2 < bd) { bd = d2; best = j } // strict <: ties keep lowest j
+              j += 1
+            }
+            c(s) = best; s += 1
+          }
+          (id, c.toSeq)
+        }
+      }.toDF("cand_id", "codes")
+    // probes → m×ks LUT of subspace dots with every centroid
+    val probes = e.filter(col("vec_id") % 13 === 0 && col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { rows =>
+        rows.map { case (id, v, nrm) =>
+          val lut = Array.tabulate(m, ks) { (s, j) =>
+            var acc = 0.0; var k = 0
+            while (k < ds) { acc += (v(s * ds + k) / nrm) * cb(s)(j)(k); k += 1 }
+            acc
+          }
+          (id, v, nrm, lut.map(_.toSeq).toSeq)
+        }
+      }.toDF("probe_id", "vp", "np", "luts")
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("cand_id").asc)
+    // stage 1: codes-only scan (same no-broadcast-hint reasoning as
+    // annBruteForce — probes grow with the corpus)
+    val shortlist = probes.join(codes, col("probe_id") =!= col("cand_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("luts"), (c, l) => element_at(l, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= rerank)
+      .select(col("probe_id"), col("vp"), col("np"), col("cand_id"))
+    // stage 2: exact re-rank of the small shortlist only
+    val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    shortlist.join(cands, "cand_id")
+      .withColumn("cos", dot(col("vp"), col("vc").cast("array<double>")) / (col("np") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
+  }
+
+  def annIvfInt8(t: Tables, nlist: Int = 0, nprobe: Int = 0): DataFrame = {
+    val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
+    val np = if (nprobe > 0) nprobe else nprobeFor(nl)
+    val e = withNorm(t)
+    val model = coarseQuantizer(t, nl)
     // The RESIDENT table is codes-only (vec_id, cell, scale, 64 int8
     // codes) — the float vectors are NOT persisted alongside; that
     // asymmetry IS the 4x memory win. Probes re-derive their own
     // quantization below (a map over N/13 rows), the production shape
     // where queries arrive full-precision and residents are compressed.
-    val assigned = cellAssignedCodes(t, nlist)
+    val assigned = cellAssignedCodes(t, nl)
       .withColumnRenamed("codes", "cd")
       .persist()
 
@@ -724,7 +974,7 @@ object Similarity {
       .withColumn("cdist",
         dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("vp"), col("centroid")))
       .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= nprobe)
+      .filter(col("cr") <= np)
       .select(col("probe_id"), col("qp"), col("cp"), col("cell"))
 
     val cands = assigned.select(col("vec_id").as("cand_id"),

@@ -338,8 +338,12 @@ object Streams {
 
   def annStreamIvf(probes: DataFrame, cellIndex: DataFrame,
                    centroids: Seq[(Int, Seq[Double])], k: Int = 5,
-                   nprobe: Int = 10, horizon: String = "1 hour"): DataFrame = {
+                   nprobe: Int = 0, horizon: String = "1 hour"): DataFrame = {
     import graft.functions.GraftFunctions
+    // nprobe derives from the index's own cell count by default — the
+    // stream stays bit-consistent with the batch annIvfInt8 twin at
+    // any corpus size (both resolve nprobeFor(nlist))
+    val np = if (nprobe > 0) nprobe else graft.sim.Similarity.nprobeFor(centroids.size)
     // graftDot parses to the session-registered graft_dot function —
     // register defensively (idempotent) rather than relying on an
     // earlier withNorm/quantizedCellIndex call on the same session
@@ -358,7 +362,7 @@ object Streams {
       .withColumn("cp",
         transform(col("u"), x => floor(x * (lit(127.0) / col("qp")) + lit(0.5)))
           .cast("array<double>"))
-      .withColumn("pc", explode(slice(rankedCells, 1, nprobe)))
+      .withColumn("pc", explode(slice(rankedCells, 1, np)))
       .select(col("probe_id"), col("ts"), col("qp"), col("cp"),
         col("pc.cell").as("cell"))
     val idx = cellIndex.select(col("vec_id").as("cand_id"), col("cell"),

@@ -4,18 +4,23 @@ import org.apache.spark.sql.SparkSession
 import graft.io.Tables
 import graft.sim.Similarity
 
-/** Adjudication tool: recall@5 of the pruned ANN variants vs brute
-  * force across nprobe values at a given SF dir — the measurement
-  * behind the nprobe defaults (see Similarity.annIvf / annIvfInt8
-  * scaladoc) and the check.py recall bands. Covers the float IVF path
-  * and the int8 ADC path (whose batch output the cell-keyed streaming
-  * probe reproduces bit for bit, so its curve is ALSO the streaming
-  * probe's curve). Run:
-  *   sbt -batch "runMain graft.tools.AnnProbeScan /root/testdata/sf0.1"
+/** Adjudication tool: recall of the pruned ANN/dedup variants vs their
+  * exact baselines across (nlist, nprobe, assign) — the measurement
+  * behind the nprobe/nlist defaults (see Similarity.annIvf /
+  * annIvfInt8 / nlistFor scaladoc) and the check.py recall bands.
+  * Covers the float IVF path, the int8 ADC path (whose batch output
+  * the cell-keyed streaming probe reproduces bit for bit, so its
+  * curve is ALSO the streaming probe's curve), and the IVF-blocked
+  * embedding dedup's pair recall. Run:
+  *   sbt -batch "runMain graft.tools.AnnProbeScan /root/testdata/sf0.1 [nlists] [nprobes] [assigns]"
+  * with csv knob lists, e.g. "16,32" "10,16,20" "4,6" (defaults below).
   */
 object AnnProbeScan {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val nlists = (if (args.length > 1) args(1) else "16").split(",").map(_.trim.toInt)
+    val nprobes = (if (args.length > 2) args(2) else "8,10,12").split(",").map(_.trim.toInt)
+    val assigns = (if (args.length > 3) args(3) else "").split(",").filter(_.nonEmpty).map(_.trim.toInt)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -28,16 +33,27 @@ object AnnProbeScan {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Similarity.annBruteForce(t))
-    for (np <- Seq(8, 10, 12)) {
-      val found = pairs(Similarity.annIvf(t, nprobe = np))
+    for (nl <- nlists; np <- nprobes if np <= nl) {
+      val found = pairs(Similarity.annIvf(t, nlist = nl, nprobe = np))
       val r = (truth & found).size.toDouble / truth.size
-      println(f"ANNPROBE ivf nprobe=$np recall@5=$r%.3f (${(truth & found).size}/${truth.size})")
+      println(f"ANNPROBE ivf nlist=$nl nprobe=$np recall@5=$r%.3f (${(truth & found).size}/${truth.size})")
     }
-    for (np <- Seq(8, 10, 12)) {
-      val found = pairs(Similarity.annIvfInt8(t, nprobe = np))
+    for (nl <- nlists; np <- nprobes if np <= nl) {
+      val found = pairs(Similarity.annIvfInt8(t, nlist = nl, nprobe = np))
       val r = (truth & found).size.toDouble / truth.size
-      println(f"ANNPROBE ivf_int8 nprobe=$np recall@5=$r%.3f (${(truth & found).size}/${truth.size})")
+      println(f"ANNPROBE ivf_int8 nlist=$nl nprobe=$np recall@5=$r%.3f (${(truth & found).size}/${truth.size})")
     }
+    if (assigns.nonEmpty) {
+      val exact = pairs(Similarity.embeddingNearDup(t).select("id_a", "id_b"))
+      for (nl <- nlists; a <- assigns) {
+        val found = pairs(Similarity.embeddingNearDupIvf(t, nlist = nl, assign = a)
+          .select("id_a", "id_b"))
+        val r = (exact & found).size.toDouble / exact.size
+        println(f"ANNPROBE dedup_ivf nlist=$nl assign=$a pair_recall=$r%.3f (${(exact & found).size}/${exact.size})")
+      }
+    }
+    println(s"ANNPROBE nlistFor: n=${Similarity.corpusSize(t)} -> " +
+      s"nlist=${Similarity.nlistFor(Similarity.corpusSize(t))}")
     spark.stop()
   }
 }

@@ -191,15 +191,14 @@ def _band_ann_recall(con, out_dir, name):
     micro-averaged fraction of
     brute-force (probe_id, cand_id) top-5 pairs the approximate path
     also returns must be >= 0.8 — the same floor AnnRecallSpec /
-    QuantizeSpec pin for the same metric. The measured operating point
-    with the nprobe=10/nlist=16 default is ~0.89 at BOTH sf0.01 and
-    sf0.1 for ann_ivf (AnnProbeScan; small drift across session shapes
-    is the quantizer's documented partitioning-determinism scope), and
-    int8 ADC scoring costs ~1 recall point on top, so the 0.8 band has
-    real margin at either scale; a silent quantizer/assignment
-    regression tanks recall far below it. The baseline output is
-    hash-checked by the main loop, so this band rides an
-    already-verified anchor."""
+    QuantizeSpec pin for the same metric. The measured operating
+    points with the r15 derived knobs (nlistFor/nprobeFor) are 0.883
+    at sf0.01 (nlist=16, nprobe=10) and 0.930 at sf0.1 (32/20) for
+    ann_ivf (AnnProbeScan sweep in SCALING.md), and int8 ADC scoring
+    costs ~1 recall point on top, so the 0.8 band has real margin at
+    either scale; a silent quantizer/assignment regression tanks
+    recall far below it. The baseline output is hash-checked by the
+    main loop, so this band rides an already-verified anchor."""
     base = f"{out_dir}/ann_brute_force"
     if not glob.glob(f"{base}/*.parquet"):
         print(f"FAIL {name}[band]: baseline ann_brute_force output missing "
@@ -237,6 +236,7 @@ BAND_CHECKS = {
     "ann_ivf": _band_ann_recall,
     "ann_ivf_int8": _band_ann_recall,
     "stream_ann_ivf_int8": _band_ann_recall,
+    "ann_pq": _band_ann_recall,
     "text_rolling_hash": _band_rolling_hash,
 }
 
