@@ -171,6 +171,9 @@ object SparkEntry {
     // real RIFF chunk-walk parse of synthesized (valid) WAV containers;
     // oracle re-derives every column by byte arithmetic on doc_id/text
     "mm_audio_meta"   -> q(Multimodal.audioMeta),
+    // real ISO-BMFF box-walk parse of synthesized (valid) MP4
+    // skeletons — container metadata needs no codec; same oracle style
+    "mm_video_meta"   -> q(Multimodal.videoMeta),
     "text_repetition" -> q(graft.pipeline.CorpusOps.repetition),
     "corpus_sample"   -> q(graft.pipeline.CorpusOps.stratifiedSample),
     "contamination"   -> q(graft.pipeline.CorpusOps.contamination),
@@ -319,6 +322,7 @@ object SparkEntry {
     "text_rolling_hash" -> graft.text.RollingHash.fingerprintTableSql,
     "mm_binary_meta"  -> Multimodal.binaryMetaSql,
     "mm_audio_meta"   -> Multimodal.audioMetaSql,
+    "mm_video_meta"   -> Multimodal.videoMetaSql,
     "text_repetition" -> graft.pipeline.CorpusOps.repetitionSql,
     "corpus_sample"   -> graft.pipeline.CorpusOps.stratifiedSampleSql,
     "contamination"   -> graft.pipeline.CorpusOps.contaminationSql,

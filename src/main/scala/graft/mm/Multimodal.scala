@@ -185,9 +185,179 @@ object Multimodal {
       |   (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)) AS duration_us
       |FROM documents""".stripMargin.replace("\n", " ")
 
-  /** STUB: stands in for the VIDEO decoders this container lacks
-    * (image headers decode for real via [[decodeImage]], WAV audio via
-    * [[parseWav]] — video alone still needs a codec).
+  /** Parsed MP4/ISO-BMFF container metadata: movie timescale
+    * (units/sec), duration in those units, the exact integer duration
+    * in milliseconds (`duration * 1000 div timescale`), track
+    * width/height (from tkhd's 16.16 fixed-point fields), and the
+    * mdat payload byte count. */
+  final case class Mp4Meta(timescale: Long, duration: Long, durationMs: Long,
+                           width: Int, height: Int, mdatBytes: Long)
+
+  /** REAL MP4/ISO-BMFF box walk — like WAV/RIFF ([[parseWav]]), the
+    * CONTAINER needs no codec, only sample decode does: verify an
+    * `ftyp` box leads the file, then walk sibling boxes (u32
+    * big-endian size + 4cc type; size==1 → 64-bit largesize follows
+    * per the spec), descending into `moov` → `mvhd` (version 0:
+    * timescale/duration at fixed offsets after the 4-byte
+    * version+flags word; version 1: 64-bit times) and `trak`→`tkhd`
+    * (width/height as 16.16 fixed point at the box tail), and
+    * recording `mdat`'s payload size. Unknown boxes (`free`, `udta`,
+    * codec-specific sample tables) are skipped by size — offset
+    * arithmetic would misread any real-world file, a box walker
+    * doesn't. Returns None for non-MP4 payloads (no leading ftyp,
+    * truncated, or missing moov/mvhd).
+    *
+    * Kept metadata is what a 100 TB video-corpus pipeline filters on
+    * BEFORE paying for a decoder: duration, resolution, payload size.
+    * Pixel/sample decode itself still needs the codecs this container
+    * lacks — that single step remains [[decodeStub]], now the only
+    * stubbed decode in the module.
+    */
+  def parseMp4(p: Array[Byte]): Option[Mp4Meta] = {
+    def u32(o: Int): Long = ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+    if (p.length < 8 || tag(4) != "ftyp") return None
+    var timescale = -1L; var duration = -1L
+    var width = -1; var height = -1; var mdat = -1L
+    // walk a box run in [off, end); descend into moov/trak containers
+    def walk(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val size0 = u32(off)
+        val typ = tag(off + 4)
+        val (size, hdr) =
+          if (size0 == 1 && off + 16 <= end) (u64(off + 8), 16)
+          else if (size0 == 0) ((end - off).toLong, 8) // box extends to end
+          else (size0, 8)
+        if (size < hdr || off + size > end) return // malformed: stop loudly-empty
+        val body = off + hdr
+        typ match {
+          case "moov" => walk(body, off + size.toInt)
+          case "trak" => walk(body, off + size.toInt)
+          case "mvhd" if body + 4 <= end =>
+            val ver = p(body) & 0xff
+            if (ver == 1 && body + 28 <= end) {
+              timescale = u32(body + 20); duration = u64(body + 24)
+            } else if (body + 20 <= end) {
+              timescale = u32(body + 12); duration = u32(body + 16)
+            }
+          case "tkhd" =>
+            // width/height are the LAST two 16.16 fields of the box
+            val tail = off + size.toInt
+            if (tail - 8 >= body) {
+              width = (u32(tail - 8) >> 16).toInt
+              height = (u32(tail - 4) >> 16).toInt
+            }
+          case "mdat" => mdat = size - hdr
+          case _ => // free/udta/skip/codec boxes: skip by size
+        }
+        off += size.toInt
+      }
+    }
+    walk(0, p.length)
+    if (timescale > 0 && duration >= 0 && mdat >= 0)
+      Some(Mp4Meta(timescale, duration, duration * 1000L / timescale,
+        width, height, mdat))
+    else None
+  }
+
+  /** Builds a VALID minimal ISO-BMFF container: ftyp(isom), moov
+    * [mvhd(v0) + trak[tkhd(v0)] + a `free` box so parsers must
+    * actually skip], mdat(data). Big-endian throughout per the spec.
+    */
+  def buildMp4(timescale: Long, duration: Long, width: Int, height: Int,
+               data: Array[Byte]): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      out.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      out.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0)                      // version 0 + flags
+      b.putInt(0).putInt(0)            // creation/modification
+      b.putInt(timescale.toInt).putInt(duration.toInt)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate/volume
+      // reserved + identity matrix + predefined + next_track_id
+      b.position(b.position() + 8)
+      for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) b.putInt(v)
+      b.position(b.position() + 24)
+      b.putInt(2)
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0x00000007)             // version 0 + enabled flags
+      b.putInt(0).putInt(0).putInt(1).putInt(0) // times, track id, reserved
+      b.putInt(duration.toInt)
+      b.position(b.position() + 8)     // reserved
+      b.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/volume/reserved
+      for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) b.putInt(v)
+      b.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+      box("tkhd", b.array())
+    }
+    val trak = box("trak", tkhd)
+    val free = box("free", "skip-me".getBytes("US-ASCII")) // forces a real walk
+    val moov = box("moov", mvhd ++ free ++ trak)
+    val mdat = box("mdat", data)
+    ftyp ++ moov ++ mdat
+  }
+
+  // doc_id -> synth MP4 params, mirrored by mm_video_meta's oracle
+  private[graft] def mp4Timescale(id: Long): Long =
+    (id % 4) match { case 0 => 600L; case 1 => 1000L; case 2 => 30000L; case _ => 90000L }
+  private[graft] def mp4Width(id: Long): Int =
+    (id % 3) match { case 0 => 640; case 1 => 1280; case _ => 1920 }
+  private[graft] def mp4Height(id: Long): Int =
+    (id % 3) match { case 0 => 360; case 1 => 720; case _ => 1080 }
+
+  /** Video container metadata extraction: synthesize a VALID ISO-BMFF
+    * skeleton per document (format params from doc_id, duration units
+    * = octet_length(text), mdat = the text bytes), parse with the REAL
+    * [[parseMp4]] box walker per partition, emit the filterable
+    * metadata columns. Oracle: every column re-derives from
+    * doc_id/text byte arithmetic ([[audioMeta]]'s pattern).
+    */
+  def videoMeta(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id", $"text".cast(BinaryType).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          val wav = buildMp4(mp4Timescale(id), data.length.toLong,
+            mp4Width(id), mp4Height(id), data)
+          val m = parseMp4(wav).getOrElse(
+            sys.error(s"media $id: synthesized MP4 failed to parse"))
+          (id, m.timescale, m.duration, m.durationMs,
+            m.width.toLong, m.height.toLong, m.mdatBytes)
+        }
+      }.toDF("media_id", "timescale", "duration_units", "duration_ms",
+        "width", "height", "n_data_bytes")
+  }
+
+  val videoMetaSql: String =
+    """SELECT doc_id AS media_id,
+      | CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |      WHEN 2 THEN 30000 ELSE 90000 END AS BIGINT) AS timescale,
+      | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS duration_units,
+      | (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 1000) //
+      |  (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |   WHEN 2 THEN 30000 ELSE 90000 END) AS duration_ms,
+      | CAST(CASE doc_id % 3 WHEN 0 THEN 640 WHEN 1 THEN 1280
+      |      ELSE 1920 END AS BIGINT) AS width,
+      | CAST(CASE doc_id % 3 WHEN 0 THEN 360 WHEN 1 THEN 720
+      |      ELSE 1080 END AS BIGINT) AS height,
+      | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_data_bytes
+      |FROM documents""".stripMargin.replace("\n", " ")
+
+  /** STUB: stands in for the video SAMPLE decoders this container
+    * lacks (image headers decode for real via [[decodeImage]], WAV
+    * audio via [[parseWav]], MP4 container metadata via [[parseMp4]] —
+    * only pixel/sample decode still needs a codec).
     * Deterministic in the payload bytes so tests are stable. A real
     * deployment swaps this for a codec call with the same signature.
     */

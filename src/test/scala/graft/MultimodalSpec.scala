@@ -140,6 +140,61 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("MP4 golden: a hand-laid ISO-BMFF file with a free box parses exactly") {
+    // assembled box by box (not buildMp4's layout): ftyp, then moov
+    // whose mvhd sits AFTER a free box, then mdat — a fixed-offset
+    // reader fails this, a box walker doesn't
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(90000).putInt(180000)
+      b.array() // rest zero — version 0 offsets are all that matter
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0x7).position(76)
+      b.putInt(1280 << 16).putInt(720 << 16)
+      b.array()
+    }
+    val file = box("ftyp", "isom".getBytes) ++
+      box("moov", box("free", Array[Byte](1, 2, 3)) ++ box("mvhd", mvhd) ++
+        box("trak", box("tkhd", tkhd))) ++
+      box("mdat", Array[Byte](9, 9, 9, 9, 9))
+    val m = Multimodal.parseMp4(file).get
+    assert(m == Multimodal.Mp4Meta(90000L, 180000L, 2000L, 1280, 720, 5L))
+    assert(Multimodal.parseMp4("RIFFnotmp4".getBytes).isEmpty)
+    assert(Multimodal.parseMp4(Array[Byte](0, 0)).isEmpty)
+  }
+
+  test("buildMp4 round-trips through parseMp4 across param grid") {
+    for ((ts, dur, w, h, n) <- Seq((600L, 0L, 640, 360, 0), (1000L, 553L, 1280, 720, 553),
+      (90000L, 90001L, 1920, 1080, 7))) {
+      val data = Array.tabulate[Byte](n)(i => (i % 97).toByte)
+      val m = Multimodal.parseMp4(Multimodal.buildMp4(ts, dur, w, h, data)).get
+      assert(m == Multimodal.Mp4Meta(ts, dur, dur * 1000L / ts, w, h, n.toLong))
+    }
+  }
+
+  test("mm_video_meta end-to-end equals the oracle arithmetic on sf0.001") {
+    val got = Multimodal.videoMeta(t).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    }.toMap
+    val docs = t.documents.selectExpr("doc_id", "octet_length(text)").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    assert(got.keySet == docs.keySet && got.nonEmpty)
+    docs.foreach { case (id, n) =>
+      val ts = Multimodal.mp4Timescale(id)
+      assert(got(id) == ((ts, n, n * 1000L / ts,
+        Multimodal.mp4Width(id).toLong, Multimodal.mp4Height(id).toLong, n)),
+        s"doc $id video metadata mismatch")
+    }
+  }
+
   test("mm_audio_meta end-to-end equals the oracle arithmetic on sf0.001") {
     val got = Multimodal.audioMeta(t).collect().map { r =>
       r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
