@@ -856,11 +856,20 @@ object Similarity {
     * classic 8-bit PQ, which holds ~0.99 here.)
     *
     * Search is the classic two-stage ADC pipeline:
-    *   1. shortlist by ADC: each probe precomputes ROW-LOCALLY an
-    *      m×ks lookup table of subspace dot products (probe subvector
-    *      · centroid), and a candidate's approximate score is m array
-    *      lookups summed — no float vectors touched, the scan reads
-    *      codes only; top `rerank` by (adc desc, cand_id asc);
+    *   1. shortlist by ADC: a candidate's approximate score is the
+    *      probe's normalized vector dotted with the candidate's
+    *      DECODED centroid concatenation — algebraically identical to
+    *      the textbook m-LUT-lookups sum (ADC = Σ_s u_p[s]·c[s][code_s]
+    *      either way), realized as decode-on-the-fly inside the scan:
+    *      the RESIDENT table and any shuffle payload stay codes-only
+    *      (8 bytes), the decode is a per-partition map with the 128 KB
+    *      codebook in the task closure, and the join carries 64
+    *      doubles per candidate — the LUT-table form is a SIMD-kernel
+    *      detail a row engine can't exploit, and materializing the
+    *      m×ks LUT as a per-probe COLUMN copied 16 KB into every
+    *      joined row measured 16.5 s at sf0.1 vs ~1 s for this shape
+    *      (ann_brute_force's profile). Top `rerank` by
+    *      (adc desc, cand_id asc);
     *   2. exact re-rank: the shortlist (rerank rows per probe, not
     *      the corpus) joins back to the float vectors for true
     *      cosines, top-5 by (cos desc, cand_id asc).
@@ -870,17 +879,16 @@ object Similarity {
     * stage 1 composes with IVF cell pruning (key the codes table by
     * cell id as annIvfInt8 does) without changing either stage.
     *
-    * Encode and LUT build are pure per-row maps in mapPartitions with
-    * the codebook in the task closure (m·ks argmin/dot loops per row —
-    * at ks=256 that is 2048 small expressions, far past what a codegen
-    * expression tree should carry; the ks=16 expression form already
-    * produced 1.2 MB task binaries). Assignment ties break to the
-    * lowest code id and the fit is deterministic driver-side Lloyd on
-    * the hash-budgeted fit set ([[lloyd]]), so the whole pipeline is
-    * bit-deterministic and partitioning-independent. Lloyd isn't
-    * SQL-derivable → rows-only entry; check.py bands recall@5 vs
-    * ann_brute_force (the exact re-rank recovers nearly everything
-    * the 8-byte codes blur).
+    * Encode (argmin per subspace) and decode are pure per-row maps in
+    * mapPartitions with the codebook in the task closure (at ks=256
+    * the expression form would carry thousands of tiny expressions —
+    * the ks=16 expression tree already produced 1.2 MB task binaries).
+    * Assignment ties break to the lowest code id and the fit is
+    * deterministic driver-side Lloyd on the hash-budgeted fit set
+    * ([[lloyd]]), so the whole pipeline is bit-deterministic and
+    * partitioning-independent. Lloyd isn't SQL-derivable → rows-only
+    * entry; check.py bands recall@5 vs ann_brute_force (the exact
+    * re-rank recovers nearly everything the 8-byte codes blur).
     */
   def annPq(t: Tables, m: Int = 8, ks: Int = 256, rerank: Int = 64): DataFrame = {
     val e = withNorm(t)
@@ -888,13 +896,15 @@ object Similarity {
     val ds = cb(0)(0).length
     val spark = t.spark
     import spark.implicits._
-    // residents → m codes: per-row argmin over each subspace codebook
+    // residents → m codes (the persisted form), decoded on the fly to
+    // the centroid concatenation the ADC dot reads — one mapPartitions
+    // does encode + decode; only (cand_id, uhat) flows into the scan
     val codes = e.filter(col("nrm") > 0)
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
       .as[(Long, Seq[Double])]
       .mapPartitions { rows =>
         rows.map { case (id, u) =>
-          val c = new Array[Int](m)
+          val uhat = new Array[Double](m * ds)
           var s = 0
           while (s < m) {
             var best = 0; var bd = Double.MaxValue; var j = 0
@@ -904,33 +914,21 @@ object Similarity {
               if (d2 < bd) { bd = d2; best = j } // strict <: ties keep lowest j
               j += 1
             }
-            c(s) = best; s += 1
+            System.arraycopy(cb(s)(best), 0, uhat, s * ds, ds)
+            s += 1
           }
-          (id, c.toSeq)
+          (id, uhat.toSeq)
         }
-      }.toDF("cand_id", "codes")
-    // probes → m×ks LUT of subspace dots with every centroid
+      }.toDF("cand_id", "uhat")
     val probes = e.filter(col("vec_id") % 13 === 0 && col("nrm") > 0)
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .as[(Long, Seq[Double], Double)]
-      .mapPartitions { rows =>
-        rows.map { case (id, v, nrm) =>
-          val lut = Array.tabulate(m, ks) { (s, j) =>
-            var acc = 0.0; var k = 0
-            while (k < ds) { acc += (v(s * ds + k) / nrm) * cb(s)(j)(k); k += 1 }
-            acc
-          }
-          (id, v, nrm, lut.map(_.toSeq).toSeq)
-        }
-      }.toDF("probe_id", "vp", "np", "luts")
+      .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"),
+        transform(col("v"), x => x / col("nrm")).as("up"))
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("cand_id").asc)
-    // stage 1: codes-only scan (same no-broadcast-hint reasoning as
-    // annBruteForce — probes grow with the corpus)
+    // stage 1: ADC = up · uhat (decoded-dot form; same no-broadcast-
+    // hint reasoning as annBruteForce — probes grow with the corpus)
     val shortlist = probes.join(codes, col("probe_id") =!= col("cand_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("luts"), (c, l) => element_at(l, c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", dot(col("up"), col("uhat")))
       .withColumn("ar", row_number().over(wAdc))
       .filter(col("ar") <= rerank)
       .select(col("probe_id"), col("vp"), col("np"), col("cand_id"))

@@ -81,6 +81,8 @@ object Profile {
     time("emb-norm")(e.withColumn("nrm",
       sqrt(aggregate(zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (a, x) => a + x))).count())
     time("emb-neardup-full")(graft.sim.Similarity.embeddingNearDup(t).count())
+    time("ann-brute-force")(graft.sim.Similarity.annBruteForce(t).count())
+    time("ann-pq")(graft.sim.Similarity.annPq(t).count())
     spark.stop()
   }
 }
