@@ -132,6 +132,10 @@ object SparkEntry {
     // Rows-only (Lloyd fit isn't SQL-derivable); check.py bands
     // recall@5 vs ann_brute_force, PqSpec re-verifies every cosine
     "ann_pq"          -> q((t: Tables) => Similarity.annPq(t)),
+    // full IVFPQ: coarse-cell pruning + residual PQ codes (8-byte
+    // residents, cell-partitioned) + exact re-rank. Rows-only (KMeans
+    // + Lloyd fits); check.py bands recall@5 vs ann_brute_force
+    "ann_ivf_pq"      -> q((t: Tables) => Similarity.annIvfPq(t)),
     // the streaming module's retrieval path driven in batch mode:
     // row-local probe quantization + stream-static index join + the
     // bounded top-k aggregator — output must equal ann_int8 minus qdot

@@ -68,6 +68,52 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("ann_ivf_pq recall@5 vs brute force >= 0.8 on sf0.01") {
+    val truth = neighbors(Similarity.annBruteForce(t))
+    val approx = neighbors(Similarity.annIvfPq(t))
+    val hit = truth.iterator.map { case (p, tr) =>
+      (tr & approx.getOrElse(p, Set.empty)).size
+    }.sum
+    val recall = hit.toDouble / truth.valuesIterator.map(_.size).sum
+    info(f"ann_ivf_pq recall@5 = $recall%.3f")
+    assert(recall >= 0.8, f"ann_ivf_pq recall@5 $recall%.3f below 0.8 floor")
+  }
+
+  test("ann_ivf_pq reported cosines are genuine (exact fold) with total-order ranks") {
+    val vecs = t.embeddings.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray
+      r.getAs[Long]("vec_id") -> v
+    }.toMap
+    def nrm(v: Array[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    val rows = Similarity.annIvfPq(t).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length))
+      sorted.foreach { r =>
+        val c = r.getLong(1)
+        val (vp, vc) = (vecs(p), vecs(c))
+        val expect = vp.zip(vc).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y } /
+          (nrm(vp) * nrm(vc))
+        assert(r.getAs[Double]("cos") == expect,
+          s"pair ($p,$c): reported cosine is not the exact fold")
+      }
+    }
+  }
+
+  test("residual codebook fit: shape, memoization, distinct from flat PQ") {
+    val nl = Similarity.nlistFor(Similarity.corpusSize(t))
+    val flat = Similarity.fitPqCodebook(t, 8, 16)
+    val res = Similarity.fitIvfPqCodebook(t, 8, 16, nl)
+    assert(res.length == 8 && res.forall(_.length == 16) &&
+      res.forall(_.forall(_.length == 8)))
+    assert(Similarity.fitIvfPqCodebook(t, 8, 16, nl) eq res) // memoized
+    // trained on residuals, not raw vectors: the codebooks differ
+    assert(res.flatten.flatten.toSeq != flat.flatten.flatten.toSeq)
+    assert(res.flatten.flatten.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
   test("codebook shape is (m, ks, d/m) at the PQ8 defaults; fit memoized") {
     val cb = Similarity.fitPqCodebook(t, 8, 256)
     assert(cb.length == 8 && cb.forall(_.length == 256) &&

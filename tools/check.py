@@ -237,6 +237,7 @@ BAND_CHECKS = {
     "ann_ivf_int8": _band_ann_recall,
     "stream_ann_ivf_int8": _band_ann_recall,
     "ann_pq": _band_ann_recall,
+    "ann_ivf_pq": _band_ann_recall,
     "text_rolling_hash": _band_rolling_hash,
 }
 
