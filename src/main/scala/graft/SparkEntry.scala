@@ -136,6 +136,11 @@ object SparkEntry {
     // residents, cell-partitioned) + exact re-rank. Rows-only (KMeans
     // + Lloyd fits); check.py bands recall@5 vs ann_brute_force
     "ann_ivf_pq"      -> q((t: Tables) => Similarity.annIvfPq(t)),
+    // 1-bit sign-word quantization (32x compression, no fitted model)
+    // and its Hamming-shortlist + exact-re-rank ANN — both fully
+    // SQL-expressible, so they carry FULL hash oracles
+    "emb_binarize"    -> q(Similarity.embBinarize),
+    "ann_hamming"     -> q((t: Tables) => Similarity.annHamming(t)),
     // the streaming module's retrieval path driven in batch mode:
     // row-local probe quantization + stream-static index join + the
     // bounded top-k aggregator — output must equal ann_int8 minus qdot
@@ -311,6 +316,8 @@ object SparkEntry {
     // both carry FULL hash oracles (unlike the KMeans-based ivf pair)
     "emb_quantize_int8" -> Similarity.embQuantizeInt8Sql,
     "ann_int8"        -> Similarity.annInt8Sql,
+    "emb_binarize"    -> Similarity.embBinarizeSql,
+    "ann_hamming"     -> Similarity.annHammingSql,
     "stream_ann_int8" -> Similarity.annStreamSql,
     // ann_ivf: KMeans quantizer isn't SQL-expressible — rows-only at
     // the driver; AnnRecallSpec independently re-verifies every

@@ -691,6 +691,121 @@ object Similarity {
        |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
   }
 
+  // ---- 1-bit binary quantization (emb_binarize / ann_hamming) ----
+
+  /** Sign-bit word: bit i set iff embedding[i] > 0, packed into ONE
+    * BIGINT for the 64-dim contract — the most compressed resident
+    * form in the family (8 bytes vs 256 float32 = 32x, like PQ8, but
+    * with a 1-instruction distance kernel and NO fitted model at
+    * all). Sign is normalization-invariant, so this reads the raw
+    * embedding: no norm pass, no quantizer, no codebook — the index
+    * is a pure column map, rebuildable at ingest cost zero. Bit 63's
+    * weight is Long.MinValue; the fold is bitwise-OR of disjoint
+    * single-bit terms, so no ANSI overflow path exists.
+    */
+  private def signWord(vCol: Column): Column =
+    (0 until 64).map(i =>
+      when(vCol(i) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** The same 64 disjoint single-bit terms for the DuckDB oracle —
+    * bit 63's weight prints as -9223372036854775808, which DuckDB
+    * parses as HUGEINT and CASTs back losslessly (validated against
+    * DuckDB 1.0.0).
+    */
+  private val signWordSql: String =
+    (0 until 64).map(i =>
+      s"(CASE WHEN %s[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" | ")
+
+  /** Binary quantization table: vec_id, label, the packed sign word,
+    * and its popcount. Full hash oracle — every step is exact integer
+    * arithmetic mirrored op for op in SQL.
+    */
+  def embBinarize(t: Tables): DataFrame =
+    t.widen(t.embeddings)
+      .select(col("vec_id"), col("label"),
+        signWord(col("embedding")).as("sign_word"),
+        bit_count(signWord(col("embedding"))).cast(LongType).as("nbits"))
+
+  val embBinarizeSql: String = {
+    val w = signWordSql.format(Seq.fill(64)("embedding"): _*)
+    s"""SELECT vec_id, label, $w AS sign_word,
+       | CAST(bit_count($w) AS BIGINT) AS nbits
+       |FROM embeddings""".stripMargin.replace("\n", " ")
+  }
+
+  /** Hamming-shortlist ANN over the 1-bit sign words + exact cosine
+    * re-rank — the cheapest index in the family and the only
+    * sub-float one with a FULL hash oracle (no fitted model: sign
+    * packing, xor, popcount and the re-rank cosine are all exactly
+    * SQL-expressible). Stage 1 scans 8-byte words with a
+    * bit_count(xor) kernel — at 100 TB that is the same 32x-smaller
+    * resident set as PQ8 but with a 1-cycle distance op, and the
+    * pigeonhole block-bucketing that [[graft.dedup.Dedup]] applies to
+    * SimHash words composes unchanged if the probe×corpus product
+    * ever needs pruning (any pair within Hamming r shares an exact
+    * 8-bit block among r+1 blocks). Stage 2 re-ranks the `rerank`
+    * shortlist with true cosines, so reported scores are genuine —
+    * only the shortlist is approximate, yet the rows still
+    * hash-compare because the shortlist rule itself (ham asc,
+    * cand_id asc — a total integer order, no float ties) is the same
+    * in both engines. Same probe set and output contract as the rest
+    * of the ANN family; AnnRecallSpec pins recall@5 vs brute force.
+    */
+  def annHamming(t: Tables, rerank: Int = 128): DataFrame = {
+    val e = withNorm(t)
+    val words = t.widen(t.embeddings)
+      .select(col("vec_id"), signWord(col("embedding")).as("w"))
+    val probes = words.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("probe_id"), col("w").as("wp"))
+    val cands = words.select(col("vec_id").as("cand_id"), col("w").as("wc"))
+    val wHam = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ham").asc, col("cand_id").asc)
+    // no broadcast hint: probes grow with the corpus (annBruteForce's
+    // reasoning); the scan payload is 8 bytes per side
+    val shortlist = probes.join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("ham", bit_count(col("wp").bitwiseXOR(col("wc"))).cast(LongType))
+      .withColumn("hr", row_number().over(wHam))
+      .filter(col("hr") <= rerank)
+      .select(col("probe_id"), col("cand_id"), col("ham"))
+    val vp = e.select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
+    val vc = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    shortlist.join(vp, "probe_id").join(vc, "cand_id")
+      .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rnk"), col("ham"), col("cos"))
+  }
+
+  val annHammingSql: String = {
+    val wp = signWordSql.format(Seq.fill(64)("p.embedding"): _*)
+    val wc = signWordSql.format(Seq.fill(64)("c.embedding"): _*)
+    val d = dotSql.format("s.pe", "s.ce")
+    val np = "sqrt(" + dotSql.format("s.pe", "s.pe") + ")"
+    val nc = "sqrt(" + dotSql.format("s.ce", "s.ce") + ")"
+    s"""WITH short AS (
+       | SELECT probe_id, cand_id, ham, pe, ce FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |   CAST(bit_count(xor($wp, $wc)) AS BIGINT) AS ham,
+       |   p.embedding AS pe, c.embedding AS ce,
+       |   row_number() OVER (PARTITION BY p.vec_id
+       |    ORDER BY CAST(bit_count(xor($wp, $wc)) AS BIGINT) ASC,
+       |     c.vec_id ASC) AS hr
+       |  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+       |  WHERE p.vec_id % 13 = 0)
+       | WHERE hr <= 128)
+       |SELECT probe_id, cand_id, rnk, ham, cos FROM (
+       | SELECT s.probe_id, s.cand_id, s.ham,
+       |  $d / ($np * $nc) AS cos,
+       |  row_number() OVER (PARTITION BY s.probe_id
+       |   ORDER BY $d / ($np * $nc) DESC, s.cand_id ASC) AS rnk
+       | FROM short s)
+       |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
+  }
+
   /** IVF cell pruning composed with int8 ADC scoring — the production
     * shape of vector search at 100 TB: the RESIDENT set is the int8
     * codes + one scale per vector (4x smaller than float32, partitioned

@@ -44,6 +44,17 @@ class AnnRecallSpec extends SparkSuite {
     assert(r >= 0.8, f"ann_ivf recall@5 $r%.3f below 0.8 floor")
   }
 
+  test("ann_hamming recall@5 vs brute force on sf0.01") {
+    // 1-bit sign words are the crudest sketch in the family: rerank=64
+    // measured 0.728 (sign bits of raw dims lose more than fitted
+    // centroids), so the default shortlist is 128 wide — measured
+    // 0.928, and the extra 64 rows per probe are noise next to the
+    // popcount scan. Same 0.8 floor as the IVF family.
+    val r = recallAt5(neighbors(Similarity.annHamming(t)))
+    info(f"ann_hamming recall@5 = $r%.3f")
+    assert(r >= 0.8, f"ann_hamming recall@5 $r%.3f below 0.8 floor")
+  }
+
   test("dedup_embedding_ivf pair recall vs the label-blocked baseline on sf0.01") {
     // The oracle-green baseline (embeddingNearDup) finds all
     // same-label pairs with cos >= 0.3; the IVF-cell-blocked variant
