@@ -174,6 +174,9 @@ object SparkEntry {
     // ...but the pre-winnowing window-hash table is — value-checked here
     "text_window_hashes" -> q(graft.text.RollingHash.windowHashStats),
     "text_token_count" -> q(TextAnalysis.tokenCount),
+    // hashed-feature linear quality classifier (fastText-filter
+    // shape): zero-shuffle HOF fold, exact integer score, full oracle
+    "text_quality_model" -> q(TextAnalysis.qualityModel),
     "text_bpe_token_count" -> q(graft.text.Tokenizer.bpeTokenCount),
     "text_scrub"      -> q(TextAnalysis.scrub),
     "mm_binary_meta"  -> q(Multimodal.binaryMeta),
@@ -327,6 +330,7 @@ object SparkEntry {
     "text_lang_id"    -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_token_count" -> TextAnalysis.tokenCountSql,
+    "text_quality_model" -> TextAnalysis.qualityModelSql,
     "text_bpe_token_count" -> graft.text.Tokenizer.bpeTokenCountSql,
     "text_scrub"      -> TextAnalysis.scrubSql,
     "text_window_hashes" -> graft.text.RollingHash.windowHashStatsSql,

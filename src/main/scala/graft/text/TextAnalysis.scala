@@ -161,6 +161,51 @@ object TextAnalysis {
       | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens
       |FROM documents""".stripMargin.replace("\n", " ")
 
+  /** Model-based quality scoring — the fastText-style classifier
+    * filter every production corpus pass runs (score each document
+    * with a tiny linear model over hashed features, gate on a
+    * threshold; cf. the CCNet/GPT-3 quality-classifier stage). The
+    * PIPELINE is the operator: feature extraction (whitespace
+    * unigrams), feature hashing (md5-derived 32-bit id), a sparse
+    * dot with the weight vector, and an integer admission gate. The
+    * weight vector itself is a swappable model artifact — here a
+    * deterministic md5-derived stand-in (w(tok) = h32(tok) % 2001 −
+    * 1000, an integer in [−1000, 1000]) so the whole pass is exact
+    * integer arithmetic with a FULL hash oracle; a trained model
+    * drops in as a broadcast lookup without changing the plan shape.
+    *
+    * Zero-shuffle: the score is a per-row HOF fold over the token
+    * array — no explode, no groupBy; at 100 TB this scales with
+    * bytes scanned, like the other column-map text ops. (A hashed
+    * WEIGHT TABLE join — the shape for weights too big for a
+    * closure — would add one broadcast join; the fold form is the
+    * right plan while the model fits in kilobytes.)
+    */
+  def qualityModel(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val toks = filter(split($"text", " "), x => x =!= "")
+    val w = (x: org.apache.spark.sql.Column) =>
+      graft.dedup.Dedup.h32(concat(x, lit(":qw"))) % 2001L - 1000L
+    t.documents.select(
+      $"doc_id",
+      size(toks).cast(LongType).as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, x) => acc + w(x)).as("score"),
+      when(aggregate(toks, lit(0L), (acc, x) => acc + w(x)) > 0, 1)
+        .otherwise(0).cast(IntegerType).as("kept"))
+  }
+
+  val qualityModelSql: String = {
+    val w = s"(${graft.dedup.Dedup.sqlH32("x || ':qw'")} % 2001 - 1000)"
+    s"""SELECT doc_id,
+       | CAST(len(toks) AS BIGINT) AS n_tokens,
+       | CAST(COALESCE(list_sum(list_transform(toks, x -> $w)), 0) AS BIGINT) AS score,
+       | CAST(CASE WHEN COALESCE(list_sum(list_transform(toks, x -> $w)), 0) > 0
+       |   THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       | FROM documents)""".stripMargin.replace("\n", " ")
+  }
+
   /** Token-level scrub — the cleaning transform of a training-data
     * pipeline (stopword removal here; the same shape drops PII tokens,
     * URLs, or blocklisted terms at 100 TB). Pure list operations on the

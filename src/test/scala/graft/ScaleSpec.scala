@@ -112,6 +112,15 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("partial_count"), plan) // map-side combine present
   }
 
+  test("text_quality_model is a zero-shuffle column map (no Exchange, no explode)") {
+    val plan = graft.text.TextAnalysis.qualityModel(t)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the HOF-fold score must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"the score folds the token array in place, never explodes it:\n$plan")
+  }
+
   test("q9 broadcast hints: fixed-size dims only, customer unhinted") {
     // exactly two ResolvedHints (nation, region); customer's physical
     // strategy is left to stats/AQE so it can demote at scale
