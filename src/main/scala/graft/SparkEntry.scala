@@ -206,6 +206,11 @@ object SparkEntry {
       val alloc = graft.pipeline.CorpusOps.temperatureMix(t)
       graft.streaming.Streams.temperatureGate(t.widen(t.documents), alloc)
     }),
+    // the model-based ingest gate: same shared score expression as
+    // text_quality_model, so the batch-driven output equals its
+    // admitted subset bit for bit — shares that FULL hash oracle
+    "stream_quality_gate" -> q((t: Tables) =>
+      graft.streaming.Streams.qualityGate(t.widen(t.documents))),
     "text_vocab_coverage" -> q(TextAnalysis.vocabCoverage),
     "q44_histogram"   -> q(Relational.q44Histogram),
     "q45_except_all"  -> q(Relational.q45ExceptAll),
@@ -350,6 +355,7 @@ object SparkEntry {
     "corpus_temperature_mix" -> graft.pipeline.CorpusOps.temperatureMixSql,
     "corpus_temperature_sample" -> graft.pipeline.CorpusOps.temperatureSampleSql,
     "stream_temperature_gate" -> graft.pipeline.CorpusOps.temperatureSampleSql,
+    "stream_quality_gate" -> TextAnalysis.qualityGateSql,
     "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "q44_histogram"   -> Relational.q44Sql,
     "q45_except_all"  -> Relational.q45Sql,

@@ -116,6 +116,34 @@ object Streams {
     * temperatureSampleSql as a FULL hash oracle; StreamingSpec pins
     * the real MemoryStream drive against the batch path.
     */
+  /** Streaming model-based quality admission gate — the ingest-side
+    * twin of TextAnalysis.qualityModel: each arriving document is
+    * scored by the SAME hashed-feature linear classifier column
+    * (TextAnalysis.modelScore — one shared expression tree, so batch
+    * and stream scores are bitwise identical) and admitted iff
+    * score > 0.
+    *
+    * Completely STATELESS, even more so than [[temperatureGate]]:
+    * no join at all — the weight model lives inside the per-row fold
+    * (kilobyte-scale models; a million-feature model graduates to a
+    * stream-static broadcast weight-table join without changing the
+    * gate). No watermark, no state store: admission costs exactly one
+    * projection + filter per row at any ingest rate. Batch-driven,
+    * the output equals text_quality_model's admitted subset bit for
+    * bit (the score depends only on the text), so it carries
+    * TextAnalysis.qualityGateSql as a FULL hash oracle; StreamingSpec
+    * drives the real MemoryStream path against the batch twin.
+    */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    import graft.text.TextAnalysis
+    docs
+      .withColumn("n_tokens",
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long"))
+      .withColumn("score", TextAnalysis.modelScore(col("text")))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+  }
+
   def temperatureGate(docs: DataFrame, alloc: DataFrame): DataFrame = {
     import graft.dedup.Dedup
     docs.select(col("doc_id"), col("lang"), col("source"))

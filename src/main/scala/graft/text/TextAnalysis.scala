@@ -181,16 +181,25 @@ object TextAnalysis {
     * closure — would add one broadcast join; the fold form is the
     * right plan while the model fits in kilobytes.)
     */
+  /** The classifier score as a pure column over a `text` column —
+    * shared by the batch table ([[qualityModel]]) and the streaming
+    * admission gate (Streams.qualityGate), so both paths are the same
+    * expression tree bit for bit.
+    */
+  private[graft] def modelScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = filter(split(text, " "), x => x =!= "")
+    aggregate(toks, lit(0L), (acc, x) =>
+      acc + (graft.dedup.Dedup.h32(concat(x, lit(":qw"))) % 2001L - 1000L))
+  }
+
   def qualityModel(t: Tables): DataFrame = {
     import t.spark.implicits._
     val toks = filter(split($"text", " "), x => x =!= "")
-    val w = (x: org.apache.spark.sql.Column) =>
-      graft.dedup.Dedup.h32(concat(x, lit(":qw"))) % 2001L - 1000L
     t.documents.select(
       $"doc_id",
       size(toks).cast(LongType).as("n_tokens"),
-      aggregate(toks, lit(0L), (acc, x) => acc + w(x)).as("score"),
-      when(aggregate(toks, lit(0L), (acc, x) => acc + w(x)) > 0, 1)
+      modelScore($"text").as("score"),
+      when(modelScore($"text") > 0, 1)
         .otherwise(0).cast(IntegerType).as("kept"))
   }
 
@@ -204,6 +213,21 @@ object TextAnalysis {
        |FROM (SELECT doc_id,
        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
        | FROM documents)""".stripMargin.replace("\n", " ")
+  }
+
+  /** Oracle for the streaming admission gate: the admitted subset of
+    * [[qualityModelSql]]'s table (score > 0), same column names.
+    */
+  val qualityGateSql: String = {
+    val w = s"(${graft.dedup.Dedup.sqlH32("x || ':qw'")} % 2001 - 1000)"
+    s"""SELECT doc_id, n_tokens, score FROM (
+       | SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(list_sum(list_transform(toks, x -> $w)), 0) AS BIGINT) AS score
+       | FROM (SELECT doc_id,
+       |   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents))
+       |WHERE score > 0""".stripMargin.replace("\n", " ")
   }
 
   /** Token-level scrub — the cleaning transform of a training-data

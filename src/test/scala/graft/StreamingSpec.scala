@@ -333,6 +333,47 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  final case class TextIn(doc_id: Long, text: String)
+
+  test("batch-driven qualityGate equals text_quality_model's admitted subset") {
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val gate = Streams.qualityGate(t.documents).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.text.TextAnalysis.qualityModel(t)
+        .filter(col("kept") === 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gate.nonEmpty && gate == batch)
+    }
+  }
+
+  test("streaming qualityGate admits exactly the batch-scored docs for streamed rows") {
+    import spark.implicits._
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val docs = t.documents.select("doc_id", "text").limit(50)
+        .collect().map(r => TextIn(r.getLong(0), r.getString(1)))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[TextIn]
+      val q = Streams.qualityGate(input.toDF())
+        .writeStream.format("memory").queryName("qualgate")
+        .outputMode("append").start()
+      try {
+        input.addData(docs.toIndexedSeq)
+        q.processAllAvailable()
+        val got = spark.table("qualgate").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val ids = docs.map(_.doc_id).toSet
+        val expected = graft.text.TextAnalysis.qualityModel(t)
+          .filter(col("kept") === 1).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .filter(p => ids(p._1)).toSet
+        assert(got == expected, "stream admissions must equal the batch classifier restricted to streamed ids")
+        assert(got.size < docs.length, "the gate must actually reject some docs")
+      } finally q.stop()
+    }
+  }
+
   test("batch-driven annStream equals ann_int8 minus qdot bit for bit") {
     withLogLevel {
       val t = Tables(spark, "/root/testdata/sf0.001")
