@@ -139,6 +139,11 @@ object SparkEntry {
     // 1-bit sign-word quantization (32x compression, no fitted model)
     // and its Hamming-shortlist + exact-re-rank ANN — both fully
     // SQL-expressible, so they carry FULL hash oracles
+    // SemDeDup-style semantic dedup: IVF-blocked embedding pairs →
+    // connected components → one representative per cluster.
+    // Rows-only (KMeans fit); check.py bands co-clustering recall
+    // vs the hash-checked dedup_embedding baseline
+    "dedup_semantic"  -> q((t: Tables) => Similarity.semanticDedup(t)),
     "emb_binarize"    -> q(Similarity.embBinarize),
     "ann_hamming"     -> q((t: Tables) => Similarity.annHamming(t)),
     // the streaming module's retrieval path driven in batch mode:

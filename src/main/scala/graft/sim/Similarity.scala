@@ -298,6 +298,43 @@ object Similarity {
     out
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): group
+    * embedding-space near-identical items into clusters and keep ONE
+    * representative per cluster — the embedding-driven counterpart of
+    * the text-level dedup family, catching paraphrases and re-encodes
+    * that share no n-grams. Composition of two proven components:
+    * candidate pairs from [[embeddingNearDupIvf]] (IVF-cell blocked —
+    * the Σ|cell|² knob analysis applies unchanged, no all-pairs path)
+    * and transitive closure via Dedup's alternating large/small-star
+    * connected components (O(log n) rounds, localCheckpoint per
+    * round). Representative = component-min vec_id, the same
+    * deterministic canonical-keeper rule as dedup_exact; singletons
+    * keep themselves. Output covers EVERY vector: (vec_id, rep_id,
+    * kept) — `kept=1` rows are the deduplicated corpus, the rest map
+    * to their replacement.
+    *
+    * minCos defaults to 0.35, scaled to THIS corpus's near-uniform
+    * synthetic embeddings (max observed pair cos ≈ 0.5; real sentence
+    * embeddings would gate at ~0.9): 0.35 yields a real cluster
+    * structure to verify rather than all-singletons. Rows-only (the
+    * KMeans fit); check.py bands co-clustering recall ≥ 0.9 against
+    * the hash-checked dedup_embedding baseline's ≥ minCos pairs —
+    * every baseline near-dup pair should land in one cluster (the
+    * closure can only merge MORE than the direct pair list).
+    */
+  def semanticDedup(t: Tables, minCos: Double = 0.35): DataFrame = {
+    val pairs = embeddingNearDupIvf(t, minCos = minCos)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val cc = graft.dedup.Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))
+    withNorm(t).select(col("vec_id"))
+      .join(cc, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+      .withColumn("kept",
+        when(col("vec_id") === col("rep_id"), 1).otherwise(0).cast(IntegerType))
+  }
+
   /** Brute-force cosine top-k: the correctness baseline for ANN. Probe
     * set = vec_id % 13 == 0; k = 5; total-order tiebreak on cand_id.
     */

@@ -55,6 +55,27 @@ class AnnRecallSpec extends SparkSuite {
     assert(r >= 0.8, f"ann_hamming recall@5 $r%.3f below 0.8 floor")
   }
 
+  test("dedup_semantic co-clusters the baseline near-dup pairs on sf0.01") {
+    // every label-blocked pair at the semantic threshold must share a
+    // representative (transitive closure can only merge more); reps
+    // must be valid component-mins (rep <= member, rep maps to itself)
+    val sem = Similarity.semanticDedup(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val base = Similarity.embeddingNearDup(t).collect()
+      .filter(_.getAs[Double]("cos") >= 0.35)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(base.nonEmpty)
+    val hit = base.count { case (a, b) => sem(a) == sem(b) }
+    val recall = hit.toDouble / base.length
+    info(f"dedup_semantic co-clustering recall = $recall%.3f (${base.length} baseline pairs)")
+    assert(recall >= 0.9, f"co-clustering recall $recall%.3f below 0.9 floor")
+    sem.foreach { case (v, rep) =>
+      assert(rep <= v, s"rep $rep is not the component min for $v")
+      assert(sem(rep) == rep, s"rep $rep does not map to itself")
+    }
+    assert(sem.values.toSet.size < sem.size, "expected a real cluster structure")
+  }
+
   test("dedup_embedding_ivf pair recall vs the label-blocked baseline on sf0.01") {
     // The oracle-green baseline (embeddingNearDup) finds all
     // same-label pairs with cos >= 0.3; the IVF-cell-blocked variant

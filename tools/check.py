@@ -184,6 +184,46 @@ def _band_ivf_recall(con, out_dir, name):
     return True
 
 
+def _band_semantic(con, out_dir, name):
+    """SemDeDup co-clustering recall vs the oracle-green label-blocked
+    baseline: every dedup_embedding pair at cos >= 0.35 (the operator's
+    semantic threshold on this corpus) should land in one cluster —
+    rep[id_a] == rep[id_b] for >= 0.9 of baseline pairs. Transitive
+    closure can only merge MORE than the direct pair list, so missing
+    co-clusters mean the IVF blocking lost the pair. Also requires a
+    real cluster structure (kept < total rows)."""
+    base = f"{out_dir}/dedup_embedding"
+    if not glob.glob(f"{base}/*.parquet"):
+        print(f"FAIL {name}[band]: baseline dedup_embedding output missing "
+              f"at {base} — co-clustering recall has no anchor")
+        return False
+    pairs = con.execute(
+        f"SELECT id_a, id_b FROM read_parquet('{base}/*.parquet') "
+        f"WHERE cos >= 0.35").fetchall()
+    reps = dict(con.execute(
+        f"SELECT vec_id, rep_id FROM read_parquet('{out_dir}/{name}/*.parquet')"
+    ).fetchall())
+    kept = con.execute(
+        f"SELECT count(*) FILTER (kept = 1), count(*) "
+        f"FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()
+    if not pairs:
+        print(f"FAIL {name}[band]: baseline has no pairs at cos >= 0.35")
+        return False
+    if kept[0] >= kept[1]:
+        print(f"FAIL {name}[band]: no clustering happened "
+              f"({kept[0]}/{kept[1]} kept)")
+        return False
+    hit = sum(1 for a, b in pairs if reps.get(a) == reps.get(b))
+    recall = hit / len(pairs)
+    if recall < 0.9:
+        print(f"FAIL {name}[band]: co-clustering recall {recall:.3f} < 0.9 "
+              f"({hit}/{len(pairs)} baseline pairs co-clustered)")
+        return False
+    print(f"PASS {name}[band] (co-clustering recall {recall:.3f} >= 0.9, "
+          f"{len(pairs)} baseline pairs, kept {kept[0]}/{kept[1]})")
+    return True
+
+
 def _band_ann_recall(con, out_dir, name):
     """Recall@5 vs the hash-checked ann_brute_force output (used for
     ann_ivf, ann_ivf_int8 and stream_ann_ivf_int8 — the last two share
@@ -233,6 +273,7 @@ BAND_CHECKS = {
     "q27_approx_distinct": _band_q27,
     "q40_approx_quantile": _band_q40,
     "dedup_embedding_ivf": _band_ivf_recall,
+    "dedup_semantic": _band_semantic,
     "ann_ivf": _band_ann_recall,
     "ann_ivf_int8": _band_ann_recall,
     "stream_ann_ivf_int8": _band_ann_recall,
