@@ -110,6 +110,9 @@ object SparkEntry {
         sig.filter(col("doc_id") % 10 =!= 9))
     }),
     "dedup_clusters"  -> q(Dedup.clusters),
+    // the fuzzy kept corpus: anti-join against the non-representative
+    // cluster members — the actual output of a MinHash dedup pipeline
+    "dedup_near_kept" -> q(Dedup.nearKeptCorpus),
     "dedup_minhash_lsh" -> q(Dedup.minhashLsh),
     "dedup_simhash"   -> q(Dedup.simhash),
     "dedup_substring" -> q(Dedup.substringDup),
@@ -146,6 +149,11 @@ object SparkEntry {
     "dedup_semantic"  -> q((t: Tables) => Similarity.semanticDedup(t)),
     "emb_binarize"    -> q(Similarity.embBinarize),
     "ann_hamming"     -> q((t: Tables) => Similarity.annHamming(t)),
+    // 3-stage cascade: 1-bit Hamming shortlist (256) → int8 ADC
+    // re-rank (32) → exact cosine top-5. Every stage's survivor rule
+    // is a shared total order, so the whole funnel carries a FULL
+    // hash oracle; AnnRecallSpec pins recall@5 vs brute force
+    "ann_cascade"     -> q((t: Tables) => Similarity.annCascade(t)),
     // the streaming module's retrieval path driven in batch mode:
     // row-local probe quantization + stream-static index join + the
     // bounded top-k aggregator — output must equal ann_int8 minus qdot
@@ -210,6 +218,19 @@ object SparkEntry {
     "stream_temperature_gate" -> q((t: Tables) => {
       val alloc = graft.pipeline.CorpusOps.temperatureMix(t)
       graft.streaming.Streams.temperatureGate(t.widen(t.documents), alloc)
+    }),
+    // the full ingest-curation gate driven in batch mode: exact dedup
+    // (deterministic min-doc_id keep on batch), the row-local
+    // dup-2gram gate (the SAME gramExpr(2) the batch repetition
+    // counts explode), and decontamination against contamination's
+    // id list — every stage deterministic, so it carries a FULL hash
+    // oracle; StreamingSpec drives the real MemoryStream path
+    "stream_curated" -> q((t: Tables) => {
+      val docs = t.widen(t.documents).select(col("doc_id"), col("text"),
+        timestamp_seconds(col("doc_id")).as("ts"))
+      val contam = graft.pipeline.CorpusOps.contamination(t)
+      graft.streaming.Streams.curatedStream(docs, contam)
+        .select(col("doc_id"), col("text"))
     }),
     // the model-based ingest gate: same shared score expression as
     // text_quality_model, so the batch-driven output equals its
@@ -313,6 +334,7 @@ object SparkEntry {
     // identical output by construction (row-local == groupBy sigs)
     "stream_near_dup" -> Dedup.incrementalNearDupSql,
     "dedup_clusters"  -> Dedup.clustersSql,
+    "dedup_near_kept" -> Dedup.nearKeptCorpusSql,
     "dedup_minhash_lsh" -> Dedup.minhashSql,
     "dedup_simhash"   -> Dedup.simhashSql,
     "dedup_substring" -> Dedup.substringDupSql,
@@ -331,6 +353,7 @@ object SparkEntry {
     "ann_int8"        -> Similarity.annInt8Sql,
     "emb_binarize"    -> Similarity.embBinarizeSql,
     "ann_hamming"     -> Similarity.annHammingSql,
+    "ann_cascade"     -> Similarity.annCascadeSql,
     "stream_ann_int8" -> Similarity.annStreamSql,
     // ann_ivf: KMeans quantizer isn't SQL-expressible — rows-only at
     // the driver; AnnRecallSpec independently re-verifies every
@@ -361,6 +384,7 @@ object SparkEntry {
     "corpus_temperature_sample" -> graft.pipeline.CorpusOps.temperatureSampleSql,
     "stream_temperature_gate" -> graft.pipeline.CorpusOps.temperatureSampleSql,
     "stream_quality_gate" -> TextAnalysis.qualityGateSql,
+    "stream_curated"  -> graft.pipeline.CorpusOps.curatedStreamSql,
     "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "q44_histogram"   -> Relational.q44Sql,
     "q45_except_all"  -> Relational.q45Sql,

@@ -592,6 +592,37 @@ object Dedup {
        | SELECT reach.doc, e.doc_b AS r FROM reach JOIN edges e ON e.doc_a = reach.r)
        |SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc""".stripMargin.replace("\n", " ")
 
+  /** The NEAR-dup kept corpus — [[keptCorpus]]'s fuzzy sibling and the
+    * actual output of a MinHash dedup pipeline: every document that is
+    * its cluster's representative (component-min doc_id) or in no
+    * cluster at all. One left-anti join of the corpus against the
+    * non-representative members of [[clusters]] — the cluster table is
+    * near-dup-pair-sized, not corpus-sized, so at 100 TB this is a
+    * corpus scan anti-joined with a (much smaller) drop list, same
+    * shape as [[keptCorpus]]. Shares the LSH pair cache with
+    * clusters/minhashLsh (one pipeline run serves all three).
+    */
+  def nearKeptCorpus(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val drop = clusters(t)
+      .filter($"doc_id" =!= $"cluster_id")
+      .select($"doc_id")
+    t.documents.select($"doc_id", $"source")
+      .join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  val nearKeptCorpusSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhashSql)),
+       |edges AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT doc_a AS doc FROM edges),
+       |reach AS (
+       | SELECT doc, doc AS r FROM nodes
+       | UNION
+       | SELECT reach.doc, e.doc_b AS r FROM reach JOIN edges e ON e.doc_a = reach.r),
+       |cc AS (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)
+       |SELECT d.doc_id AS doc_id, d.source AS source FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc FROM cc WHERE doc <> cluster_id)""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------- substring (span) dedup
 
   /** Span-level exact-substring duplication: every 16-word span shared

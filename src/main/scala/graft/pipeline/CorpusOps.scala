@@ -21,12 +21,16 @@ import graft.io.Tables
   */
 object CorpusOps {
 
-  /** Word n-gram starting positions, capped like Dedup.shingles. */
-  private def gramExpr(width: Int): String =
+  /** Word n-gram starting positions, capped like Dedup.shingles.
+    * `private[graft]`: Streams.curatedStream evaluates the same
+    * expression row-locally so its gate matches the batch pass's
+    * repetition counts gram for gram.
+    */
+  private[graft] def gramExpr(width: Int): String =
     s"transform(sequence(1, least(greatest(size(split(text, ' '))-${width - 1}, 1), 8191)), " +
       s"i -> concat_ws(' ', slice(split(text, ' '), i, $width)))"
 
-  private def gramSqlCte(width: Int): String =
+  private[graft] def gramSqlCte(width: Int): String =
     s"""SELECT doc_id, array_to_string(toks[CAST(r.range AS INT):CAST(r.range AS INT)+${width - 1}], ' ') AS gram
        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
        | JOIN range(1, 8192) r ON r.range <= greatest(len(toks)-${width - 1}, 1)""".stripMargin
@@ -355,6 +359,33 @@ object CorpusOps {
        | AND k.doc_id % 97 <> 0
        | AND k.doc_id NOT IN (SELECT doc_id FROM contam)
        | AND ${Dedup.sqlH32("CAST(k.doc_id AS VARCHAR)")} % 100 < ${Dedup.sqlH32("k.source")} % 40 + 10""".stripMargin
+      .replace("\n", " ")
+
+  /** Oracle for the batch-driven streaming ingest gate
+    * (Streams.curatedStream → the `stream_curated` driver entry):
+    * min-doc_id exact dedup (dedupStream's deterministic batch keep
+    * rule) → the row-local dup-2gram gate (gramExpr(2), identical to
+    * the repetition counts' gram set, thresholded in integer
+    * arithmetic) → decontamination against the SAME contaminated-id
+    * list `contamination` emits. The stream gate intentionally skips
+    * the batch [[curated]] pass's top-word gate (not row-local),
+    * bench-doc drop and stratified sample — those stay in the nightly
+    * batch pass; this SQL mirrors exactly what the stream admits.
+    */
+  val curatedStreamSql: String =
+    s"""WITH dd AS (SELECT doc_id, text FROM
+       |  (SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+       |   FROM documents) WHERE rn = 1),
+       |g2 AS (${gramSqlCte(2)}),
+       |ga AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+       | FROM g2 GROUP BY doc_id),
+       |g4 AS (SELECT DISTINCT doc_id, gram FROM (${gramSqlCte(4)})),
+       |bench AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % 97 = 0),
+       |contam AS (SELECT DISTINCT doc_id FROM g4 JOIN bench USING (gram) WHERE doc_id % 97 <> 0)
+       |SELECT d.doc_id AS doc_id, d.text AS text
+       |FROM dd d JOIN ga ON d.doc_id = ga.doc_id
+       |WHERE (n_grams - n_distinct) * 5 < n_grams
+       | AND d.doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin
       .replace("\n", " ")
 
   // ---------------------------------------------------- mixture budget

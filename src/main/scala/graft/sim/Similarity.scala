@@ -843,6 +843,116 @@ object Similarity {
        |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
   }
 
+  /** Three-stage cascade retrieval — the progressive-refinement funnel
+    * a 100 TB store actually serves from, composed entirely of this
+    * family's exact-arithmetic stages so the WHOLE cascade carries a
+    * FULL hash oracle (the only approximation is WHICH candidates
+    * survive each stage, and every stage's survivor rule is a total
+    * order both engines share):
+    *
+    *   1. 1-bit sign words ([[embBinarize]]'s 8-byte residents, 32x
+    *      compression): Hamming-shortlist the corpus to `shortlist`
+    *      (256) candidates per probe — the only corpus-wide scan, over
+    *      the smallest possible resident set with a 1-instruction
+    *      distance kernel.
+    *   2. int8 ADC ([[annInt8]]'s scale-corrected integer dot, 4x
+    *      compression): re-rank the 256 down to `rerank` (32) — per
+    *      probe this touches 256 rows of the codes table, never the
+    *      corpus.
+    *   3. exact float cosine: score the 32 survivors and report the
+    *      top 5 with TRUE cosines — per probe, 32 rows of the float
+    *      table.
+    *
+    * At 100 TB the float vectors are cold storage (read 32 rows/probe),
+    * the int8 codes are warm (256 rows/probe), and only the 1-bit words
+    * are hot — the standard memory hierarchy of production vector
+    * search (binary-quantization prefilter + rescoring). Stage-1's
+    * probe×corpus window composes with the pigeonhole block-bucketing
+    * exactly as [[annHamming]]'s scaladoc lays out. Recall@5 vs
+    * [[annBruteForce]] is pinned in AnnRecallSpec — the 256→32 funnel
+    * measures the same as ann_hamming's single-stage 128 shortlist
+    * (the int8 middle stage loses ~nothing, QuantizeSpec's 0.99
+    * recall), while reading 4x fewer float rows.
+    */
+  def annCascade(t: Tables, shortlist: Int = 256, rerank: Int = 32): DataFrame = {
+    val e = withNorm(t)
+    val words = t.widen(t.embeddings)
+      .select(col("vec_id"), signWord(col("embedding")).as("w"))
+    val probes = words.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("probe_id"), col("w").as("wp"))
+    val cands = words.select(col("vec_id").as("cand_id"), col("w").as("wc"))
+    val wHam = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ham").asc, col("cand_id").asc)
+    val short = probes.join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("ham", bit_count(col("wp").bitwiseXOR(col("wc"))).cast(LongType))
+      .withColumn("hr", row_number().over(wHam))
+      .filter(col("hr") <= shortlist)
+      .select(col("probe_id"), col("cand_id"), col("ham"))
+    val qc = quantizedCodes(t)
+    val qp = qc.select(col("vec_id").as("probe_id"), col("qmax").as("qp"),
+      col("codes").cast("array<double>").as("cp"))
+    val qcands = qc.select(col("vec_id").as("cand_id"), col("qmax").as("qcx"),
+      col("codes").cast("array<double>").as("cc"))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    val mid = short.join(qp, "probe_id").join(qcands, "cand_id")
+      .withColumn("qdot", dot(col("cp"), col("cc")).cast(LongType))
+      .withColumn("score", col("qdot") * col("qp") * col("qcx") / lit(16129.0))
+      .withColumn("qr", row_number().over(wAdc))
+      .filter(col("qr") <= rerank)
+      .select(col("probe_id"), col("cand_id"), col("ham"))
+    val vp = e.select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
+    val vc = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
+    val wCos = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    mid.join(vp, "probe_id").join(vc, "cand_id")
+      .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
+      .withColumn("rnk", row_number().over(wCos))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rnk"), col("ham"), col("cos"))
+  }
+
+  /** The cascade's oracle: quantSqlCte supplies both the int8 codes (q)
+    * and the normalized floats (n); sign words are the same 64
+    * disjoint-bit terms as [[embBinarizeSql]]. Every stage's survivor
+    * rule is a total order (ham asc / score desc / cos desc, cand_id
+    * tiebreak), so the funnel — not just the final rows — is identical
+    * in both engines.
+    */
+  val annCascadeSql: String = {
+    val w = signWordSql.format(Seq.fill(64)("embedding"): _*)
+    val qd = "CAST(list_dot_product(CAST(p.codes AS DOUBLE[]), CAST(c.codes AS DOUBLE[])) AS BIGINT)"
+    val d = dotSql.format("pn.v", "cn.v")
+    s"""$quantSqlCte,
+       |sw AS (SELECT vec_id, $w AS w FROM embeddings),
+       |short AS (
+       | SELECT probe_id, cand_id, ham FROM (
+       |  SELECT pw.vec_id AS probe_id, cw.vec_id AS cand_id,
+       |   CAST(bit_count(xor(pw.w, cw.w)) AS BIGINT) AS ham,
+       |   row_number() OVER (PARTITION BY pw.vec_id
+       |    ORDER BY CAST(bit_count(xor(pw.w, cw.w)) AS BIGINT) ASC,
+       |     cw.vec_id ASC) AS hr
+       |  FROM sw pw JOIN sw cw ON pw.vec_id <> cw.vec_id
+       |  WHERE pw.vec_id % 13 = 0)
+       | WHERE hr <= 256),
+       |mid AS (
+       | SELECT probe_id, cand_id, ham FROM (
+       |  SELECT s.probe_id, s.cand_id, s.ham,
+       |   row_number() OVER (PARTITION BY s.probe_id
+       |    ORDER BY $qd * p.qmax * c.qmax / 16129.0 DESC, s.cand_id ASC) AS qr
+       |  FROM short s JOIN q p ON s.probe_id = p.vec_id
+       |   JOIN q c ON s.cand_id = c.vec_id)
+       | WHERE qr <= 32)
+       |SELECT probe_id, cand_id, rnk, ham, cos FROM (
+       | SELECT m.probe_id, m.cand_id, m.ham,
+       |  $d / (pn.nrm * cn.nrm) AS cos,
+       |  row_number() OVER (PARTITION BY m.probe_id
+       |   ORDER BY $d / (pn.nrm * cn.nrm) DESC, m.cand_id ASC) AS rnk
+       | FROM mid m JOIN n pn ON m.probe_id = pn.vec_id
+       |  JOIN n cn ON m.cand_id = cn.vec_id)
+       |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
+  }
+
   /** IVF cell pruning composed with int8 ADC scoring — the production
     * shape of vector search at 100 TB: the RESIDENT set is the int8
     * codes + one scale per vector (4x smaller than float32, partitioned

@@ -64,11 +64,25 @@ object Streams {
     * horizon are the periodic batch `Dedup.exact` pass's to catch — the
     * standard stream/batch split for 100 TB/day ingest.
     */
-  def dedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
-    docs
-      .withColumn("fp", md5(col("text").cast(BinaryType)))
-      .withWatermark("ts", horizon)
-      .dropDuplicatesWithinWatermark("fp")
+  def dedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val withFp = docs.withColumn("fp", md5(col("text").cast(BinaryType)))
+    if (docs.isStreaming)
+      withFp.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("fp")
+    else {
+      // Batch-driven (Spark rejects the watermark form on batch frames,
+      // and plain dropDuplicates keeps an ARBITRARY row): keep the row
+      // whose leading column (doc_id) is smallest per fingerprint —
+      // Dedup.exact's canonical-representative rule, so the batch drive
+      // is deterministic and oracle-checkable. min(struct) compares
+      // lexicographically, doc_id first; one map-side-combinable
+      // groupBy on the 128-bit digest, the 100 TB-safe shape.
+      val cols = docs.columns
+      withFp
+        .groupBy(col("fp"))
+        .agg(min(struct(cols.map(col): _*)).as("r"))
+        .select(cols.map(c => col(s"r.$c")) :+ col("fp"): _*)
+    }
+  }
 
   /** Streaming ingest curation — the stream-side sibling of
     * CorpusOps.curated for a continuously arriving corpus: exact
@@ -81,13 +95,22 @@ object Streams {
     * is unsupported; outer+isNull is the standard equivalent, and the
     * static side re-broadcasts per micro-batch). Append-mode,
     * watermark-bounded — safe on an unbounded ingest feed; the
-    * periodic batch `curated` pass remains the cross-horizon backstop.
+    * periodic batch `curated` pass remains the cross-horizon backstop
+    * (it additionally applies the top-word gate, which is not
+    * row-local, and the stratified sample).
+    *
+    * The repetition gate evaluates CorpusOps.gramExpr(2) row-locally —
+    * the SAME capped bigram expression the batch repetition counts
+    * explode — so stream and batch agree gram for gram, and driven on
+    * a batch frame (where [[dedupStream]] falls back to the
+    * deterministic min-doc_id keep rule) the whole gate is
+    * oracle-checkable: the `stream_curated` driver entry carries
+    * [[graft.pipeline.CorpusOps.curatedStreamSql]] as a FULL hash
+    * oracle.
     */
   def curatedStream(docs: DataFrame, contamIds: DataFrame,
                     horizon: String = "1 hour"): DataFrame = {
-    val g2 = expr(
-      "transform(sequence(1, greatest(size(filter(split(text, ' '), x -> x != '')) - 1, 1)), " +
-        "i -> concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), i, 2)))")
+    val g2 = expr(graft.pipeline.CorpusOps.gramExpr(2))
     dedupStream(docs, horizon)
       .withColumn("g2", g2)
       .filter((size(col("g2")) - size(array_distinct(col("g2")))) * 5 < size(col("g2")))
@@ -276,6 +299,11 @@ object Streams {
                 horizon: String = "1 hour"): DataFrame = {
     import graft.functions.GraftFunctions
     GraftFunctions.register(probes.sparkSession) // idempotent; see annStreamIvf
+    // On a real stream the static side re-executes its whole lineage
+    // every micro-batch (r15 advisor item) — pin it once. Batch-driven
+    // (Verify/Bench) the single job reads it once, so skip the extra
+    // materialization there.
+    val index = if (probes.isStreaming) index0.localCheckpoint() else index0
     val p = probes
       .withWatermark("ts", horizon)
       .select(col("vec_id").as("probe_id"), col("ts"),
@@ -288,7 +316,7 @@ object Streams {
         transform(col("u"), x => floor(x * (lit(127.0) / col("qp")) + lit(0.5)))
           .cast("array<double>"))
       .select(col("probe_id"), col("ts"), col("qp"), col("cp"))
-    val idx = index0.select(col("vec_id").as("cand_id"),
+    val idx = index.select(col("vec_id").as("cand_id"),
       col("qmax").as("qc"), col("codes").cast("array<double>").as("cc"))
     val scored = p.join(idx, col("probe_id") =!= col("cand_id")) // stream-static
       .withColumn("qdot", GraftFunctions.graftDot(col("cp"), col("cc")).cast(LongType))
@@ -378,6 +406,10 @@ object Streams {
     // having done it (r15 advisor item: an externally built index
     // would otherwise hit an unresolved-function analysis error).
     GraftFunctions.register(probes.sparkSession)
+    // Same static-side pinning as [[annStream]] (r15 advisor item): a
+    // continuous run must not re-run the KMeans transform + quantization
+    // lineage per micro-batch; batch-driven it is a single read.
+    val index = if (probes.isStreaming) cellIndex.localCheckpoint() else cellIndex
     val rankedCells = rankedCellArray(centroids, col("v"))
     val p = probes
       .withWatermark("ts", horizon)
@@ -393,7 +425,7 @@ object Streams {
       .withColumn("pc", explode(slice(rankedCells, 1, np)))
       .select(col("probe_id"), col("ts"), col("qp"), col("cp"),
         col("pc.cell").as("cell"))
-    val idx = cellIndex.select(col("vec_id").as("cand_id"), col("cell"),
+    val idx = index.select(col("vec_id").as("cand_id"), col("cell"),
       col("qmax").as("qc"), col("codes").cast("array<double>").as("cc"))
     val scored = p.join(idx, Seq("cell")) // stream-static, cell-keyed
       .filter(col("probe_id") =!= col("cand_id"))

@@ -34,14 +34,14 @@ object SweepCaches {
     "ann_brute_force", "ann_ivf", "ann_lsh",
     "emb_quantize_int8", "ann_int8", "ann_ivf_int8", "stream_ann_int8",
     "stream_ann_ivf_int8", "ann_pq", "ann_ivf_pq", "ann_hamming",
-    "dedup_semantic")
+    "ann_cascade", "dedup_semantic")
 
   /** Queries that read Dedup.lshCache (the memoized pair table) or
     * Dedup.sigCache (the shared signature table). Same pin as
     * [[simConsumers]]. */
   private[graft] val dedupConsumers = Set(
-    "dedup_minhash_lsh", "dedup_clusters", "corpus_split_leakage",
-    "dedup_incremental_near", "stream_near_dup")
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_near_kept",
+    "corpus_split_leakage", "dedup_incremental_near", "stream_near_dup")
 
   /** Queries that read CorpusOps.lineDfCache (the shared
     * boilerplate line-df table). Same pin as [[simConsumers]]. */

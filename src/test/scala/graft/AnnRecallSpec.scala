@@ -55,6 +55,18 @@ class AnnRecallSpec extends SparkSuite {
     assert(r >= 0.8, f"ann_hamming recall@5 $r%.3f below 0.8 floor")
   }
 
+  test("ann_cascade recall@5 vs brute force on sf0.01") {
+    // 256-wide 1-bit shortlist → 32-wide int8 re-rank → exact top-5.
+    // The binary stage bounds the funnel's recall (ann_hamming's 128
+    // shortlist measures 0.928); doubling the shortlist buys the slack
+    // the int8 middle stage spends (QuantizeSpec's 0.99 recall), so
+    // the cascade holds the same 0.8 floor while reading 4x fewer
+    // float rows than ann_hamming's direct re-rank.
+    val r = recallAt5(neighbors(Similarity.annCascade(t)))
+    info(f"ann_cascade recall@5 = $r%.3f")
+    assert(r >= 0.8, f"ann_cascade recall@5 $r%.3f below 0.8 floor")
+  }
+
   test("dedup_semantic co-clusters the baseline near-dup pairs on sf0.01") {
     // every label-blocked pair at the semantic threshold must share a
     // representative (transitive closure can only merge more); reps

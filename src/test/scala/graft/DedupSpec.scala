@@ -252,6 +252,16 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set(1L, 3L, 4L)) // doc 2 (dup of 1) dropped
   }
 
+  test("near-dup kept corpus keeps exactly cluster representatives + unclustered docs") {
+    val cl = Dedup.clusters(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = t.documents.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val kept = Dedup.nearKeptCorpus(t).collect().map(_.getLong(0)).toSet
+    val expect = all.filter(d => cl.get(d).forall(_ == d))
+    assert(kept == expect)
+    assert(kept.subsetOf(all))
+  }
+
   test("fingerprint: token-set permutations collide, different sets do not") {
     import spark.implicits._
     val t2 = tempTables { dir =>

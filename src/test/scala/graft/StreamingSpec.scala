@@ -207,6 +207,28 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("batch-driven curatedStream applies the deterministic min-doc_id keep rule") {
+    import spark.implicits._
+    withLogLevel {
+      val contam = Seq(4L).toDF("doc_id")
+      // same five docs as the streaming case, arrival order == doc_id
+      // order, so first-arrival (stream) and min-doc_id (batch) keep
+      // rules pick the same representatives and the outputs agree
+      val docs = Seq(
+        Streams.Doc(1, "good doc words vary nicely here", ts(0)),
+        Streams.Doc(2, "good doc words vary nicely here", ts(1)),
+        Streams.Doc(3, "spam spam spam spam spam spam", ts(2)),
+        Streams.Doc(4, "contaminated but otherwise fine text", ts(3)),
+        Streams.Doc(5, "another perfectly varied document arrives", ts(4))).toDF()
+      val out = Streams.curatedStream(docs, contam).collect()
+      assert(out.map(_.getLong(0)).toSet == Set(1L, 5L))
+      // dup pair (1,2): the kept row must be doc 1 (min doc_id), with
+      // doc 1's ts — not an arbitrary row of the fingerprint group
+      val kept1 = out.find(_.getLong(0) == 1L).get
+      assert(kept1.getAs[java.sql.Timestamp]("ts") == ts(0))
+    }
+  }
+
   test("stream-stream attribution join pairs within the window only") {
     import spark.implicits._
     withLogLevel {

@@ -121,10 +121,11 @@ def main():
             "dedup_embedding", "dedup_embedding_ivf", "ann_brute_force",
             "ann_ivf", "ann_lsh", "emb_quantize_int8", "ann_int8",
             "ann_ivf_int8", "stream_ann_int8", "stream_ann_ivf_int8",
-            "ann_pq", "ann_ivf_pq", "ann_hamming", "dedup_semantic"],
+            "ann_pq", "ann_ivf_pq", "ann_hamming", "ann_cascade",
+            "dedup_semantic"],
         "dedup (MinHash signature/pair tables)": [
-            "dedup_minhash_lsh", "dedup_clusters", "corpus_split_leakage",
-            "dedup_incremental_near", "stream_near_dup"],
+            "dedup_minhash_lsh", "dedup_clusters", "dedup_near_kept",
+            "corpus_split_leakage", "dedup_incremental_near", "stream_near_dup"],
         "corpus (boilerplate line-df)": [
             "corpus_boilerplate", "corpus_strip_boilerplate"],
     }
