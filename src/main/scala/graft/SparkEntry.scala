@@ -199,6 +199,15 @@ object SparkEntry {
     // real ISO-BMFF box-walk parse of synthesized (valid) MP4
     // skeletons — container metadata needs no codec; same oracle style
     "mm_video_meta"   -> q(Multimodal.videoMeta),
+    // perceptual average-hash over REAL decoded pixels (synthesized
+    // valid BMPs — an uncompressed raster, so the oracle re-derives
+    // every decoded pixel by integer arithmetic); 8-byte hash per
+    // image = the resident set for corpus-scale image dedup
+    "mm_image_ahash"  -> q(Multimodal.imageAHash),
+    // ...and the image near-dup pairs it exists for: pigeonhole
+    // 8-bit-block bucketing (provably lossless at Hamming <= 7),
+    // never all-pairs — Dedup.simhashHamming's shape on the 64-bit word
+    "dedup_image_ahash" -> q(Multimodal.imageNearDup),
     "text_repetition" -> q(graft.pipeline.CorpusOps.repetition),
     "corpus_sample"   -> q(graft.pipeline.CorpusOps.stratifiedSample),
     "contamination"   -> q(graft.pipeline.CorpusOps.contamination),
@@ -371,6 +380,8 @@ object SparkEntry {
     "mm_binary_meta"  -> Multimodal.binaryMetaSql,
     "mm_audio_meta"   -> Multimodal.audioMetaSql,
     "mm_video_meta"   -> Multimodal.videoMetaSql,
+    "mm_image_ahash"  -> Multimodal.imageAHashSql,
+    "dedup_image_ahash" -> Multimodal.imageNearDupSql,
     "text_repetition" -> graft.pipeline.CorpusOps.repetitionSql,
     "corpus_sample"   -> graft.pipeline.CorpusOps.stratifiedSampleSql,
     "contamination"   -> graft.pipeline.CorpusOps.contaminationSql,

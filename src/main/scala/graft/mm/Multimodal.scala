@@ -542,4 +542,174 @@ object Multimodal {
       | md5(text) AS payload_md5,
       | substr(hex(CAST(text AS BLOB)), 1, 16) AS header_hex
       |FROM documents""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------ image perceptual hash
+
+  /** Builds a VALID 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    * bottom-up rows, 4-byte row padding) with grayscale pixel value
+    * `pix(x, y)` at each position — any image tool opens the result.
+    * Used by [[bmpFromDocuments]] to synthesize DECODABLE test images:
+    * unlike the header-only formats, an uncompressed raster means the
+    * aHash oracle can re-derive every decoded pixel by integer
+    * arithmetic alone.
+    */
+  def buildBmp(width: Int, height: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val imageSize = rowSize * height
+    val out = new java.io.ByteArrayOutputStream(54 + imageSize)
+    def w16(x: Int): Unit = { out.write(x & 0xff); out.write((x >> 8) & 0xff) }
+    def w32(x: Int): Unit = { var i = 0; while (i < 4) { out.write((x >> (8 * i)) & 0xff); i += 1 } }
+    out.write('B'); out.write('M'); w32(54 + imageSize); w16(0); w16(0); w32(54)
+    w32(40); w32(width); w32(height); w16(1); w16(24)
+    w32(0); w32(imageSize); w32(2835); w32(2835); w32(0); w32(0)
+    var y = height - 1 // bottom-up row order per the BMP spec
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val v = pix(x, y) & 0xff
+        out.write(v); out.write(v); out.write(v) // B, G, R
+        x += 1
+      }
+      var p = width * 3
+      while (p < rowSize) { out.write(0); p += 1 }
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Synthesized grayscale pixel at (x, y) for media `id` — mirrored
+    * verbatim by the aHash oracle's CASE arithmetic. Design: docs in
+    * the same id-div-16 batch share a base pattern (a mod-251
+    * multiplicative scramble of the 2x2-block index, so distinct
+    * batches get unrelated patterns with no mod-8 collapse) while the
+    * top-left 2x2 corner carries per-doc noise — batch-mates are
+    * near-identical images differing in ~1 aHash bit, exactly the
+    * near-dup structure [[imageNearDup]] must find.
+    */
+  private[graft] def imagePixel(id: Long, x: Int, y: Int): Int =
+    if (x < 2 && y < 2) ((id * 37) % 256).toInt
+    else (32 + 24 * (((x / 2 + 8 * (y / 2) + 1) * ((id / 16) % 251 + 1)) % 251 % 8)).toInt
+
+  /** Synthesized image media table: one valid 16x16 BMP per document.
+    * Content is fake (deterministic in doc_id), the container and the
+    * decode that reads it back are real.
+    */
+  def bmpFromDocuments(t: Tables): Dataset[MediaRow] = {
+    import t.spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[MediaRow] =
+      Encoders.product[MediaRow]
+    t.widen(t.documents).select($"doc_id").as[Long].map { id =>
+      MediaRow(id, "image", buildBmp(16, 16, (x, y) => imagePixel(id, x, y)))
+    }
+  }
+
+  /** Perceptual average-hash over REAL decoded pixels: synthesize the
+    * BMP, decode it with the JDK's ImageIO (full raster this time, not
+    * just the header — the one decode in the module that reads pixels
+    * for real), then compute the classic aHash: 2x2 block means vs the
+    * global mean, one bit per 8x8 grid cell, packed into a BIGINT.
+    * The mean comparison is cross-multiplied (`block_sum * 64 >
+    * total`) so every step is exact integer arithmetic and the oracle
+    * reproduces the hash from the pixel formula without decoding
+    * anything.
+    *
+    * At 100 TB this is the image twin of [[graft.dedup.Dedup.simhash]]:
+    * decode runs per-partition (one ImageIO context per task), the
+    * output is 8 bytes + metadata per image — the resident set for
+    * corpus-scale image dedup — and the binary column never shuffles.
+    */
+  def imageAHash(t: Tables): DataFrame = {
+    import t.spark.implicits._ // Tuple5 encoder
+    bmpFromDocuments(t).mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) sys.error(s"media ${r.media_id}: synthesized BMP failed to decode")
+        val w = img.getWidth; val h = img.getHeight
+        var total = 0L
+        val blk = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (img.getRGB(x, y) & 0xff).toLong
+            total += v; blk((y / 2) * 8 + x / 2) += v; x += 1
+          }
+          y += 1
+        }
+        var word = 0L; var i = 0
+        while (i < 64) { if (blk(i) * 64 > total) word |= (1L << i); i += 1 }
+        (r.media_id, w.toLong, h.toLong, word, java.lang.Long.bitCount(word).toLong)
+      }
+    }.toDF("media_id", "width", "height", "ahash", "nbits")
+  }
+
+  /** Shared oracle CTE ending in `ah(doc_id, ahash)`: pixels from the
+    * [[imagePixel]] formula via two range tables, block sums pivoted
+    * to 64 columns, the hash packed as 64 disjoint-bit OR terms
+    * (bit 63's literal round-trips through HUGEINT like
+    * Similarity's signWordSql).
+    */
+  private val ahashCte: String = {
+    val blkCols = (0 until 64).map(b =>
+      s"sum(CASE WHEN (y//2)*8 + (x//2) = $b THEN v ELSE 0 END) AS b$b").mkString(", ")
+    val word = (0 until 64).map(i =>
+      s"(CASE WHEN b$i*64 > total THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" | ")
+    s"""WITH px AS (
+       | SELECT doc_id, x.range AS x, y.range AS y,
+       |  CASE WHEN x.range < 2 AND y.range < 2 THEN (doc_id * 37) % 256
+       |   ELSE 32 + 24 * (((x.range//2 + 8*(y.range//2) + 1) * ((doc_id//16) % 251 + 1)) % 251 % 8) END AS v
+       | FROM documents, range(0, 16) x, range(0, 16) y),
+       |agg AS (SELECT doc_id, sum(v) AS total, $blkCols FROM px GROUP BY doc_id),
+       |ah AS (SELECT doc_id, $word AS ahash FROM agg)""".stripMargin
+  }
+
+  val imageAHashSql: String =
+    s"""$ahashCte
+       |SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS width,
+       | CAST(16 AS BIGINT) AS height, ahash,
+       | CAST(bit_count(ahash) AS BIGINT) AS nbits
+       |FROM ah""".stripMargin.replace("\n", " ")
+
+  /** Image near-duplicate pairs by aHash Hamming distance <= 7, with
+    * the same pigeonhole blocking as Dedup.simhashHamming scaled to
+    * the 64-bit word: 8 exact 8-bit block keys per image, so any pair
+    * within distance 7 shares at least one key (8 blocks, <= 7
+    * differing bits) — candidate generation is bucket-bounded
+    * (Σ|bucket|² over block-value buckets), never all-pairs, and the
+    * blocking is provably lossless at this threshold. Exact distance
+    * then filters candidates. MultimodalSpec pins losslessness against
+    * a brute-force all-pairs join and that batch-mate images (same
+    * id-div-16 base pattern) are found.
+    */
+  def imageNearDup(t: Tables): DataFrame = {
+    val fp = imageAHash(t).select(col("media_id"), col("ahash")).persist()
+    val blocks = fp.select(col("media_id"), col("ahash"), explode(expr(
+      "transform(sequence(0, 7), i -> " +
+        "named_struct('blk', i, 'key', shiftright(ahash, i * 8) & 255))"
+    )).as("b"))
+      .select(col("media_id"), col("ahash"),
+        col("b.blk").as("blk"), col("b.key").as("key"))
+    val out = blocks.toDF("doc_a", "fa", "blk", "key")
+      .join(blocks.toDF("doc_b", "fb", "blk", "key"), Seq("blk", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("fa"), col("fb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(fa ^ fb) AS INT)"))
+      .filter(col("hamming") <= 7)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .localCheckpoint()
+    fp.unpersist()
+    out
+  }
+
+  val imageNearDupSql: String =
+    s"""$ahashCte,
+       |b AS (SELECT doc_id, ahash, CAST(r.range AS INT) AS blk,
+       |  (ahash >> (CAST(r.range AS INT) * 8)) & 255 AS key
+       | FROM ah CROSS JOIN range(0, 8) r),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  a.ahash AS fa, c.ahash AS fb
+       | FROM b a JOIN b c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= 7""".stripMargin.replace("\n", " ")
 }

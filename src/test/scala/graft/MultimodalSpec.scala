@@ -67,6 +67,59 @@ class MultimodalSpec extends SparkSuite {
     assert(f.width == 2 && f.height == 3 && f.n_bytes == png.length)
   }
 
+  test("BMP round-trip: ImageIO decodes buildBmp back to the exact synthesized pixels") {
+    System.setProperty("java.awt.headless", "true")
+    val id = 42L
+    val bmp = Multimodal.buildBmp(16, 16, (x, y) => Multimodal.imagePixel(id, x, y))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img != null, "JDK BMP reader did not recognize the container")
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = img.getRGB(x, y) & 0xff
+      assert(v == Multimodal.imagePixel(id, x, y), s"pixel ($x,$y)")
+      // grayscale: all three channels equal
+      assert((img.getRGB(x, y) >> 8 & 0xff) == v && (img.getRGB(x, y) >> 16 & 0xff) == v)
+    }
+  }
+
+  test("aHash: batch-mates are near-identical, distinct batches differ") {
+    val ah = Multimodal.imageAHash(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ah.size == t.documents.count())
+    // same id-div-16 batch: corner noise only → Hamming <= 1 bit of 64
+    val mates = ah.keys.groupBy(_ / 16).values.filter(_.size >= 2)
+    assert(mates.nonEmpty)
+    // corner noise flips block 0's bit; its small shift of the global
+    // mean can additionally flip a block level sitting near the mean
+    // boundary — so mates are within the <=7 near-dup threshold, and
+    // typically within 1 bit
+    val mateHams = mates.flatMap { g =>
+      val ids = g.toSeq.sorted
+      val ref = ah(ids.head)
+      ids.tail.map(d => java.lang.Long.bitCount(ah(d) ^ ref))
+    }.toSeq
+    assert(mateHams.forall(_ <= 7), s"batch mates beyond the near-dup threshold: $mateHams")
+    assert(mateHams.count(_ <= 1) * 2 >= mateHams.size)
+    // distinct batches: scrambled base patterns → mostly far apart
+    val reps = ah.toSeq.groupBy(_._1 / 16).map(_._2.minBy(_._1)._2).toSeq
+    val far = for (i <- reps.indices; j <- i + 1 until reps.size)
+      yield java.lang.Long.bitCount(reps(i) ^ reps(j))
+    assert(far.count(_ > 7) > far.size / 2, "base patterns insufficiently separated")
+  }
+
+  test("image near-dup blocking is lossless vs brute-force all-pairs at threshold 7") {
+    val ah = Multimodal.imageAHash(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toSeq.sortBy(_._1)
+    val brute = (for {
+      (a, fa) <- ah; (b, fb) <- ah if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 7
+    } yield (a, b, h)).toSet
+    val blocked = Multimodal.imageNearDup(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == brute)
+    assert(brute.nonEmpty, "expected batch-mate near-dup pairs to exist")
+  }
+
   test("resizeMeta digests match a driver-side resizeStub recompute") {
     val got = Multimodal.resizeMeta(t).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
