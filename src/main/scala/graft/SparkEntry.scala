@@ -209,6 +209,10 @@ object SparkEntry {
     // never all-pairs — Dedup.simhashHamming's shape on the 64-bit word
     "dedup_image_ahash" -> q(Multimodal.imageNearDup),
     "text_repetition" -> q(graft.pipeline.CorpusOps.repetition),
+    // bigram novelty vs the reference half of the corpus — the
+    // integer-exact analog of an LM-perplexity filter (occurrence-level
+    // unseen-bigram counts; one gram-keyed left join, AQE skew-safe)
+    "corpus_ngram_novelty" -> q(graft.pipeline.CorpusOps.ngramNovelty),
     "corpus_sample"   -> q(graft.pipeline.CorpusOps.stratifiedSample),
     "contamination"   -> q(graft.pipeline.CorpusOps.contamination),
     "corpus_curated"  -> q(graft.pipeline.CorpusOps.curated),
@@ -383,6 +387,7 @@ object SparkEntry {
     "mm_image_ahash"  -> Multimodal.imageAHashSql,
     "dedup_image_ahash" -> Multimodal.imageNearDupSql,
     "text_repetition" -> graft.pipeline.CorpusOps.repetitionSql,
+    "corpus_ngram_novelty" -> graft.pipeline.CorpusOps.ngramNoveltySql,
     "corpus_sample"   -> graft.pipeline.CorpusOps.stratifiedSampleSql,
     "contamination"   -> graft.pipeline.CorpusOps.contaminationSql,
     "corpus_curated"  -> graft.pipeline.CorpusOps.curatedSql,

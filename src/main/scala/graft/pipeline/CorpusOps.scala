@@ -307,6 +307,50 @@ object CorpusOps {
        |WHERE doc_id % 97 <> 0
        |GROUP BY doc_id""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------- n-gram novelty
+
+  /** Bigram novelty against a reference corpus — the integer-exact
+    * analog of the CCNet/KenLM-style LM filter: instead of a
+    * log-probability (log/exp are oracle-hostile, CLAUDE.md invariant
+    * 3), score each candidate document by how many of its bigram
+    * OCCURRENCES never appear in the reference corpus (here the
+    * doc_id-even half stands in for the reference snapshot a nightly
+    * job maintains). Low novelty ≈ fluent/redundant text the reference
+    * models well; high novelty ≈ out-of-domain or gibberish — both
+    * tails are what a quality pipeline inspects.
+    *
+    * Shape at 100 TB: one gram explode, one gram-keyed LEFT join
+    * against the distinct reference gram set (hot stopword bigrams are
+    * AQE skew-join territory — no window, no driver state), one
+    * doc-keyed count — the same scaling story as [[contamination]].
+    * novel_frac is a single IEEE division of exactly-representable
+    * integers (invariant 3).
+    */
+  def ngramNovelty(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val docs = t.widen(t.documents)
+    val grams = docs.select($"doc_id", explode(expr(gramExpr(2))).as("gram"))
+    val ref = grams.filter($"doc_id" % 2 === 0).select($"gram").distinct()
+    grams.filter($"doc_id" % 2 === 1)
+      .join(ref.withColumn("seen", lit(1)), Seq("gram"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .select($"doc_id", $"n_bigrams", $"n_unseen",
+        ($"n_unseen".cast(DoubleType) / $"n_bigrams").as("novel_frac"))
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH g AS (${gramSqlCte(2)}),
+       |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+       |sc AS (SELECT g.doc_id AS doc_id,
+       |  CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END AS unseen
+       | FROM g LEFT JOIN ref r ON g.gram = r.gram WHERE g.doc_id % 2 = 1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       | CAST(sum(unseen) AS BIGINT) AS n_unseen,
+       | CAST(sum(unseen) AS DOUBLE) / count(*) AS novel_frac
+       |FROM sc GROUP BY doc_id""".stripMargin.replace("\n", " ")
+
   // ----------------------------------------------------- the full pass
 
   /** The end-to-end curation pass — what a user actually runs before

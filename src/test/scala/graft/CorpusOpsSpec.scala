@@ -37,6 +37,24 @@ class CorpusOpsSpec extends SparkSuite {
     assert(d3.getDouble(3) == 0.1)
   }
 
+  test("ngram novelty: unseen-bigram occurrence counts vs the reference half are exact") {
+    import spark.implicits._
+    val t2 = tempTables { dir =>
+      Seq(
+        (0L, "alpha beta gamma delta", "en", "s", 22L), // reference (even)
+        (1L, "alpha beta gamma", "en", "s", 16L),       // both bigrams seen
+        (2L, "ignored reference text", "en", "s", 22L), // reference (even)
+        (3L, "alpha beta novel", "en", "s", 16L)        // one seen, one unseen
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val r = CorpusOps.ngramNovelty(t2).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getLong(2), row.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 0L, 0.0)))
+    assert(r(3L) == ((2L, 1L, 0.5)))
+    assert(!r.contains(0L) && !r.contains(2L)) // reference docs are not scored
+  }
+
   test("stratified sample matches an independent md5 recompute") {
     def h32(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
