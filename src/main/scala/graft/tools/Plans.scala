@@ -47,7 +47,11 @@ object Plans {
       "corpus_strip_boilerplate" -> graft.pipeline.CorpusOps.stripBoilerplate(t),
       "emb_quantize_int8" -> graft.sim.Similarity.embQuantizeInt8(t),
       "ann_int8" -> graft.sim.Similarity.annInt8(t),
-      "ann_ivf_int8" -> graft.sim.Similarity.annIvfInt8(t))
+      "ann_ivf_int8" -> graft.sim.Similarity.annIvfInt8(t),
+      "ann_cascade" -> graft.sim.Similarity.annCascade(t),
+      "dedup_near_kept" -> graft.dedup.Dedup.nearKeptCorpus(t),
+      "corpus_ngram_novelty" -> graft.pipeline.CorpusOps.ngramNovelty(t),
+      "dedup_image_ahash" -> graft.mm.Multimodal.imageNearDup(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
       println(df.queryExecution.explainString(
