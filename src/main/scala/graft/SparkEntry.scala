@@ -199,6 +199,12 @@ object SparkEntry {
     // real ISO-BMFF box-walk parse of synthesized (valid) MP4
     // skeletons — container metadata needs no codec; same oracle style
     "mm_video_meta"   -> q(Multimodal.videoMeta),
+    // audio energy-contour fingerprint over the real WAV chunk walk
+    // (integer-exact Shazam-style up/down contour, full hash oracle)
+    "mm_audio_fp"     -> q(Multimodal.audioFingerprint),
+    // ...and its pigeonhole-blocked near-dup pairs (confidence-gated
+    // on n_frames >= 17; Dedup.blockedHammingPairs, lossless at <= 7)
+    "dedup_audio_fp"  -> q(Multimodal.audioNearDup),
     // perceptual average-hash over REAL decoded pixels (synthesized
     // valid BMPs — an uncompressed raster, so the oracle re-derives
     // every decoded pixel by integer arithmetic); 8-byte hash per
@@ -386,6 +392,8 @@ object SparkEntry {
     "mm_video_meta"   -> Multimodal.videoMetaSql,
     "mm_image_ahash"  -> Multimodal.imageAHashSql,
     "dedup_image_ahash" -> Multimodal.imageNearDupSql,
+    "mm_audio_fp"     -> Multimodal.audioFingerprintSql,
+    "dedup_audio_fp"  -> Multimodal.audioNearDupSql,
     "text_repetition" -> graft.pipeline.CorpusOps.repetitionSql,
     "corpus_ngram_novelty" -> graft.pipeline.CorpusOps.ngramNoveltySql,
     "corpus_sample"   -> graft.pipeline.CorpusOps.stratifiedSampleSql,

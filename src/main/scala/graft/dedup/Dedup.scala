@@ -704,15 +704,33 @@ object Dedup {
     * one long per doc, the bucket join is Σ|bucket|² like LSH, and a
     * mega-bucket (boilerplate fleets sharing a block) AQE-skew-splits.
     */
-  def simhashHamming(t: Tables): DataFrame = {
-    // fingerprints feed 4 bucket keys + both verification sides —
-    // persist instead of recomputing the token pipeline per branch
-    val fp = simhash(t).persist()
-    val blocks = fp.select(col("doc_id"), col("simhash"), explode(expr(
-      "transform(sequence(0, 3), i -> " +
-        "named_struct('blk', i, 'key', shiftright(simhash, i * 8) & 255))"
+  def simhashHamming(t: Tables): DataFrame =
+    blockedHammingPairs(simhash(t), "doc_id", "simhash", nBlocks = 4, maxHam = 2)
+
+  /** Pigeonhole-blocked Hamming pairs over any fingerprint table —
+    * the candidate generator shared by [[simhashHamming]] (32-bit, 4
+    * blocks), the image aHash and the audio energy-contour pairs in
+    * graft.mm (64-bit, 8 blocks). Lossless iff maxHam < nBlocks: a
+    * pair within Hamming maxHam has ≤ maxHam differing bits spread
+    * over nBlocks disjoint 8-bit blocks, so some block matches
+    * exactly and the pair surfaces in that block's bucket. Candidate
+    * volume is Σ|bucket|² over (block, value) buckets — never
+    * all-pairs; mega-buckets are AQE-skew-split. The fingerprint table
+    * is persisted for the duration (it feeds nBlocks bucket keys plus
+    * both verification sides) and the verified pair list is
+    * localCheckpoint'd before the unpersist so callers never re-run
+    * the upstream pipeline.
+    */
+  private[graft] def blockedHammingPairs(fp0: DataFrame, idCol: String,
+      wCol: String, nBlocks: Int, maxHam: Int): DataFrame = {
+    require(maxHam < nBlocks,
+      s"pigeonhole guarantee needs maxHam < nBlocks (got $maxHam >= $nBlocks)")
+    val fp = fp0.select(col(idCol).as("doc_id"), col(wCol).as("w")).persist()
+    val blocks = fp.select(col("doc_id"), col("w"), explode(expr(
+      s"transform(sequence(0, ${nBlocks - 1}), i -> " +
+        "named_struct('blk', i, 'key', shiftright(w, i * 8) & 255))"
     )).as("b"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("w"),
         col("b.blk").as("blk"), col("b.key").as("key"))
     val out = blocks.toDF("doc_a", "fa", "blk", "key")
       .join(blocks.toDF("doc_b", "fb", "blk", "key"), Seq("blk", "key"))
@@ -720,7 +738,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("fa"), col("fb"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(fa ^ fb) AS INT)"))
-      .filter(col("hamming") <= 2)
+      .filter(col("hamming") <= maxHam)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .localCheckpoint()
     fp.unpersist()

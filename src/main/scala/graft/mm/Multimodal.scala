@@ -57,7 +57,8 @@ object Multimodal {
     * exact integer duration in microseconds
     * (`data_bytes * 1e6 div byte_rate`). */
   final case class WavMeta(audioFormat: Int, channels: Int, sampleRate: Int,
-                           bits: Int, dataBytes: Long, durationUs: Long)
+                           bits: Int, dataBytes: Long, durationUs: Long,
+                           dataOffset: Int)
 
   /** REAL RIFF/WAVE header parse — audio needs no codec, just the
     * container walk (the r14 verdict's one remaining mm gap): verify
@@ -85,6 +86,7 @@ object Multimodal {
     var off = 12
     var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
     var dataBytes: Option[Long] = None
+    var dataAt = -1 // data-chunk BODY offset, for sample-level readers
     while (off + 8 <= p.length && (fmt.isEmpty || dataBytes.isEmpty)) {
       val id = tag(off)
       val size = u32(off + 4)
@@ -93,7 +95,7 @@ object Multimodal {
         case "fmt " if body + 16 <= p.length =>
           fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
         case "data" =>
-          dataBytes = Some(size)
+          dataBytes = Some(size); dataAt = body
         case _ => // skip unknown chunks (LIST, cue, fact, ...)
       }
       off = body + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
@@ -101,7 +103,7 @@ object Multimodal {
     for ((f, ch, rate, bits) <- fmt; db <- dataBytes) yield {
       val byteRate = rate.toLong * ch * (bits / 8)
       WavMeta(f, ch, rate, bits, db,
-        if (byteRate > 0) db * 1000000L / byteRate else 0L)
+        if (byteRate > 0) db * 1000000L / byteRate else 0L, dataAt)
     }
   }
 
@@ -681,26 +683,9 @@ object Multimodal {
     * a brute-force all-pairs join and that batch-mate images (same
     * id-div-16 base pattern) are found.
     */
-  def imageNearDup(t: Tables): DataFrame = {
-    val fp = imageAHash(t).select(col("media_id"), col("ahash")).persist()
-    val blocks = fp.select(col("media_id"), col("ahash"), explode(expr(
-      "transform(sequence(0, 7), i -> " +
-        "named_struct('blk', i, 'key', shiftright(ahash, i * 8) & 255))"
-    )).as("b"))
-      .select(col("media_id"), col("ahash"),
-        col("b.blk").as("blk"), col("b.key").as("key"))
-    val out = blocks.toDF("doc_a", "fa", "blk", "key")
-      .join(blocks.toDF("doc_b", "fb", "blk", "key"), Seq("blk", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("fa"), col("fb"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(fa ^ fb) AS INT)"))
-      .filter(col("hamming") <= 7)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .localCheckpoint()
-    fp.unpersist()
-    out
-  }
+  def imageNearDup(t: Tables): DataFrame =
+    graft.dedup.Dedup.blockedHammingPairs(
+      imageAHash(t), "media_id", "ahash", nBlocks = 8, maxHam = 7)
 
   val imageNearDupSql: String =
     s"""$ahashCte,
@@ -709,6 +694,114 @@ object Multimodal {
        | FROM ah CROSS JOIN range(0, 8) r),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
        |  a.ahash AS fa, c.ahash AS fb
+       | FROM b a JOIN b c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= 7""".stripMargin.replace("\n", " ")
+
+  // ---------------------------------------- audio energy fingerprint
+
+  /** Fingerprint framing: 8-byte energy frames, capped at 65 (so the
+    * delta contour fills at most 64 bits) — mirrored by the oracle's
+    * range(0, 520) position table. */
+  private val FpFrameBytes = 8
+  private val FpMaxFrames = 65
+
+  /** Audio energy-contour fingerprint — the audio twin of
+    * [[imageAHash]] and the landmark idea behind audio matchers
+    * (Shazam-style) reduced to its integer-exact core: parse the WAV
+    * container for real (the [[parseWav]] chunk walk now reports the
+    * data-chunk offset), frame the sample bytes into 8-byte energy
+    * windows, and set bit i iff the energy RISES from frame i to
+    * i+1. The up/down contour is amplitude-scale-robust in real audio
+    * and is pure integer arithmetic here, so the 64-bit fingerprint
+    * re-derives in SQL from the text bytes (the synthesized data
+    * chunk) — a FULL hash oracle over a real container round trip.
+    * Same 100 TB shape as the image hash: per-partition decode, 8
+    * bytes of fingerprint + frame count as the resident set.
+    */
+  def audioFingerprint(t: Tables): DataFrame = {
+    import t.spark.implicits._ // Tuple4 encoder
+    wavFromDocuments(t).mapPartitions { rows =>
+      rows.map { r =>
+        val m = parseWav(r.payload).getOrElse(
+          sys.error(s"media ${r.media_id}: synthesized WAV failed to parse"))
+        val start = m.dataOffset
+        val nData = math.min(m.dataBytes, (FpMaxFrames * FpFrameBytes).toLong).toInt
+        val nFrames = (nData + FpFrameBytes - 1) / FpFrameBytes
+        val e = new Array[Long](math.max(nFrames, 1))
+        var i = 0
+        while (i < nData) {
+          e(i / FpFrameBytes) += (r.payload(start + i) & 0xff).toLong
+          i += 1
+        }
+        var word = 0L
+        var f = 0
+        while (f < nFrames - 1 && f < 64) {
+          if (e(f + 1) > e(f)) word |= (1L << f)
+          f += 1
+        }
+        (r.media_id, nFrames.toLong, word, java.lang.Long.bitCount(word).toLong)
+      }
+    }.toDF("media_id", "n_frames", "fp", "nbits")
+  }
+
+  /** Shared oracle CTE ending in `fpt(doc_id, n_frames, fp)`: frame
+    * energies from the text bytes (ASCII ⇒ byte i == unicode of char
+    * i+1, the same equivalence frameSample/resizeMeta rely on), delta
+    * bits OR'd via a 64-branch literal-weight CASE (DuckDB refuses
+    * `1::BIGINT << 63`; the bit-63 literal round-trips via HUGEINT).
+    * Docs too short for any delta keep fp = 0 through the LEFT join.
+    */
+  private val audioFpCte: String = {
+    val wcase = (0 until 64).map(i =>
+      s"WHEN $i THEN CAST(${1L << i} AS BIGINT)").mkString(" ")
+    s"""WITH ch AS (
+       | SELECT doc_id, p.range AS pos,
+       |  CAST(unicode(substr(text, CAST(p.range + 1 AS INT), 1)) AS BIGINT) AS b
+       | FROM documents
+       | JOIN range(0, ${FpMaxFrames * FpFrameBytes}) p
+       |  ON p.range < least(length(text), ${FpMaxFrames * FpFrameBytes})),
+       |fe AS (SELECT doc_id, pos // $FpFrameBytes AS fi, sum(b) AS e
+       | FROM ch GROUP BY doc_id, pos // $FpFrameBytes),
+       |d AS (SELECT a.doc_id AS doc_id, a.fi AS fi,
+       |  CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS up
+       | FROM fe a JOIN fe b ON a.doc_id = b.doc_id AND b.fi = a.fi + 1),
+       |w AS (SELECT doc_id,
+       |  bit_or(CASE WHEN up = 0 THEN 0 ELSE CASE fi $wcase END END) AS fp
+       | FROM d GROUP BY doc_id),
+       |fpt AS (SELECT dd.doc_id AS doc_id,
+       |  CAST(least((length(dd.text) + ${FpFrameBytes - 1}) // $FpFrameBytes, $FpMaxFrames) AS BIGINT) AS n_frames,
+       |  coalesce(w.fp, 0) AS fp
+       | FROM documents dd LEFT JOIN w ON dd.doc_id = w.doc_id)""".stripMargin
+  }
+
+  val audioFingerprintSql: String =
+    s"""$audioFpCte
+       |SELECT doc_id AS media_id, n_frames, fp,
+       | CAST(bit_count(fp) AS BIGINT) AS nbits
+       |FROM fpt""".stripMargin.replace("\n", " ")
+
+  /** Audio near-dup pairs: Hamming <= 7 on the energy contour, same
+    * provably-lossless pigeonhole 8-bit-block bucketing as the image
+    * pairs (Dedup.blockedHammingPairs). Short clips are excluded on
+    * BOTH sides (n_frames >= 17, i.e. >= 16 meaningful contour bits):
+    * a near-empty contour word is mostly zero bits, so two unrelated
+    * short clips would otherwise pair spuriously — the gate is the
+    * fingerprint-confidence floor a real audio matcher applies before
+    * trusting a match.
+    */
+  def audioNearDup(t: Tables): DataFrame =
+    graft.dedup.Dedup.blockedHammingPairs(
+      audioFingerprint(t).filter(col("n_frames") >= 17),
+      "media_id", "fp", nBlocks = 8, maxHam = 7)
+
+  val audioNearDupSql: String =
+    s"""$audioFpCte,
+       |b AS (SELECT doc_id, fp, CAST(r.range AS INT) AS blk,
+       |  (fp >> (CAST(r.range AS INT) * 8)) & 255 AS key
+       | FROM fpt CROSS JOIN range(0, 8) r WHERE n_frames >= 17),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  a.fp AS fa, c.fp AS fb
        | FROM b a JOIN b c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(fa, fb)) <= 7""".stripMargin.replace("\n", " ")

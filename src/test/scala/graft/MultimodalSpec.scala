@@ -120,6 +120,41 @@ class MultimodalSpec extends SparkSuite {
     assert(brute.nonEmpty, "expected batch-mate near-dup pairs to exist")
   }
 
+  test("audio fingerprint equals a direct energy-contour recompute from the text bytes") {
+    import org.apache.spark.sql.functions.col
+    val texts = t.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fp = Multimodal.audioFingerprint(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fp.size == texts.size)
+    texts.foreach { case (id, text) =>
+      val data = text.getBytes("US-ASCII").take(520)
+      val nf = (data.length + 7) / 8
+      val e = Array.tabulate(nf)(f =>
+        data.slice(f * 8, (f + 1) * 8).map(b => (b & 0xff).toLong).sum)
+      var w = 0L
+      for (i <- 0 until math.min(math.max(nf - 1, 0), 64))
+        if (e(i + 1) > e(i)) w |= 1L << i
+      assert(fp(id) == ((nf.toLong, w, java.lang.Long.bitCount(w).toLong)), s"doc $id")
+    }
+  }
+
+  test("audio near-dup blocking is lossless vs brute force; dup texts pair at distance 0") {
+    val fp = Multimodal.audioFingerprint(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 >= 17).map(r => (r._1, r._3)).sortBy(_._1)
+    val brute = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 7
+    } yield (a, b, h)).toSet
+    val blocked = Multimodal.audioNearDup(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == brute)
+    // the corpus has exact-dup texts (Dedup.exact copies>1): identical
+    // data chunks give identical contours, so distance-0 pairs exist
+    assert(brute.exists(_._3 == 0), "expected distance-0 pairs from duplicate texts")
+  }
+
   test("resizeMeta digests match a driver-side resizeStub recompute") {
     val got = Multimodal.resizeMeta(t).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
@@ -156,7 +191,7 @@ class MultimodalSpec extends SparkSuite {
       .put(Array[Byte](1, 2, 3, 4))
     val m = Multimodal.parseWav(bb.array()).get
     assert(m == Multimodal.WavMeta(1, 2, 44100, 16, 4L,
-      4L * 1000000L / (44100L * 2 * 2)))
+      4L * 1000000L / (44100L * 2 * 2), 44))
   }
 
   test("WAV parse is a real chunk walker: extra LIST chunk and odd-size padding survive") {
@@ -174,7 +209,8 @@ class MultimodalSpec extends SparkSuite {
       .put("LIST".getBytes("US-ASCII")).putInt(7).put(info).put(0.toByte)
       .put("data".getBytes("US-ASCII")).putInt(5).put(data).put(0.toByte)
     val m = Multimodal.parseWav(bb.array()).get
-    assert(m == Multimodal.WavMeta(1, 1, 8000, 8, 5L, 5L * 1000000L / 8000L))
+    // LIST (8 + 7 + 1 pad) shifts the data body to 12 + 24 + 16 + 8 = 60
+    assert(m == Multimodal.WavMeta(1, 1, 8000, 8, 5L, 5L * 1000000L / 8000L, 60))
     // non-WAV payloads refuse loudly (None), not garbage
     assert(Multimodal.parseWav("not audio at all".getBytes).isEmpty)
     assert(Multimodal.parseWav(Array[Byte](82, 73)).isEmpty) // truncated "RI"
