@@ -190,6 +190,10 @@ object SparkEntry {
     // hashed-feature linear quality classifier (fastText-filter
     // shape): zero-shuffle HOF fold, exact integer score, full oracle
     "text_quality_model" -> q(TextAnalysis.qualityModel),
+    // feature-hashed signed text embeddings (no model, no RNG — both
+    // hashes md5-derived): the text → vector generator for the
+    // dedup/ANN families, sparse nonzero cells + L2 weights
+    "text_embed"      -> q(TextAnalysis.embed),
     "text_bpe_token_count" -> q(graft.text.Tokenizer.bpeTokenCount),
     "text_scrub"      -> q(TextAnalysis.scrub),
     "mm_binary_meta"  -> q(Multimodal.binaryMeta),
@@ -383,6 +387,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_token_count" -> TextAnalysis.tokenCountSql,
     "text_quality_model" -> TextAnalysis.qualityModelSql,
+    "text_embed"      -> TextAnalysis.embedSql,
     "text_bpe_token_count" -> graft.text.Tokenizer.bpeTokenCountSql,
     "text_scrub"      -> TextAnalysis.scrubSql,
     "text_window_hashes" -> graft.text.RollingHash.windowHashStatsSql,

@@ -237,6 +237,57 @@ object TextAnalysis {
     * narrow per-row map: zero shuffle, scales with bytes scanned.
     * Emits the cleaned text plus the audit count of removed tokens.
     */
+  /** Deterministic feature-hashed text embeddings (Weinberger et al.'s
+    * hashing trick, signed variant): each token lands in dimension
+    * h32(w) mod 64 with sign h32(w‖':s') mod 2, and the signed counts
+    * accumulate per (doc, dim) — the generator that turns raw text
+    * into the vectors the dedup/ANN families consume, with no trained
+    * model and no RNG (both hashes are md5-derived, so the embedding
+    * is reproducible from the raw corpus on any engine). Output rows
+    * are the sparse nonzero cells (doc_id, dim, cnt) plus the
+    * L2-normalized weight; cnt sums are exact integers, the per-doc
+    * norm is one sqrt of an exact integer and each weight one IEEE
+    * division — the whole table carries a FULL hash oracle.
+    *
+    * Shape at 100 TB: one token explode, two map-side-combinable
+    * aggregations ((doc, dim) then doc), one doc-keyed join — a word
+    * count in vector clothing. 64 dims is the testdata contract (it
+    * feeds the same 64-dim ANN machinery); real deployments raise the
+    * modulus, which changes no shape.
+    */
+  def embed(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val h = graft.dedup.Dedup.h32 _
+    val tf = t.widen(t.documents)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .select($"doc_id", (h($"w") % 64).as("dim"),
+        when(h(concat($"w", lit(":s"))) % 2 === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy($"doc_id", $"dim")
+      .agg(sum($"s").as("cnt"))
+      .filter($"cnt" =!= 0)
+    val nrm = tf.groupBy($"doc_id").agg(sum($"cnt" * $"cnt").as("ss"))
+    tf.join(nrm, "doc_id")
+      .select($"doc_id", $"dim", $"cnt",
+        ($"cnt" / sqrt($"ss")).as("weight"))
+  }
+
+  val embedSql: String = {
+    val hw = graft.dedup.Dedup.sqlH32("w")
+    val hs = graft.dedup.Dedup.sqlH32("w || ':s'")
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tf AS (
+       | SELECT doc_id, $hw % 64 AS dim,
+       |  CAST(sum(CASE WHEN $hs % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS cnt
+       | FROM tok WHERE w <> '' GROUP BY doc_id, $hw % 64),
+       |nz AS (SELECT doc_id, dim, cnt FROM tf WHERE cnt <> 0),
+       |nrm AS (SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS ss
+       | FROM nz GROUP BY doc_id)
+       |SELECT nz.doc_id AS doc_id, dim, cnt, cnt / sqrt(ss) AS weight
+       |FROM nz JOIN nrm ON nz.doc_id = nrm.doc_id""".stripMargin.replace("\n", " ")
+  }
+
   def scrub(t: Tables): DataFrame = {
     import t.spark.implicits._
     val toks = filter(split($"text", " "), x => x =!= "")

@@ -55,6 +55,46 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!r.contains(0L) && !r.contains(2L)) // reference docs are not scored
   }
 
+  test("text embedding: signed-hash counts match an independent md5 recompute, unit norm") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val t2 = tempTables { dir =>
+      Seq(
+        (1L, "alpha beta gamma alpha", "en", "s", 22L),
+        (2L, "gamma alpha beta alpha", "en", "s", 22L), // same multiset as 1
+        (3L, "delta epsilon", "en", "s", 13L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val rows = TextAnalysis.embed(t2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // independent recompute for doc 1
+    val expect = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    "alpha beta gamma alpha".split(" ").foreach { w =>
+      expect(h32(w) % 64) += (if (h32(w + ":s") % 2 == 0) 1L else -1L)
+    }
+    val nz = expect.filter(_._2 != 0L)
+    val ss = nz.values.map(c => c * c).sum
+    nz.foreach { case (dim, cnt) =>
+      assert(rows((1L, dim)) == ((cnt, cnt / math.sqrt(ss.toDouble))), s"dim $dim")
+    }
+    // permutation invariance: same token multiset → identical cells
+    val d1 = rows.collect { case ((1L, dim), v) => dim -> v }
+    val d2 = rows.collect { case ((2L, dim), v) => dim -> v }
+    assert(d1 == d2)
+    // unit norm per doc
+    Seq(1L, 2L, 3L).foreach { d =>
+      val s2 = rows.collect { case ((`d`, _), (_, w)) => w * w }.sum
+      assert(math.abs(s2 - 1.0) < 1e-12, s"doc $d norm $s2")
+    }
+  }
+
   test("stratified sample matches an independent md5 recompute") {
     def h32(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
