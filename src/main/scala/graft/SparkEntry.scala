@@ -177,6 +177,17 @@ object SparkEntry {
           timestamp_seconds(col("vec_id")).as("ts"))
       graft.streaming.Streams.annStreamIvf(probes, idx, cents)
     }),
+    // the index WRITE path streamed: row-local quantize + cell-assign
+    // of arriving vectors against the broadcast-scale centroids —
+    // stateless, no shuffle. Rows-only (KMeans centroids); check.py
+    // bands the quantization columns against the hash-checked
+    // emb_quantize_int8 per vec_id, StreamingSpec pins cell agreement
+    // with the batch MLlib builder + the real MemoryStream drive
+    "stream_index_append" -> q((t: Tables) => {
+      val (_, cents) = Similarity.quantizedCellIndex(t)
+      graft.streaming.Streams.indexAppend(
+        t.widen(t.embeddings).select(col("vec_id"), col("embedding")), cents)
+    }),
     "text_stats"      -> q(TextAnalysis.stats),
     "text_quality"    -> q(TextAnalysis.quality),
     "text_lang_id"    -> q(TextAnalysis.langId),

@@ -441,6 +441,47 @@ object Streams {
         (col("pos") + 1).cast("long").as("rnk"), col("col._1").as("score"))
   }
 
+  /** Streaming IVF-index maintenance — the write path the retrieval
+    * streams' scaladocs keep referencing ("the nightly batch job
+    * maintains the index; the stream probes it") taken streaming
+    * itself: each arriving vector is quantized and cell-assigned
+    * ROW-LOCALLY (the same nrm→u→qmax→codes chain the probes run,
+    * plus a nearest-centroid pick over the broadcast-scale centroid
+    * constants via [[rankedCellArray]]), producing the (vec_id, cell,
+    * qmax, codes) rows an append sink adds to the cell-partitioned
+    * codes table. COMPLETELY STATELESS — no watermark, no state
+    * store, no shuffle: index ingestion costs exactly one projection
+    * per vector at any rate, and a periodic batch job only re-FITS
+    * the coarse quantizer (drift), never re-ingests.
+    *
+    * Batch-driven, the quantization columns are bitwise
+    * emb_quantize_int8's (the same expression chain), which check.py
+    * band-pins per vec_id; the cell pick is the probes' expression,
+    * so index and probe sides agree on geometry by construction —
+    * StreamingSpec additionally pins exact agreement with the MLlib
+    * transform the batch builder uses, and drives a real MemoryStream
+    * against the batch path. Rows-only at the driver (the KMeans
+    * centroids aren't SQL-derivable).
+    */
+  def indexAppend(vectors: DataFrame,
+                  centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(vectors.sparkSession)
+    val rankedCells = rankedCellArray(centroids, col("v"))
+    vectors
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(GraftFunctions.graftDot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      .withColumn("qmax", array_max(transform(col("u"), x => abs(x))))
+      .withColumn("codes",
+        transform(col("u"), x => floor(x * (lit(127.0) / col("qmax")) + lit(0.5))))
+      .withColumn("cell", element_at(rankedCells, 1).getField("cell"))
+      .select(col("vec_id"), col("cell"), col("qmax"),
+        concat_ws(":", transform(col("codes"), x => x.cast(StringType))).as("codes"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"))
+  }
+
   /** Event-time sessionization with explicit state: sessions close after
     * `gapMinutes` of per-user silence (state timeout = watermark-driven
     * eviction). The streaming twin of Relational.q17Sessionize.

@@ -33,8 +33,8 @@ object SweepCaches {
     "dedup_embedding", "dedup_embedding_ivf",
     "ann_brute_force", "ann_ivf", "ann_lsh",
     "emb_quantize_int8", "ann_int8", "ann_ivf_int8", "stream_ann_int8",
-    "stream_ann_ivf_int8", "ann_pq", "ann_ivf_pq", "ann_hamming",
-    "ann_cascade", "dedup_semantic")
+    "stream_ann_ivf_int8", "stream_index_append", "ann_pq", "ann_ivf_pq",
+    "ann_hamming", "ann_cascade", "dedup_semantic")
 
   /** Queries that read Dedup.lshCache (the memoized pair table) or
     * Dedup.sigCache (the shared signature table). Same pin as

@@ -502,6 +502,47 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("index append: expression cell pick equals the MLlib builder; stream matches batch") {
+    import spark.implicits._
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val (idx0, cents) = graft.sim.Similarity.quantizedCellIndex(t)
+      val idx = idx0.localCheckpoint()
+      val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
+      val appended = Streams.indexAppend(vecs, cents).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getString(3)))).toMap
+      // vs the batch MLlib-built index: same rows, same cells, same codes
+      val built = idx.collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2),
+          r.getSeq[Double](3).map(_.toLong).mkString(":")))).toMap
+      assert(appended.keySet == built.keySet)
+      val cellAgree = appended.count { case (id, (c, _, _)) => built(id)._1 == c }
+      info(s"cell agreement: $cellAgree/${appended.size}")
+      assert(appended == built,
+        "row-local append must reproduce the batch-built index exactly")
+
+      // real micro-batch drive equals the batch-driven rows
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[VecProbe]
+      val q = Streams.indexAppend(
+          input.toDF().select(col("vec_id"), col("embedding")), cents)
+        .writeStream.format("memory").queryName("idxappend")
+        .outputMode("append").start()
+      try {
+        val probeVecs = t.embeddings.filter(col("vec_id").isin(13L, 26L))
+          .collect().map(r => (r.getAs[Long]("vec_id"),
+            r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)).toMap
+        input.addData(
+          VecProbe(13L, probeVecs(13L), ts(5)),
+          VecProbe(26L, probeVecs(26L), ts(10)))
+        q.processAllAvailable()
+        val got = spark.table("idxappend").collect()
+          .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getString(3)))).toMap
+        assert(got == appended.view.filterKeys(Set(13L, 26L)).toMap)
+      } finally q.stop()
+    }
+  }
+
   test("streaming annStream: probes search the static int8 index; rows match batch") {
     import spark.implicits._
     withLogLevel {

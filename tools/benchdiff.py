@@ -121,6 +121,7 @@ def main():
             "dedup_embedding", "dedup_embedding_ivf", "ann_brute_force",
             "ann_ivf", "ann_lsh", "emb_quantize_int8", "ann_int8",
             "ann_ivf_int8", "stream_ann_int8", "stream_ann_ivf_int8",
+            "stream_index_append",
             "ann_pq", "ann_ivf_pq", "ann_hamming", "ann_cascade",
             "dedup_semantic"],
         "dedup (MinHash signature/pair tables)": [

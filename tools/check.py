@@ -269,6 +269,36 @@ def _band_ann_recall(con, out_dir, name):
 # skipping the band check (round-10 verdict item). text_rolling_hash
 # additionally carries a FULL hash oracle since r15; its band here is
 # the independent structural check (winnow membership + density).
+def _band_index_append(con, out_dir, name):
+    """The streamed index write path's quantization columns must be
+    BITWISE the hash-checked emb_quantize_int8 table per vec_id (same
+    expression chain, so any drift is a real regression), with one row
+    per quantized vector and a well-formed non-negative cell id. The
+    cell PICK is pinned Spark-side (StreamingSpec vs the MLlib
+    transform); this band anchors the values the oracle can see."""
+    base = f"{out_dir}/emb_quantize_int8"
+    if not glob.glob(f"{base}/*.parquet"):
+        print(f"FAIL {name}[band]: baseline emb_quantize_int8 output missing")
+        return False
+    bad = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet') a "
+        f"FULL JOIN read_parquet('{base}/*.parquet') b USING (vec_id) "
+        f"WHERE a.qmax IS DISTINCT FROM b.qmax "
+        f" OR a.codes IS DISTINCT FROM b.codes "
+        f" OR a.code_sum IS DISTINCT FROM b.code_sum "
+        f" OR a.cell IS NULL OR a.cell < 0").fetchone()[0]
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')"
+    ).fetchone()[0]
+    if bad or n == 0:
+        print(f"FAIL {name}[band]: {bad} rows disagree with emb_quantize_int8 "
+              f"(or empty output, n={n})")
+        return False
+    print(f"PASS {name}[band] (all {n} rows bitwise-match emb_quantize_int8; "
+          f"cells well-formed)")
+    return True
+
+
 BAND_CHECKS = {
     "q27_approx_distinct": _band_q27,
     "q40_approx_quantile": _band_q40,
@@ -280,6 +310,7 @@ BAND_CHECKS = {
     "ann_pq": _band_ann_recall,
     "ann_ivf_pq": _band_ann_recall,
     "text_rolling_hash": _band_rolling_hash,
+    "stream_index_append": _band_index_append,
 }
 
 

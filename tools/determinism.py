@@ -7,6 +7,7 @@ import sys
 import duckdb
 
 ROWS_ONLY = ["ann_ivf", "ann_ivf_int8", "stream_ann_ivf_int8",
+             "stream_index_append",
              "dedup_embedding_ivf", "ann_pq", "ann_ivf_pq", "dedup_semantic",
              "q27_approx_distinct", "q40_approx_quantile",
              "text_rolling_hash"]
