@@ -118,6 +118,14 @@ object SparkEntry {
     "dedup_substring" -> q(Dedup.substringDup),
     "dedup_simhash_hamming" -> q(Dedup.simhashHamming),
     "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard),
+    // Ed-Join prefix-filtered Levenshtein pairs over 64-char keys; the
+    // oracle is the unfiltered quadratic form (the filter is lossless)
+    "dedup_edit_distance" -> q(Dedup.editDistance),
+    // asymmetric min-side prefix filter; catches subset/quotation dups
+    // Jaccard structurally misses
+    "dedup_containment" -> q(Dedup.containment),
+    // duplicate-cluster size histogram incl. the singleton row
+    "dedup_cluster_stats" -> q(Dedup.clusterStats),
     "dedup_embedding" -> q(Similarity.embeddingNearDup),
     // rows-only: KMeans quantizer isn't SQL-derivable (like ann_ivf);
     // SimilaritySpec pins pair recall vs the label-blocked baseline
@@ -374,6 +382,9 @@ object SparkEntry {
     "dedup_substring" -> Dedup.substringDupSql,
     "dedup_simhash_hamming" -> Dedup.simhashHammingSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_edit_distance" -> Dedup.editDistanceSql,
+    "dedup_containment" -> Dedup.containmentSql,
+    "dedup_cluster_stats" -> Dedup.clusterStatsSql,
     "dedup_embedding" -> Similarity.embeddingNearDupSql,
     "ann_brute_force" -> Similarity.annBruteForceSql,
     // ann_lsh IS oracle-checkable despite recall<1: the md5-derived

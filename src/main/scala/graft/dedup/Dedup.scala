@@ -859,4 +859,236 @@ object Dedup {
       |SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
       |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
       |WHERE common * 10 >= (x.n + y.n - common)""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------- edit-distance join (exact)
+
+  /** Fuzzy-key dedup: pairs of documents whose 64-char text prefixes are
+    * within Levenshtein distance [[EdMaxDist]], found by Ed-Join-style
+    * df-ordered prefix filtering over character 3-grams (Xiao, Wang &
+    * Lin, PVLDB 2008) and verified with the exact distance. Edit
+    * distance is the one string metric the set-based families
+    * (MinHash/Jaccard/SimHash) cannot express — transpositions and
+    * small in-place edits barely move a character-level alignment but
+    * scramble shingle sets — and it is the standard key-matching metric
+    * for short normalized fields (titles, URLs, product keys). The key
+    * is the 64-char prefix precisely because Levenshtein verification
+    * is O(|s|·|t|): bounding the key bounds per-pair verify cost at a
+    * constant 64², the production shape for fuzzy KEY matching (full-
+    * document near-dup stays with the gram/minhash families).
+    *
+    * Candidate generation is lossless for the threshold: one edit
+    * operation changes the content of at most q overlapping q-grams,
+    * so two keys with ed ≤ d share all but ≤ q·d gram contents. Order
+    * all grams globally by (df asc, gram) and keep each key's first
+    * q·d + 1 = 37 DISTINCT grams: if the two prefixes shared nothing,
+    * take the globally smallest common gram g — g ∉ prefix(A) (say)
+    * forces every common gram behind A's prefix boundary, leaving A at
+    * most |G(A)| − 37 < |G(A)| − q·d common grams, contradicting the
+    * bound (the same global-ordering argument as [[ngramJaccard]]'s
+    * proof, with the pigeonhole count swapped in). Keys too short to
+    * carry q·d + 1 grams (len < 39) can evade the pigeonhole — they
+    * pair among themselves in an explicit short block (empty on
+    * quality-gated corpora, where sub-39-char docs don't survive; the
+    * block is all-pairs over that residue by construction, documented
+    * as Σ|short|²).
+    *
+    * Scale shape (100 TB): the gram table is ≤ 62 rows per doc (64-char
+    * key), df comes from the same groupBy+join-back as [[ngramJaccard]]
+    * (no hot-key window), and df-ordering keeps stop-grams out of
+    * prefixes — a 3-gram shared by 10⁶ keys sorts last and lands in a
+    * prefix only when the key has almost nothing rarer, so the
+    * candidate self-join never forms the quadratic stop-gram bucket.
+    * Verification is one 64²-bounded codegen'd `levenshtein` per
+    * surviving candidate. The oracle is the unfiltered quadratic form
+    * (losslessness makes them identical); the Spark side is the one
+    * that scales.
+    */
+  def editDistance(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val keys = t.widen(t.documents)
+      .select($"doc_id", substring($"text", 1, 64).as("k"))
+      .withColumn("l", length($"k"))
+      .persist() // feeds grams, the short block, and both verify joins
+    val grams = keys
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, greatest(l - 2, 1)), i -> substring(k, i, 3))"
+      )).as("gram"))
+      .distinct()
+      .persist() // feeds df + prefix
+    val dfTab = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+    val prefix = grams
+      .join(dfTab, "gram")
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"df", $"gram")).as("lst"))
+      .select($"doc_id", explode(expr(
+        "slice(array_sort(lst), 1, 37)" // q·d + 1; slice clamps short lists
+      )).as("e"))
+      .select($"doc_id", $"e.gram".as("gram"))
+      .persist() // both sides of the candidate self-join
+    val cand = prefix.toDF("doc_a", "gram")
+      .join(prefix.toDF("doc_b", "gram"), "gram")
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+    val sh = keys.filter($"l" < 39).select($"doc_id")
+    val shortPairs = sh.toDF("doc_a")
+      .crossJoin(sh.toDF("doc_b")) // Σ|short|² residue block, see scaladoc
+      .filter($"doc_a" < $"doc_b")
+    val out = cand.union(shortPairs).distinct()
+      .join(keys.select($"doc_id".as("doc_a"), $"k".as("ka"), $"l".as("la")), "doc_a")
+      .join(keys.select($"doc_id".as("doc_b"), $"k".as("kb"), $"l".as("lb")), "doc_b")
+      .filter(abs($"la" - $"lb") <= EdMaxDist) // ed ≥ |len diff|: free prune
+      .withColumn("dist", levenshtein($"ka", $"kb"))
+      .filter($"dist" <= EdMaxDist)
+      .select($"doc_a", $"doc_b", $"dist")
+      .localCheckpoint()
+    keys.unpersist(); grams.unpersist(); prefix.unpersist()
+    out
+  }
+
+  /** Levenshtein threshold for [[editDistance]] (d in the q·d+1 prefix). */
+  private val EdMaxDist = 12
+
+  /** Oracle: the unfiltered quadratic form — identical output because
+    * the prefix filter is lossless; both engines' `levenshtein` is the
+    * textbook unit-cost Wagner–Fischer distance.
+    */
+  val editDistanceSql: String =
+    """WITH kk AS (SELECT doc_id, substr(text, 1, 64) AS k FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | CAST(levenshtein(a.k, b.k) AS INT) AS dist
+      |FROM kk a JOIN kk b
+      | ON a.doc_id < b.doc_id AND abs(len(a.k) - len(b.k)) <= 12
+      |WHERE levenshtein(a.k, b.k) <= 12""".stripMargin.replace("\n", " ")
+
+  // ----------------------------------------- containment pairs (exact)
+
+  /** Asymmetric containment dedup: pairs where the smaller document's
+    * gram set is at least half inside the larger's —
+    * C(A,B) = |A∩B| / min(|A|,|B|) ≥ 1/2 over the same distinct
+    * word-5-gram sets as [[ngramJaccard]]. Containment is the metric
+    * Jaccard structurally misses: a 50-gram document quoted verbatim
+    * inside a 5000-gram one has J ≈ 0.01 (invisible at any usable
+    * Jaccard threshold) but C = 1.0 — exactly the quotation/subset
+    * duplication a training corpus accumulates.
+    *
+    * Candidate generation is ASYMMETRIC prefix filtering: only the
+    * SMALLER side's τ-prefix (first n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1 grams in
+    * global (df, gram) order) joins, against the larger side's FULL
+    * gram table. Lossless: if no prefix gram of A (the min side)
+    * appears anywhere in B, every common gram sits behind A's prefix
+    * boundary, so |A∩B| ≤ |A| − (⌊|A|/2⌋ + 1) = ⌈|A|/2⌉ − 1 < |A|/2 —
+    * contradiction with C ≥ 1/2. (A symmetric prefix-prefix join is
+    * NOT lossless here: the min-normalized score puts no useful bound
+    * on how deep the common grams sit in the LARGE side's ordering,
+    * which is why this family needs its own candidate shape rather
+    * than [[ngramJaccard]]'s.) Threshold is integer arithmetic
+    * (common·2 ≥ n_min); the score is one IEEE division of exactly
+    * representable ints.
+    *
+    * Scale shape (100 TB): the full-side posting lists carry the
+    * stop-gram weight, but a hot gram meets only prefixes that rank it
+    * unusually low — the Σ|posting|·|prefix-posting| cost is the
+    * All-Pairs asymmetric bound, far under the raw Σ|posting|² the
+    * unfiltered join pays. Verification reuses the candidate-doc
+    * semi-join pattern: exact |A∩B| is computed only over docs that
+    * survived candidate generation.
+    */
+  def containment(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val grams = t.widen(t.documents)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, least(greatest(size(split(text, ' '))-4, 1), 8191)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+      )).as("gram"))
+      .distinct()
+      .persist() // feeds sz + df + prefix + full join side + verification
+    val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val dfTab = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+    val prefix = grams
+      .join(dfTab, "gram")
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"df", $"gram")).as("lst"))
+      .select($"doc_id", explode(expr(
+        "slice(array_sort(lst), 1, size(lst) div 2 + 1)" // n − ⌈n/2⌉ + 1
+      )).as("e"))
+      .select($"doc_id", $"e.gram".as("gram"))
+    // (n, doc_id) is the total order that picks the "smaller" side, so
+    // ties break deterministically and each unordered pair appears once
+    val cand = prefix.join(sz, "doc_id").toDF("doc_a", "gram", "na")
+      .join(grams.join(sz, "doc_id").toDF("doc_b", "gram", "nb"), "gram")
+      .filter($"na" < $"nb" || ($"na" === $"nb" && $"doc_a" < $"doc_b"))
+      .select($"doc_a", $"doc_b")
+      .distinct()
+      .persist() // feeds the doc-id semi-join and the verification join
+    val candDocs = cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
+      .distinct()
+    val gramsC = grams
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .persist() // read twice below (doc_a side and doc_b side)
+    val out = cand
+      .join(gramsC.toDF("doc_a", "gram"), "doc_a")
+      .join(gramsC.toDF("doc_b", "gram"), Seq("doc_b", "gram"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+      .join(sz.toDF("doc_a", "na"), "doc_a")
+      .filter($"common" * 2 >= $"na") // na IS min(|A|,|B|) by orientation
+      .select($"doc_a", $"doc_b", $"common",
+        ($"common".cast(DoubleType) / $"na").as("containment"))
+      .localCheckpoint()
+    grams.unpersist(); cand.unpersist(); gramsC.unpersist()
+    out
+  }
+
+  /** Oracle: unfiltered pair join with the same (n, doc_id) orientation
+    * — identical output because the asymmetric prefix is lossless.
+    */
+  val containmentSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(toks[CAST(r.range AS INT):CAST(r.range AS INT)+4], ' ') AS gram
+      | FROM d JOIN range(1, 8192) r ON r.range <= greatest(len(toks)-4, 1)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+      |o AS (SELECT doc_a, doc_b, common, x.n AS na
+      | FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      | WHERE x.n < y.n OR (x.n = y.n AND doc_a < doc_b))
+      |SELECT doc_a, doc_b, common, CAST(common AS DOUBLE) / na AS containment
+      |FROM o WHERE common * 2 >= na""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------- cluster statistics
+
+  /** Duplicate-cluster size histogram — the dedup pipeline's summary
+    * report: how many near-dup components of each size the corpus
+    * carries, with unclustered documents counted as size-1 singletons.
+    * One groupBy over [[clusters]]' component table (component-count
+    * cardinality, already tiny relative to the corpus) plus one
+    * anti-join for the singleton row; CC components always have ≥ 2
+    * members (every node arrives via an edge), so the synthesized
+    * size-1 row never collides with a real component size.
+    */
+  def clusterStats(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val cl = clusters(t).persist() // feeds the histogram and the anti-join
+    val hist = cl
+      .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singles = t.documents.select($"doc_id")
+      .join(cl.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), $"n_clusters")
+    val out = hist.unionByName(singles).localCheckpoint()
+    cl.unpersist()
+    out
+  }
+
+  val clusterStatsSql: String =
+    s"""WITH sizes AS (SELECT cluster_id, count(*) AS cluster_size
+       |  FROM ($clustersSql) c GROUP BY 1),
+       |hist AS (SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1)
+       |SELECT cluster_size, n_clusters FROM hist
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT) AS cluster_size, count(*) AS n_clusters
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM ($clustersSql) c2 WHERE c2.doc_id = d.doc_id)""".stripMargin
+      .replace("\n", " ")
 }

@@ -41,6 +41,7 @@ object SweepCaches {
     * [[simConsumers]]. */
   private[graft] val dedupConsumers = Set(
     "dedup_minhash_lsh", "dedup_clusters", "dedup_near_kept",
+    "dedup_cluster_stats",
     "corpus_split_leakage", "dedup_incremental_near", "stream_near_dup")
 
   /** Queries that read CorpusOps.lineDfCache (the shared

@@ -277,4 +277,87 @@ class DedupSpec extends SparkSuite {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("edit distance: identical prefixes at 0, near-dup small, unrelated absent") {
+    val got = Dedup.editDistance(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 2L)) == 0)
+    assert(got.get((1L, 3L)).exists(d => d > 0 && d <= 12))
+    assert(got((1L, 3L)) == got((2L, 3L))) // 1 and 2 share the key
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("edit distance prefix filter is lossless: naive all-pairs agrees at sf0.01") {
+    // empirical pin of the q·d+1 pigeonhole proof in Dedup.scala: the
+    // Ed-Join prefix candidates must find every pair the quadratic
+    // levenshtein scan finds (the DuckDB oracle IS that quadratic scan)
+    val t01 = graft.io.Tables(spark, "/root/testdata/sf0.01")
+    val keys = t01.documents
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("k"))
+    val naive = keys.toDF("doc_a", "ka")
+      .crossJoin(keys.toDF("doc_b", "kb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ka"), col("kb")))
+      .filter(col("dist") <= 12)
+      .select("doc_a", "doc_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val filtered = Dedup.editDistance(t01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(filtered == naive)
+    assert(naive.nonEmpty) // the fixture actually exercises the filter
+  }
+
+  test("containment: verbatim-quoted small doc scores 1.0 against its host") {
+    import spark.implicits._
+    val small = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val big = small + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 " +
+      "x15 x16 x17 x18 x19 x20 x21 x22 x23 x24 x25 x26 x27 x28 x29 x30"
+    val tc = tempTables { dir =>
+      Seq(
+        (1L, small, "en", "s", small.length.toLong),
+        (2L, big, "en", "s", big.length.toLong),
+        (3L, "totally unrelated words nothing shared with anyone here at all ok", "en", "s", 65L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val got = Dedup.containment(tc).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // doc 1 has 6 word-5-grams, all verbatim inside doc 2 → C = 1.0,
+    // while J = 6/36 ≈ 0.17 would miss it at any usable Jaccard bar
+    assert(got((1L, 2L)) == ((6L, 1.0)))
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("containment asymmetric prefix is lossless: raw all-pairs agrees at sf0.01") {
+    val t01 = graft.io.Tables(spark, "/root/testdata/sf0.01")
+    val grams = t01.documents
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, least(greatest(size(split(text, ' '))-4, 1), 8191)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+      )).as("gram"))
+      .distinct()
+    val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val raw = grams.toDF("doc_a", "gram")
+      .join(grams.toDF("doc_b", "gram"), "gram")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(sz.toDF("doc_a", "na"), "doc_a")
+      .join(sz.toDF("doc_b", "nb"), "doc_b")
+      .filter(col("na") < col("nb") ||
+        (col("na") === col("nb") && col("doc_a") < col("doc_b")))
+      .filter(col("common") * 2 >= col("na"))
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = Dedup.containment(t01).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == raw)
+    assert(raw.nonEmpty)
+  }
+
+  test("cluster stats: histogram counts the {1,2,3} component plus the singleton") {
+    val got = Dedup.clusterStats(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fixture: 1,2 identical + 3 near-dup → one size-3 component; 4 alone
+    assert(got == Map(3L -> 1L, 1L -> 1L))
+  }
 }

@@ -126,6 +126,7 @@ def main():
             "dedup_semantic"],
         "dedup (MinHash signature/pair tables)": [
             "dedup_minhash_lsh", "dedup_clusters", "dedup_near_kept",
+            "dedup_cluster_stats",
             "corpus_split_leakage", "dedup_incremental_near", "stream_near_dup"],
         "corpus (boilerplate line-df)": [
             "corpus_boilerplate", "corpus_strip_boilerplate"],
