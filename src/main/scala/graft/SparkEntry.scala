@@ -91,6 +91,9 @@ object SparkEntry {
     "corpus_boilerplate" -> q(graft.pipeline.CorpusOps.boilerplate(_)),
     // ...and the C4-style removal pass consuming the same line df
     "corpus_strip_boilerplate" -> q(graft.pipeline.CorpusOps.stripBoilerplate(_)),
+    // Lee et al. exact-substring dedup APPLIED: drop every word covered
+    // by a cross-doc-repeated 16-word span, reassemble in order
+    "corpus_scrub_spans" -> q(graft.pipeline.CorpusOps.scrubSpans),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
@@ -131,6 +134,9 @@ object SparkEntry {
     // SimilaritySpec pins pair recall vs the label-blocked baseline
     "dedup_embedding_ivf" -> q((t: Tables) => Similarity.embeddingNearDupIvf(t)),
     "ann_brute_force" -> q(Similarity.annBruteForce),
+    // filtered vector search: the metadata predicate IS the join key
+    // (pre-filtering), exact within the label partition → full oracle
+    "ann_label_filtered" -> q(Similarity.annLabelFiltered),
     "ann_lsh"         -> q(Similarity.annLsh(_)),
     "ann_ivf"         -> q((t: Tables) => Similarity.annIvf(t)),
     "emb_quantize_int8" -> q(Similarity.embQuantizeInt8),
@@ -368,6 +374,7 @@ object SparkEntry {
     "corpus_mixture_interleave" -> graft.functions.Aggs.mixtureInterleaveSql,
     "corpus_boilerplate" -> graft.pipeline.CorpusOps.boilerplateSql,
     "corpus_strip_boilerplate" -> graft.pipeline.CorpusOps.stripBoilerplateSql,
+    "corpus_scrub_spans" -> graft.pipeline.CorpusOps.scrubSpansSql,
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_kept_corpus" -> Dedup.keptCorpusSql,
@@ -387,6 +394,7 @@ object SparkEntry {
     "dedup_cluster_stats" -> Dedup.clusterStatsSql,
     "dedup_embedding" -> Similarity.embeddingNearDupSql,
     "ann_brute_force" -> Similarity.annBruteForceSql,
+    "ann_label_filtered" -> Similarity.annLabelFilteredSql,
     // ann_lsh IS oracle-checkable despite recall<1: the md5-derived
     // hyperplanes re-derive in SQL, so both engines bucket identically
     // and the reported neighbor set + cosines hash-compare exactly.

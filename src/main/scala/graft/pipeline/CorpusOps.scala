@@ -244,6 +244,87 @@ object CorpusOps {
        | n_lines - coalesce(n_kept, 0) AS n_removed
        |FROM la LEFT JOIN k USING (doc_id)""".stripMargin.replace("\n", " ")
 
+  // --------------------------------------- duplicate-substring scrub
+
+  /** Duplicate-SUBSTRING removal applied to the text — the
+    * exact-substring dedup of Lee et al. ("Deduplicating Training Data
+    * Makes Language Models Better", ACL'22), re-expressed over
+    * Dedup.substringDup's 16-word span fingerprints: every word whose
+    * position is covered by a span shared by ≥ 2 distinct documents is
+    * dropped, and the survivors reassemble in order. Where
+    * [[stripBoilerplate]] removes repeated LINES at fixed offsets,
+    * this removes repeated PASSAGES at any alignment — the quoted
+    * chains, licenses, and template fragments that dominate duplicate
+    * tokens in web corpora. (Lee et al. keep one canonical occurrence;
+    * this pass drops all of them — compose with [[Dedup.keptCorpus]]
+    * first if a canonical copy must survive, the same policy split as
+    * C4-style line stripping.)
+    *
+    * Scale shape (100 TB): span fingerprints are a narrow explode
+    * (8191-start cap, invariant 6) into one md5-keyed groupBy — the
+    * word-count shape. The duplicated-span join back is gram-keyed
+    * (AQE skew-splits hot license spans), and the scrub itself is
+    * ROW-LOCAL: each doc's duplicated start positions aggregate to one
+    * array (bounded by the start cap, ≤ doc length in practice), and
+    * one higher-order `filter`/`exists` pass over the token sequence
+    * rebuilds the text without exploding words into the shuffle.
+    * Covered-position semantics are identical in both engines: word i
+    * survives iff no duplicated span starts in [i-15, i].
+    */
+  def scrubSpans(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val docs = t.widen(t.documents)
+    val spans = docs
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, least(greatest(size(split(text, ' '))-15, 1), 8191)), " +
+          "i -> named_struct('pos', i, 'span', concat_ws(' ', slice(split(text, ' '), i, 16))))"
+      )).as("e"))
+      .select($"doc_id", $"e.pos".cast(LongType).as("pos"),
+        Dedup.h32($"e.span").as("span_h"))
+      .persist() // feeds the dup-span groupBy and the join back
+    val dup = spans.groupBy($"span_h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"span_h")
+    val starts = spans.join(dup, "span_h")
+      .groupBy($"doc_id")
+      .agg(collect_list($"pos").as("ss")) // order-free: exists() below
+    val out = docs
+      .join(starts, Seq("doc_id"), "left")
+      .withColumn("ss", coalesce($"ss", expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("toks", split($"text", " "))
+      .withColumn("keep", expr(
+        "filter(sequence(1L, CAST(size(toks) AS BIGINT)), " +
+          "i -> NOT exists(ss, s -> s <= i AND i <= s + 15))"))
+      .select($"doc_id",
+        expr("array_join(transform(keep, i -> element_at(toks, CAST(i AS INT))), ' ')")
+          .as("clean_text"),
+        size($"toks").cast(LongType).as("n_words"),
+        (size($"toks") - size($"keep")).cast(LongType).as("n_removed"))
+      .localCheckpoint()
+    spans.unpersist()
+    out
+  }
+
+  val scrubSpansSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, CAST(r.range AS BIGINT) AS pos,
+       |  array_to_string(toks[CAST(r.range AS INT):CAST(r.range AS INT)+15], ' ') AS span
+       | FROM d JOIN range(1, 8192) r ON r.range <= greatest(len(toks)-15, 1)),
+       |h AS (SELECT doc_id, pos, ${Dedup.sqlH32("span")} AS span_h FROM s),
+       |dup AS (SELECT span_h FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |st AS (SELECT doc_id, list(pos) AS ss FROM h JOIN dup USING (span_h) GROUP BY doc_id),
+       |j AS (SELECT d.doc_id, toks, coalesce(ss, CAST([] AS BIGINT[])) AS ss
+       | FROM d LEFT JOIN st ON d.doc_id = st.doc_id),
+       |k AS (SELECT doc_id, toks,
+       |  list_filter(range(1, len(toks)+1), i -> len(list_filter(ss, s -> s <= i AND i <= s + 15)) = 0) AS keep
+       | FROM j)
+       |SELECT doc_id,
+       | coalesce(array_to_string(list_transform(keep, i -> toks[CAST(i AS INT)]), ' '), '') AS clean_text,
+       | CAST(len(toks) AS BIGINT) AS n_words,
+       | CAST(len(toks) - len(keep) AS BIGINT) AS n_removed
+       |FROM k""".stripMargin.replace("\n", " ")
+
   // --------------------------------------------------------- sampling
 
   /** Deterministic stratified sampling — the domain-mixing primitive.

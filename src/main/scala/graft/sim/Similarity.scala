@@ -370,6 +370,59 @@ object Similarity {
        |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
   }
 
+  /** FILTERED vector search — top-k under a metadata predicate (here:
+    * candidate.label = probe.label), the query shape production vector
+    * stores serve constantly ("nearest docs in MY tenant / language /
+    * license class"). The predicate is pushed INTO candidate
+    * generation — the join key IS the filter — not applied to an
+    * unfiltered top-k afterwards: post-filtering an ANN result
+    * under-delivers k whenever the match rate is low (filter
+    * selectivity s leaves s·k survivors), which is why engines like
+    * FAISS/Milvus treat filtered search as its own operator. Exact
+    * within the partition, so it carries a full hash oracle.
+    *
+    * Scale shape (100 TB): the label equi-join partitions candidate
+    * work by label — the same blocking [[embeddingNearDup]] uses — so
+    * a probe scans its label's partition, never the corpus. This is
+    * the exact small-cardinality baseline; at high label cardinality
+    * each partition is corpus/|labels| and stays task-sized, while a
+    * skewed mega-label is the documented hand-off point to the
+    * IVF-within-partition composition (cell-block inside the label
+    * partition, [[embeddingNearDupIvf]]'s Σ|cell|² knob applying
+    * per-label). No broadcast hint: probes grow with the corpus.
+    */
+  def annLabelFiltered(t: Tables): DataFrame = {
+    val e = withNorm(t)
+    val probes = e.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("probe_id"), col("label"),
+        col("v").as("vp"), col("nrm").as("np"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("label"),
+      col("v").as("vc"), col("nrm").as("nc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    probes.join(cands, Seq("label"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("label"), col("rnk"), col("cos"))
+  }
+
+  val annLabelFilteredSql: String = {
+    val d = dotSql.format("p.embedding", "c.embedding")
+    val np = "sqrt(" + dotSql.format("p.embedding", "p.embedding") + ")"
+    val nc = "sqrt(" + dotSql.format("c.embedding", "c.embedding") + ")"
+    s"""SELECT probe_id, cand_id, label, rnk, cos FROM (
+       | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.label AS label,
+       |  $d / ($np * $nc) AS cos,
+       |  row_number() OVER (PARTITION BY p.vec_id
+       |   ORDER BY $d / ($np * $nc) DESC, c.vec_id ASC) AS rnk
+       | FROM embeddings p JOIN embeddings c
+       |  ON p.label = c.label AND p.vec_id <> c.vec_id
+       | WHERE p.vec_id % 13 = 0)
+       |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
+  }
+
   /** IVF-style ANN — the other scale path (the one real vector stores
     * use): a coarse quantizer (KMeans, fixed seed) partitions the
     * corpus into nlist cells; each probe searches only its nprobe

@@ -484,4 +484,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(math.abs(got.size - targetSum) < 60,
       s"drew ${got.size} vs target sum $targetSum")
   }
+
+  test("scrub spans: shared passage removed at any alignment, survivors rejoin in order") {
+    import spark.implicits._
+    val shared = (1 to 16).map(i => s"p$i").mkString(" ")
+    val t2 = tempTables { dir =>
+      Seq(
+        // the 16-word passage sits at DIFFERENT offsets — only the
+        // exact shared window matches across docs (mixed windows
+        // contain a-words vs b-words), so covered = the passage alone
+        (1L, s"a1 a2 a3 $shared a4 a5", "en", "s", 0L),
+        (2L, s"b1 b2 $shared b3 b4 b5 b6", "en", "s", 0L),
+        (3L, (1 to 20).map(i => s"u$i").mkString(" "), "en", "s", 0L),
+        // sub-window identical docs: the whole-text short span dups →
+        // fully scrubbed, kept in the output with empty text
+        (4L, "s1 s2 s3 s4 s5", "en", "s", 0L),
+        (5L, "s1 s2 s3 s4 s5", "en", "s", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val got = CorpusOps.scrubSpans(t2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a1 a2 a3 a4 a5", 21L, 16L)))
+    assert(got(2L) == (("b1 b2 b3 b4 b5 b6", 22L, 16L)))
+    assert(got(3L)._3 == 0L && got(3L)._1.startsWith("u1 u2"))
+    assert(got(4L) == (("", 5L, 5L)) && got(5L) == (("", 5L, 5L)))
+  }
 }

@@ -70,6 +70,22 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.quantizerFits.get() - before == 1)
   }
 
+  test("filtered ANN searches only the probe's label partition") {
+    // fixture labels: {0,1,2} label 0, {3,4} label 1 — probe 0 must see
+    // only label-0 candidates, even though the GLOBAL top-k would
+    // include ortho/anti before an empty slot
+    val rows = Similarity.annLabelFiltered(t).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getInt(3))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // label-0 only
+    assert(rows.forall(_.getInt(2) == 0))
+    // pre-filter semantics: post-filtering the global top-2 would have
+    // returned only {1,2} by luck here, but the label column proves the
+    // candidate set was restricted, not the result
+    val global = Similarity.annBruteForce(t).collect()
+      .filter(_.getLong(0) == 0L).map(_.getLong(1)).toSet
+    assert(global.contains(3L) || global.contains(4L)) // global sees label 1
+  }
+
   test("LSH ANN reports only genuine cosines (subset check vs brute force)") {
     val bf = Similarity.annBruteForce(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
