@@ -239,6 +239,9 @@ object SparkEntry {
     // every decoded pixel by integer arithmetic); 8-byte hash per
     // image = the resident set for corpus-scale image dedup
     "mm_image_ahash"  -> q(Multimodal.imageAHash),
+    // PNG encode->decode round trip: hash re-derived from pixels that
+    // went THROUGH zlib; oracle derives them from the formula alone
+    "mm_png_roundtrip" -> q(Multimodal.pngRoundTrip),
     // ...and the image near-dup pairs it exists for: pigeonhole
     // 8-bit-block bucketing (provably lossless at Hamming <= 7),
     // never all-pairs — Dedup.simhashHamming's shape on the 64-bit word
@@ -316,6 +319,8 @@ object SparkEntry {
     // Misra-Gries candidates + exact confirmation: sketch only PRUNES,
     // so the output is exact and carries q50's full hash oracle
     "q51_heavy_hitters_sketch" -> q(Relational.q51HeavyHittersSketch(_)),
+    // cohort-by-first-active-day retention matrix over events
+    "q52_retention"   -> q(Relational.q52RetentionCohorts),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -426,6 +431,7 @@ object SparkEntry {
     "mm_audio_meta"   -> Multimodal.audioMetaSql,
     "mm_video_meta"   -> Multimodal.videoMetaSql,
     "mm_image_ahash"  -> Multimodal.imageAHashSql,
+    "mm_png_roundtrip" -> Multimodal.pngRoundTripSql,
     "dedup_image_ahash" -> Multimodal.imageNearDupSql,
     "mm_audio_fp"     -> Multimodal.audioFingerprintSql,
     "dedup_audio_fp"  -> Multimodal.audioNearDupSql,
@@ -463,5 +469,6 @@ object SparkEntry {
     // identical output by construction: MG candidates are a superset,
     // the confirmation pass is exact — same SQL as q50
     "q51_heavy_hitters_sketch" -> Relational.q50Sql,
+    "q52_retention"   -> Relational.q52Sql,
   )
 }

@@ -698,6 +698,71 @@ object Multimodal {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(fa, fb)) <= 7""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------- PNG codec round trip
+
+  /** Compressed-codec round trip: synthesize each document's 16x16
+    * grayscale raster (the [[imagePixel]] formula), ENCODE it as a
+    * real PNG (ImageIO's encoder — zlib deflate inside IDAT, the first
+    * compressed container in the module; BMP above is raw), then
+    * DECODE the compressed bytes back and recompute the aHash word and
+    * pixel total from what actually came out of the inflater. The
+    * oracle derives the same numbers from the pixel formula alone, so
+    * a hash match proves the deflate→inflate round trip is lossless
+    * byte-for-byte — the integrity check a media pipeline wants before
+    * trusting transcoded assets. (Encoded size is NOT in the output:
+    * deflate byte counts are encoder-version-specific, the one
+    * non-portable number here — MultimodalSpec pins the compression
+    * ratio locally instead.)
+    *
+    * Same 100 TB shape as [[imageAHash]]: per-partition codec context,
+    * 8-byte hash + dims as the resident set, binary never shuffles.
+    */
+  def pngRoundTrip(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.widen(t.documents).select($"doc_id").as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val v = imagePixel(id, x, y) & 0xff
+            img.setRGB(x, y, v * 0x010101); x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        if (back == null) sys.error(s"media $id: encoded PNG failed to decode")
+        val w = back.getWidth; val h = back.getHeight
+        var total = 0L
+        val blk = new Array[Long](64)
+        var yy = 0
+        while (yy < h) {
+          var xx = 0
+          while (xx < w) {
+            val p = (back.getRGB(xx, yy) & 0xff).toLong
+            total += p; blk((yy / 2) * 8 + xx / 2) += p; xx += 1
+          }
+          yy += 1
+        }
+        var word = 0L; var i = 0
+        while (i < 64) { if (blk(i) * 64 > total) word |= (1L << i); i += 1 }
+        (id, w.toLong, h.toLong, total, word)
+      }
+    }.toDF("media_id", "width", "height", "total", "ahash")
+  }
+
+  val pngRoundTripSql: String =
+    s"""$ahashCte
+       |SELECT ah.doc_id AS media_id, CAST(16 AS BIGINT) AS width,
+       | CAST(16 AS BIGINT) AS height, CAST(agg.total AS BIGINT) AS total,
+       | ah.ahash AS ahash
+       |FROM ah JOIN agg ON ah.doc_id = agg.doc_id""".stripMargin.replace("\n", " ")
+
   // ---------------------------------------- audio energy fingerprint
 
   /** Fingerprint framing: 8-byte energy frames, capped at 65 (so the

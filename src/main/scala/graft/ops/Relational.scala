@@ -1181,4 +1181,39 @@ object Relational {
       .select($"etype", $"cnt", $"total",
         ($"cnt".cast(DoubleType) / $"total".cast(DoubleType)).as("share"))
   }
+
+  /** Retention cohort matrix — the product-analytics staple absent
+    * from both the reference and the q-suite so far: users cohort by
+    * their FIRST active day; each (cohort_day, day_offset) cell counts
+    * how many of that cohort were active offset days later. All exact
+    * integer arithmetic (day truncation + day diff + distinct count).
+    *
+    * Scale shape: the distinct (user, day) activity table is bounded
+    * by |users|·|days| (both tiny vs raw events), built with one
+    * user-keyed shuffle whose partitioning is REUSED by the first-day
+    * min-agg and the cohort join (same key → no re-shuffle; the plan
+    * shows one exchange feeding all three). The final cell groupBy is
+    * matrix-cardinality. Exact per-cell distinct costs one Expand —
+    * at extreme user counts q27's HLL sketch is the documented dial,
+    * same as elsewhere in the suite.
+    */
+  def q52RetentionCohorts(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val activity = t.events
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .distinct()
+    val cohort = activity.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    activity.join(cohort, "user_id")
+      .groupBy($"cohort_day",
+        datediff($"day", $"cohort_day").cast(LongType).as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
+  val q52Sql: String =
+    """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+      |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+      | count(DISTINCT user_id) AS n_users
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 }

@@ -299,4 +299,23 @@ class MultimodalSpec extends SparkSuite {
         s"doc $id metadata mismatch")
     }
   }
+
+  test("PNG round trip: hashes agree with the raw-BMP path; deflate actually compresses") {
+    // the zlib'd container must decode to the SAME raster the raw BMP
+    // path reads — cross-codec agreement pins the inflater bitwise
+    val viaPng = Multimodal.pngRoundTrip(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val viaBmp = Multimodal.imageAHash(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(viaPng.nonEmpty && viaPng == viaBmp)
+    // encoded size stays out of the oracle (encoder-version-specific);
+    // pin locally that IDAT deflate beats the raw 24-bit raster
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (Multimodal.imagePixel(7L, x, y) & 0xff) * 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(bos.size() < 16 * 16 * 3, s"PNG ${bos.size()} B >= raw raster")
+  }
 }

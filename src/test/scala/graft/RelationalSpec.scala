@@ -262,4 +262,31 @@ class RelationalSpec extends SparkSuite {
     val rows = Relational.q17Sessionize(t).collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
   }
+
+  test("q52 retention: cohorts by first day, offsets count later activity exactly") {
+    import spark.implicits._
+    // user 7: days 0,1,3 (cohort d0); user 8: day 1 only (cohort d1);
+    // user 9: days 1,3 (cohort d1) — two events on one day dedupe
+    val d0 = 1700006400000000L // µs, 00:00 UTC day boundary
+    val day = 86400000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString
+    Seq(
+      (1L, d0 + 3600000000L, 7L), (2L, d0 + 7200000000L, 7L), // same day
+      (3L, d0 + day, 7L), (4L, d0 + 3 * day, 7L),
+      (5L, d0 + day, 8L),
+      (6L, d0 + day, 9L), (7L, d0 + 3 * day, 9L)
+    ).toDF("event_id", "us", "user_id")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = Relational.q52RetentionCohorts(graft.io.Tables(spark, dir))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1)) -> r.getLong(2)).toMap
+    val d0ms = d0 / 1000; val d1ms = d0ms + 86400000L
+    assert(got == Map(
+      (d0ms, 0L) -> 1L, (d0ms, 1L) -> 1L, (d0ms, 3L) -> 1L, // user 7
+      (d1ms, 0L) -> 2L,                                     // users 8+9
+      (d1ms, 2L) -> 1L))                                    // user 9
+  }
 }
