@@ -1186,27 +1186,30 @@ object Relational {
     * from both the reference and the q-suite so far: users cohort by
     * their FIRST active day; each (cohort_day, day_offset) cell counts
     * how many of that cohort were active offset days later. All exact
-    * integer arithmetic (day truncation + day diff + distinct count).
+    * integer arithmetic (day truncation + day diff + count).
     *
-    * Scale shape: the distinct (user, day) activity table is bounded
-    * by |users|·|days| (both tiny vs raw events), built with one
-    * user-keyed shuffle whose partitioning is REUSED by the first-day
-    * min-agg and the cohort join (same key → no re-shuffle; the plan
-    * shows one exchange feeding all three). The final cell groupBy is
-    * matrix-cardinality. Exact per-cell distinct costs one Expand —
-    * at extreme user counts q27's HLL sketch is the documented dial,
-    * same as elsewhere in the suite.
+    * Scale shape: ONE user-keyed aggregation collects each user's
+    * distinct active-day set (map-side partials combine; buffer
+    * bounded by CALENDAR days — ≤ ~3.7k entries even for a 10-year
+    * daily-active user, never by event volume), then cohort day
+    * (= set min) and every offset derive ROW-LOCALLY with
+    * higher-order functions, so there is no cohort join, and the
+    * final cell count needs no distinct Expand — set membership
+    * already guarantees one row per (user, offset). Total: two
+    * exchanges (user-keyed set agg, matrix-keyed cell count) — vs the
+    * textbook distinct + min-agg + join form's three full-activity
+    * exchanges and a per-cell count(DISTINCT).
     */
   def q52RetentionCohorts(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val activity = t.events
+    t.events
       .select($"user_id", date_trunc("day", $"ts").as("day"))
-      .distinct()
-    val cohort = activity.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-    activity.join(cohort, "user_id")
-      .groupBy($"cohort_day",
-        datediff($"day", $"cohort_day").cast(LongType).as("day_offset"))
-      .agg(countDistinct($"user_id").as("n_users"))
+      .groupBy($"user_id").agg(collect_set($"day").as("days"))
+      .select(expr("array_min(days)").as("cohort_day"),
+        explode(expr("transform(days, d -> CAST(datediff(d, array_min(days)) AS BIGINT))"))
+          .as("day_offset"))
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_users"))
   }
 
   val q52Sql: String =

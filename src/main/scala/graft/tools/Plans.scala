@@ -51,7 +51,12 @@ object Plans {
       "ann_cascade" -> graft.sim.Similarity.annCascade(t),
       "dedup_near_kept" -> graft.dedup.Dedup.nearKeptCorpus(t),
       "corpus_ngram_novelty" -> graft.pipeline.CorpusOps.ngramNovelty(t),
-      "dedup_image_ahash" -> graft.mm.Multimodal.imageNearDup(t))
+      "dedup_image_ahash" -> graft.mm.Multimodal.imageNearDup(t),
+      "dedup_edit_distance" -> graft.dedup.Dedup.editDistance(t),
+      "dedup_containment" -> graft.dedup.Dedup.containment(t),
+      "corpus_scrub_spans" -> graft.pipeline.CorpusOps.scrubSpans(t),
+      "ann_label_filtered" -> graft.sim.Similarity.annLabelFiltered(t),
+      "q52_retention" -> Relational.q52RetentionCohorts(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
       println(df.queryExecution.explainString(
