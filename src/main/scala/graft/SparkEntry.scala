@@ -137,6 +137,12 @@ object SparkEntry {
     // filtered vector search: the metadata predicate IS the join key
     // (pre-filtering), exact within the label partition → full oracle
     "ann_label_filtered" -> q(Similarity.annLabelFiltered),
+    // range search (FAISS range_search): all neighbors with cos >= tau,
+    // no k truncation; exact baseline with a full hash oracle
+    "ann_range"       -> q(Similarity.annRange(_)),
+    // cell-pruned range search: rows-only (KMeans fit); check.py bands
+    // pair recall vs the exact ann_range
+    "ann_range_ivf"   -> q((t: Tables) => Similarity.annRangeIvf(t)),
     "ann_lsh"         -> q(Similarity.annLsh(_)),
     "ann_ivf"         -> q((t: Tables) => Similarity.annIvf(t)),
     "emb_quantize_int8" -> q(Similarity.embQuantizeInt8),
@@ -242,6 +248,9 @@ object SparkEntry {
     // PNG encode->decode round trip: hash re-derived from pixels that
     // went THROUGH zlib; oracle derives them from the formula alone
     "mm_png_roundtrip" -> q(Multimodal.pngRoundTrip),
+    // real decode -> 2x2 integer box downscale; raster fingerprint
+    // re-derived by the oracle from the pixel formula
+    "mm_image_downscale" -> q(Multimodal.imageDownscale),
     // ...and the image near-dup pairs it exists for: pigeonhole
     // 8-bit-block bucketing (provably lossless at Hamming <= 7),
     // never all-pairs — Dedup.simhashHamming's shape on the 64-bit word
@@ -400,6 +409,7 @@ object SparkEntry {
     "dedup_embedding" -> Similarity.embeddingNearDupSql,
     "ann_brute_force" -> Similarity.annBruteForceSql,
     "ann_label_filtered" -> Similarity.annLabelFilteredSql,
+    "ann_range"       -> Similarity.annRangeSql,
     // ann_lsh IS oracle-checkable despite recall<1: the md5-derived
     // hyperplanes re-derive in SQL, so both engines bucket identically
     // and the reported neighbor set + cosines hash-compare exactly.
@@ -432,6 +442,7 @@ object SparkEntry {
     "mm_video_meta"   -> Multimodal.videoMetaSql,
     "mm_image_ahash"  -> Multimodal.imageAHashSql,
     "mm_png_roundtrip" -> Multimodal.pngRoundTripSql,
+    "mm_image_downscale" -> Multimodal.imageDownscaleSql,
     "dedup_image_ahash" -> Multimodal.imageNearDupSql,
     "mm_audio_fp"     -> Multimodal.audioFingerprintSql,
     "dedup_audio_fp"  -> Multimodal.audioNearDupSql,

@@ -698,6 +698,74 @@ object Multimodal {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(fa, fb)) <= 7""".stripMargin.replace("\n", " ")
 
+  // ----------------------------------------- real raster downscale
+
+  /** REAL image downscale — the feature-extract/resize step run on
+    * actual pixels (the byte-arithmetic [[resizeMeta]] stays as the
+    * payload-accounting twin): decode the synthesized 16x16 BMP with
+    * ImageIO, box-filter it 2x2 → 8x8 with exact integer means
+    * (sum div 4 — no float filter kernels, so the raster re-derives
+    * in SQL), and emit small typed columns: dims, pixel total, and an
+    * md5-derived fingerprint of the row-major downscaled raster. The
+    * oracle rebuilds the same 8x8 raster from the [[imagePixel]]
+    * formula and hashes the same comma-joined string — a full hash
+    * oracle over a real decode→resize path, the mm step every
+    * multimodal training pipeline runs before batching images.
+    *
+    * 100 TB shape: per-partition decode context, output is O(1) typed
+    * columns per image (the downscaled raster itself would go to a
+    * binary column in production — the fingerprint stands in as its
+    * checkable digest), binary payloads never shuffle.
+    */
+  def imageDownscale(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val raw = bmpFromDocuments(t).mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) sys.error(s"media ${r.media_id}: synthesized BMP failed to decode")
+        val out = new Array[Long](64)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            out((y / 2) * 8 + x / 2) += (img.getRGB(x, y) & 0xff).toLong
+            x += 1
+          }
+          y += 1
+        }
+        var total = 0L; var i = 0
+        val sb = new StringBuilder
+        while (i < 64) {
+          val m = out(i) / 4 // exact: sums of 4 non-negative ints
+          total += m
+          if (i > 0) sb.append(',')
+          sb.append(m); i += 1
+        }
+        (r.media_id, 8L, 8L, total, sb.toString)
+      }
+    }.toDF("media_id", "out_w", "out_h", "px_total", "ds")
+    raw.select($"media_id", $"out_w", $"out_h", $"px_total",
+      graft.dedup.Dedup.h32($"ds").as("ds_hash"))
+  }
+
+  val imageDownscaleSql: String = {
+    val h32 = "('0x'||substr(md5(ds),1,8))::BIGINT"
+    s"""WITH px AS (
+       | SELECT doc_id, x.range AS x, y.range AS y,
+       |  CASE WHEN x.range < 2 AND y.range < 2 THEN (doc_id * 37) % 256
+       |   ELSE 32 + 24 * (((x.range//2 + 8*(y.range//2) + 1) * ((doc_id//16) % 251 + 1)) % 251 % 8) END AS v
+       | FROM documents, range(0, 16) x, range(0, 16) y),
+       |blk AS (SELECT doc_id, (y//2)*8 + (x//2) AS b, sum(v) // 4 AS m
+       | FROM px GROUP BY 1, 2),
+       |ds AS (SELECT doc_id, sum(m) AS px_total,
+       |  string_agg(m, ',' ORDER BY b) AS ds
+       | FROM blk GROUP BY doc_id)
+       |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS out_w,
+       | CAST(8 AS BIGINT) AS out_h, CAST(px_total AS BIGINT) AS px_total,
+       | $h32 AS ds_hash
+       |FROM ds""".stripMargin.replace("\n", " ")
+  }
+
   // ------------------------------------------- PNG codec round trip
 
   /** Compressed-codec round trip: synthesize each document's 16x16

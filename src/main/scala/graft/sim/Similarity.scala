@@ -423,6 +423,90 @@ object Similarity {
        |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
   }
 
+  /** RANGE search — retrieval's other API (FAISS `range_search`): all
+    * corpus vectors with cos ≥ τ of each probe, instead of a fixed
+    * top-k. The shape a dedup-by-query or recall-oriented retrieval
+    * pass wants: result size tracks true neighborhood density, so
+    * sparse probes return nothing and dense ones return everything
+    * above the bar — no arbitrary k truncation, no rank column at all
+    * (and therefore no window; the threshold filter is embarrassingly
+    * parallel after the join). Exact probes×corpus form = the
+    * documented small-Q baseline (same no-hint AQE reasoning as
+    * [[annBruteForce]]); [[annRangeIvf]] is the scale path. τ = 0.3
+    * matches [[embeddingNearDup]]'s hash-green literal-threshold
+    * pattern (the cosine is bitwise-identical in both engines, so the
+    * compare is deterministic).
+    */
+  def annRange(t: Tables, minCos: Double = 0.3): DataFrame = {
+    val e = withNorm(t)
+    val probes = e.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
+    probes.join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
+      .filter(col("cos") >= minCos)
+      .select(col("probe_id"), col("cand_id"), col("cos"))
+  }
+
+  val annRangeSql: String = {
+    val d = dotSql.format("p.embedding", "c.embedding")
+    val np = "sqrt(" + dotSql.format("p.embedding", "p.embedding") + ")"
+    val nc = "sqrt(" + dotSql.format("c.embedding", "c.embedding") + ")"
+    s"""SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       | $d / ($np * $nc) AS cos
+       |FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+       |WHERE p.vec_id % 13 = 0 AND $d / ($np * $nc) >= 0.3""".stripMargin.replace("\n", " ")
+  }
+
+  /** [[annRange]]'s scale path: each probe thresholds only its nprobe
+    * nearest IVF cells — the same cell pruning as [[annIvf]], with the
+    * top-k window replaced by the stateless τ filter (range search
+    * needs no rank, so the per-probe window sort disappears entirely;
+    * the only wide ops left are the cell join and the quantizer
+    * assignment). Recall < 1 by construction (a qualifying neighbor
+    * can live outside the probed cells) → rows-only; check.py bands
+    * pair recall vs the exact [[annRange]] and reported cosines are
+    * genuine by the same arithmetic as the hash-green exact form.
+    * Knobs derive from corpus size exactly like [[annIvf]].
+    */
+  def annRangeIvf(t: Tables, nlist: Int = 0, nprobe: Int = 0,
+      minCos: Double = 0.3): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
+    val np0 = if (nprobe > 0) nprobe else nprobeFor(nl)
+    val e = withNorm(t)
+    val withVec = e.withColumn("features", array_to_vector(col("v")))
+    val model = coarseQuantizer(t, nl)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
+      .persist()
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val cdf = t.spark.createDataFrame(centroids).toDF("cell", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<double>"))
+    val probes = assigned.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
+    val wCell = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probeCells = probes.crossJoin(broadcast(cdf))
+      .withColumn("cdist",
+        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("vp"), col("centroid")))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= np0)
+      .select(col("probe_id"), col("vp"), col("np"), col("cell"))
+    val cands = assigned.select(col("vec_id").as("cand_id"),
+      col("v").as("vc"), col("nrm").as("nc"), col("cell"))
+    val out = probeCells.join(cands, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
+      .filter(col("cos") >= minCos)
+      .select(col("probe_id"), col("cand_id"), col("cos"))
+      .localCheckpoint()
+    assigned.unpersist()
+    out
+  }
+
   /** IVF-style ANN — the other scale path (the one real vector stores
     * use): a coarse quantizer (KMeans, fixed seed) partitions the
     * corpus into nlist cells; each probe searches only its nprobe

@@ -105,6 +105,22 @@ class AnnRecallSpec extends SparkSuite {
     assert(recall >= 0.9, f"pair recall $recall%.3f below 0.9 floor")
   }
 
+  test("ann_range_ivf pair recall vs exact range search >= 0.8; cosines genuine") {
+    val exact = Similarity.annRange(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pruned = Similarity.annRangeIvf(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "exact range result empty — fixture degenerate")
+    val recall = pruned.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    info(f"ann_range_ivf pair recall = $recall%.3f (${exact.size} exact pairs)")
+    assert(recall >= 0.8, f"range pair recall $recall%.3f below 0.8 floor")
+    // cell pruning must only PRUNE: every reported pair is in the exact
+    // set with the identical cosine (bitwise — same arithmetic)
+    pruned.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), s"pair $k not exact or cosine differs")
+    }
+  }
+
   test("ann_ivf reported cosines are genuine and ranks consistent (independent recompute)") {
     // ann_ivf has no SQL oracle (the KMeans quantizer isn't
     // SQL-expressible), so verify the value-level guarantee here with

@@ -318,4 +318,19 @@ class MultimodalSpec extends SparkSuite {
     javax.imageio.ImageIO.write(img, "png", bos)
     assert(bos.size() < 16 * 16 * 3, s"PNG ${bos.size()} B >= raw raster")
   }
+
+  test("image downscale: 2x2 integer box means match the pixel formula directly") {
+    val got = Multimodal.imageDownscale(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty && got.values.forall(v => v._1 == 8L && v._2 == 8L))
+    // independent recompute: per-doc total of (2x2 block sum div 4)
+    got.keys.take(5).foreach { id =>
+      val want = (for (by <- 0 until 8; bx <- 0 until 8) yield {
+        val s = (for (dy <- 0 to 1; dx <- 0 to 1)
+          yield Multimodal.imagePixel(id, bx * 2 + dx, by * 2 + dy).toLong).sum
+        s / 4
+      }).sum
+      assert(got(id)._3 == want, s"doc $id px_total ${got(id)._3} != $want")
+    }
+  }
 }

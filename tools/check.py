@@ -184,6 +184,35 @@ def _band_ivf_recall(con, out_dir, name):
     return True
 
 
+def _band_range_recall(con, out_dir, name):
+    """Cell-pruned range search pair recall vs the oracle-green exact
+    ann_range: >= 0.8 of the exact (probe_id, cand_id) pairs at the
+    tau threshold must survive cell pruning (the same floor as the
+    top-k ANN bands; reported cosines share the exact form's verified
+    arithmetic)."""
+    base = f"{out_dir}/ann_range"
+    if not glob.glob(f"{base}/*.parquet"):
+        print(f"FAIL {name}[band]: baseline ann_range output missing "
+              f"at {base} — recall has no anchor")
+        return False
+    exact = {tuple(r) for r in con.execute(
+        f"SELECT probe_id, cand_id FROM read_parquet('{base}/*.parquet')").fetchall()}
+    found = {tuple(r) for r in con.execute(
+        f"SELECT probe_id, cand_id FROM read_parquet('{out_dir}/{name}/*.parquet')"
+    ).fetchall()}
+    if not exact:
+        print(f"FAIL {name}[band]: baseline range pair set is empty")
+        return False
+    recall = len(exact & found) / len(exact)
+    if recall < 0.8:
+        print(f"FAIL {name}[band]: range pair recall {recall:.3f} < 0.8 "
+              f"({len(exact & found)}/{len(exact)} exact pairs found)")
+        return False
+    print(f"PASS {name}[band] (range pair recall {recall:.3f} >= 0.8, "
+          f"{len(exact)} exact pairs)")
+    return True
+
+
 def _band_semantic(con, out_dir, name):
     """SemDeDup co-clustering recall vs the oracle-green label-blocked
     baseline: every dedup_embedding pair at cos >= 0.35 (the operator's
@@ -303,6 +332,7 @@ BAND_CHECKS = {
     "q27_approx_distinct": _band_q27,
     "q40_approx_quantile": _band_q40,
     "dedup_embedding_ivf": _band_ivf_recall,
+    "ann_range_ivf": _band_range_recall,
     "dedup_semantic": _band_semantic,
     "ann_ivf": _band_ann_recall,
     "ann_ivf_int8": _band_ann_recall,

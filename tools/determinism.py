@@ -6,7 +6,7 @@ Defaults to the rows-only set."""
 import sys
 import duckdb
 
-ROWS_ONLY = ["ann_ivf", "ann_ivf_int8", "stream_ann_ivf_int8",
+ROWS_ONLY = ["ann_ivf", "ann_ivf_int8", "stream_ann_ivf_int8", "ann_range_ivf",
              "stream_index_append",
              "dedup_embedding_ivf", "ann_pq", "ann_ivf_pq", "dedup_semantic",
              "q27_approx_distinct", "q40_approx_quantile",
