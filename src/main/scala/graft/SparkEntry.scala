@@ -93,7 +93,7 @@ object SparkEntry {
     "corpus_strip_boilerplate" -> q(graft.pipeline.CorpusOps.stripBoilerplate(_)),
     // Lee et al. exact-substring dedup APPLIED: drop every word covered
     // by a cross-doc-repeated 16-word span, reassemble in order
-    "corpus_scrub_spans" -> q(graft.pipeline.CorpusOps.scrubSpans),
+    "corpus_scrub_spans" -> q(graft.pipeline.CorpusOps.scrubSpans(_)),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
@@ -123,10 +123,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard),
     // Ed-Join prefix-filtered Levenshtein pairs over 64-char keys; the
     // oracle is the unfiltered quadratic form (the filter is lossless)
-    "dedup_edit_distance" -> q(Dedup.editDistance),
+    "dedup_edit_distance" -> q(Dedup.editDistance(_)),
     // asymmetric min-side prefix filter; catches subset/quotation dups
     // Jaccard structurally misses
-    "dedup_containment" -> q(Dedup.containment),
+    "dedup_containment" -> q(Dedup.containment(_)),
     // duplicate-cluster size histogram incl. the singleton row
     "dedup_cluster_stats" -> q(Dedup.clusterStats),
     "dedup_embedding" -> q(Similarity.embeddingNearDup),

@@ -903,7 +903,7 @@ object Dedup {
     * (losslessness makes them identical); the Spark side is the one
     * that scales.
     */
-  def editDistance(t: Tables): DataFrame = {
+  def editDistance(t: Tables, checkpoint: Boolean = true): DataFrame = {
     import t.spark.implicits._
     val keys = t.widen(t.documents)
       .select($"doc_id", substring($"text", 1, 64).as("k"))
@@ -940,9 +940,12 @@ object Dedup {
       .withColumn("dist", levenshtein($"ka", $"kb"))
       .filter($"dist" <= EdMaxDist)
       .select($"doc_a", $"doc_b", $"dist")
-      .localCheckpoint()
+    // checkpoint=false is for PLAN INSPECTION only (tools.Plans): the
+    // caches release immediately, so executing that plan recomputes
+    if (!checkpoint) { keys.unpersist(); grams.unpersist(); prefix.unpersist(); return out }
+    val cp = out.localCheckpoint()
     keys.unpersist(); grams.unpersist(); prefix.unpersist()
-    out
+    cp
   }
 
   /** Levenshtein threshold for [[editDistance]] (d in the q·d+1 prefix). */
@@ -993,7 +996,7 @@ object Dedup {
     * semi-join pattern: exact |A∩B| is computed only over docs that
     * survived candidate generation.
     */
-  def containment(t: Tables): DataFrame = {
+  def containment(t: Tables, checkpoint: Boolean = true): DataFrame = {
     import t.spark.implicits._
     val grams = t.widen(t.documents)
       .select($"doc_id", explode(expr(
@@ -1034,9 +1037,10 @@ object Dedup {
       .filter($"common" * 2 >= $"na") // na IS min(|A|,|B|) by orientation
       .select($"doc_a", $"doc_b", $"common",
         ($"common".cast(DoubleType) / $"na").as("containment"))
-      .localCheckpoint()
+    if (!checkpoint) { grams.unpersist(); cand.unpersist(); gramsC.unpersist(); return out }
+    val cp = out.localCheckpoint()
     grams.unpersist(); cand.unpersist(); gramsC.unpersist()
-    out
+    cp
   }
 
   /** Oracle: unfiltered pair join with the same (n, doc_id) orientation

@@ -271,7 +271,7 @@ object CorpusOps {
     * Covered-position semantics are identical in both engines: word i
     * survives iff no duplicated span starts in [i-15, i].
     */
-  def scrubSpans(t: Tables): DataFrame = {
+  def scrubSpans(t: Tables, checkpoint: Boolean = true): DataFrame = {
     import t.spark.implicits._
     val docs = t.widen(t.documents)
     val spans = docs
@@ -301,9 +301,11 @@ object CorpusOps {
           .as("clean_text"),
         size($"toks").cast(LongType).as("n_words"),
         (size($"toks") - size($"keep")).cast(LongType).as("n_removed"))
-      .localCheckpoint()
+    // checkpoint=false is for PLAN INSPECTION only (tools.Plans)
+    if (!checkpoint) { spans.unpersist(); return out }
+    val cp = out.localCheckpoint()
     spans.unpersist()
-    out
+    cp
   }
 
   val scrubSpansSql: String =

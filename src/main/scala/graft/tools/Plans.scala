@@ -52,9 +52,11 @@ object Plans {
       "dedup_near_kept" -> graft.dedup.Dedup.nearKeptCorpus(t),
       "corpus_ngram_novelty" -> graft.pipeline.CorpusOps.ngramNovelty(t),
       "dedup_image_ahash" -> graft.mm.Multimodal.imageNearDup(t),
-      "dedup_edit_distance" -> graft.dedup.Dedup.editDistance(t),
-      "dedup_containment" -> graft.dedup.Dedup.containment(t),
-      "corpus_scrub_spans" -> graft.pipeline.CorpusOps.scrubSpans(t),
+      // checkpoint=false: show the real pipeline, not the collapsed
+      // post-localCheckpoint ExistingRDD scan
+      "dedup_edit_distance" -> graft.dedup.Dedup.editDistance(t, checkpoint = false),
+      "dedup_containment" -> graft.dedup.Dedup.containment(t, checkpoint = false),
+      "corpus_scrub_spans" -> graft.pipeline.CorpusOps.scrubSpans(t, checkpoint = false),
       "ann_label_filtered" -> graft.sim.Similarity.annLabelFiltered(t),
       "q52_retention" -> Relational.q52RetentionCohorts(t))
     interesting.foreach { case (name, df) =>
