@@ -330,6 +330,9 @@ object SparkEntry {
     "q51_heavy_hitters_sketch" -> q(Relational.q51HeavyHittersSketch(_)),
     // cohort-by-first-active-day retention matrix over events
     "q52_retention"   -> q(Relational.q52RetentionCohorts),
+    // Morton z-curve over (l_partkey, l_suppkey), bucket summary; the
+    // file-skipping LAYOUT effect is pinned in ScaleSpec
+    "q53_zorder"      -> q(graft.io.ZOrder.zBuckets),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -481,5 +484,6 @@ object SparkEntry {
     // the confirmation pass is exact — same SQL as q50
     "q51_heavy_hitters_sketch" -> Relational.q50Sql,
     "q52_retention"   -> Relational.q52Sql,
+    "q53_zorder"      -> graft.io.ZOrder.zBucketsSql,
   )
 }

@@ -247,4 +247,29 @@ class ScaleSpec extends SparkSuite {
       s"bucketed join should be shuffle-free, got:\n$plan")
     assert(joined.count() == t2.orders.count()) // every order has a customer
   }
+
+  test("z-order layout: 2-D range predicate overlaps far fewer files than a 1-D sort") {
+    import graft.io.ZOrder
+    val t01 = Tables(spark, "/root/testdata/sf0.01")
+    val li = t01.lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val base = java.nio.file.Files.createTempDirectory("graft-z").toString
+    ZOrder.writeZOrdered(li, s"$base/z", "l_partkey", "l_suppkey", 32)
+    // the natural lakehouse baseline: clustered by the single ingest
+    // key (orderkey), which leaves partkey/suppkey scattered per file
+    li.repartitionByRange(32, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$base/n")
+    // 2-D range predicate: ~10% of partkeys x ~20% of suppkeys
+    def touched(dir: String): Long = ZOrder.filesOverlapping(
+      spark.read.parquet(dir), "l_partkey", "l_suppkey", 400, 599, 10, 29)
+    val (zf, nf) = (touched(s"$base/z"), touched(s"$base/n"))
+    info(s"files overlapping predicate: z-order $zf vs natural $nf of 32")
+    assert(nf >= 28, s"baseline should be unprunable, got $nf")
+    assert(zf * 4 <= nf, s"z-order should prune >=4x, got $zf vs $nf")
+    // layout changes bytes scanned, never results: same matching rows
+    val pred = (d: String) => spark.read.parquet(d)
+      .filter(col("l_partkey").between(400, 599) &&
+        col("l_suppkey").between(10, 29)).count()
+    assert(pred(s"$base/z") == pred(s"$base/n"))
+  }
 }
