@@ -121,8 +121,8 @@ object SparkEntry {
     "dedup_substring" -> q(Dedup.substringDup),
     "dedup_simhash_hamming" -> q(Dedup.simhashHamming),
     "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard),
-    // Ed-Join prefix-filtered Levenshtein pairs over 64-char keys; the
-    // oracle is the unfiltered quadratic form (the filter is lossless)
+    // PassJoin block-pigeonhole Levenshtein pairs over 64-char keys;
+    // the oracle is the unfiltered quadratic form (lossless blocking)
     "dedup_edit_distance" -> q(Dedup.editDistance(_)),
     // asymmetric min-side prefix filter; catches subset/quotation dups
     // Jaccard structurally misses

@@ -862,74 +862,90 @@ object Dedup {
 
   // ------------------------------------------- edit-distance join (exact)
 
-  /** Fuzzy-key dedup: pairs of documents whose 64-char text prefixes are
-    * within Levenshtein distance [[EdMaxDist]], found by Ed-Join-style
-    * df-ordered prefix filtering over character 3-grams (Xiao, Wang &
-    * Lin, PVLDB 2008) and verified with the exact distance. Edit
-    * distance is the one string metric the set-based families
-    * (MinHash/Jaccard/SimHash) cannot express — transpositions and
-    * small in-place edits barely move a character-level alignment but
-    * scramble shingle sets — and it is the standard key-matching metric
-    * for short normalized fields (titles, URLs, product keys). The key
-    * is the 64-char prefix precisely because Levenshtein verification
-    * is O(|s|·|t|): bounding the key bounds per-pair verify cost at a
-    * constant 64², the production shape for fuzzy KEY matching (full-
-    * document near-dup stays with the gram/minhash families).
+  /** Fuzzy-key dedup: pairs of documents whose 64-char text prefixes
+    * are within Levenshtein distance [[EdMaxDist]] = 6 (typo scale —
+    * ~9% of the key). Edit distance is the one string metric the
+    * set-based families (MinHash/Jaccard/SimHash) cannot express —
+    * transpositions and small in-place edits barely move a
+    * character-level alignment but scramble shingle sets — and it is
+    * the standard key-matching metric for short normalized fields
+    * (titles, URLs, product keys). The key is the 64-char prefix
+    * precisely because Levenshtein verification cost is per-pair:
+    * bounding key and threshold bounds verification at the banded
+    * 3-arg `levenshtein(ka, kb, d)`'s O(d·64) early-exit DP
+    * (full-document near-dup stays with the gram/minhash families).
     *
-    * Candidate generation is lossless for the threshold: one edit
-    * operation changes the content of at most q overlapping q-grams,
-    * so two keys with ed ≤ d share all but ≤ q·d gram contents. Order
-    * all grams globally by (df asc, gram) and keep each key's first
-    * q·d + 1 = 37 DISTINCT grams: if the two prefixes shared nothing,
-    * take the globally smallest common gram g — g ∉ prefix(A) (say)
-    * forces every common gram behind A's prefix boundary, leaving A at
-    * most |G(A)| − 37 < |G(A)| − q·d common grams, contradicting the
-    * bound (the same global-ordering argument as [[ngramJaccard]]'s
-    * proof, with the pigeonhole count swapped in). Keys too short to
-    * carry q·d + 1 grams (len < 39) can evade the pigeonhole — they
-    * pair among themselves in an explicit short block (empty on
-    * quality-gated corpora, where sub-39-char docs don't survive; the
-    * block is all-pairs over that residue by construction, documented
-    * as Σ|short|²).
+    * Candidate generation is the PassJoin block pigeonhole (Li, Deng
+    * & Feng, "PASS-JOIN: A Partition-based Method for Similarity
+    * Joins", PVLDB 2011): partition each key into d+1 = 7 contiguous
+    * blocks (⌊(j−1)·l/7⌋-boundaries); d edits leave ≥ 1 block
+    * edit-free, and that block's exact content appears in the partner
+    * at the same length, shifted by at most the net indels before it
+    * (≤ d). So the INDEX side emits 7 (len, block, content) rows per
+    * key, and the PROBE side emits, for every partner length within
+    * ±d and every block, the partner's windows at the block start
+    * ± d — an equi-join on (len, block, content) finds every
+    * qualifying pair. Lossless, and the block contents are 6–9-char
+    * substrings: on a small-alphabet corpus this is the difference
+    * between a working filter and a degenerate one — the Ed-Join
+    * df-ordered 3-gram prefix (the first implementation) saturates on
+    * this word-soup testdata (~377 distinct 3-grams across 5000 keys
+    * ⇒ 11.5M of 12.5M possible pairs survived the prefix filter;
+    * 15 s at sf0.1), while the block join's candidates collapse to
+    * near-true-positives (sub-second verify). [[ngramJaccard]] keeps
+    * the df-prefix scheme where it belongs: word-gram sets with a
+    * long-tail df distribution.
     *
-    * Scale shape (100 TB): the gram table is ≤ 62 rows per doc (64-char
-    * key), df comes from the same groupBy+join-back as [[ngramJaccard]]
-    * (no hot-key window), and df-ordering keeps stop-grams out of
-    * prefixes — a 3-gram shared by 10⁶ keys sorts last and lands in a
-    * prefix only when the key has almost nothing rarer, so the
-    * candidate self-join never forms the quadratic stop-gram bucket.
-    * Verification is one 64²-bounded codegen'd `levenshtein` per
-    * surviving candidate. The oracle is the unfiltered quadratic form
-    * (losslessness makes them identical); the Spark side is the one
-    * that scales.
+    * Keys too short for meaningful blocks (len < 21, i.e.
+    * pre-quality-gate debris) pair among themselves in an explicit
+    * short block — all-pairs over that residue by construction,
+    * documented as Σ|short|². Scale shape: the probe explode is
+    * ≤ 13·7·13 rows per key before its distinct (position/length
+    * clamps cut most), the join is equi on (len, block, content) with
+    * no forced broadcast (AQE decides), and every surviving candidate
+    * costs one banded levenshtein. The oracle is the unfiltered
+    * quadratic scan — identical output because the pigeonhole is
+    * lossless (DedupSpec pins this empirically at sf0.01).
     */
   def editDistance(t: Tables, checkpoint: Boolean = true): DataFrame = {
     import t.spark.implicits._
     val keys = t.widen(t.documents)
       .select($"doc_id", substring($"text", 1, 64).as("k"))
       .withColumn("l", length($"k"))
-      .persist() // feeds grams, the short block, and both verify joins
-    val grams = keys
+      .persist() // feeds blocks, probes, the short block, both verify joins
+    val longKeys = keys.filter($"l" >= 21)
+    // index: the 7 partition blocks of each key — (len, blk, content)
+    val blocks = longKeys
       .select($"doc_id", explode(expr(
-        "transform(sequence(1, greatest(l - 2, 1)), i -> substring(k, i, 3))"
-      )).as("gram"))
-      .distinct()
-      .persist() // feeds df + prefix
-    val dfTab = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
-    val prefix = grams
-      .join(dfTab, "gram")
-      .groupBy($"doc_id")
-      .agg(collect_list(struct($"df", $"gram")).as("lst"))
-      .select($"doc_id", explode(expr(
-        "slice(array_sort(lst), 1, 37)" // q·d + 1; slice clamps short lists
+        "transform(sequence(1, 7), j -> named_struct(" +
+          "'bl', l, 'bj', j, " +
+          "'bc', substring(k, ((j-1)*l) div 7 + 1, (j*l) div 7 - ((j-1)*l) div 7)))"
       )).as("e"))
-      .select($"doc_id", $"e.gram".as("gram"))
-      .persist() // both sides of the candidate self-join
-    val cand = prefix.toDF("doc_a", "gram")
-      .join(prefix.toDF("doc_b", "gram"), "gram")
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b")
-    val sh = keys.filter($"l" < 39).select($"doc_id")
+      .select($"doc_id", $"e.bl".as("bl"), $"e.bj".as("bj"), $"e.bc".as("bc"))
+    // probe: for every partner length within ±d and every block, this
+    // key's windows at the block's start ± d (same block length),
+    // deduped — the edit-free block of any qualifying partner is here
+    val probes = longKeys
+      .select($"doc_id", explode(expr(
+        "flatten(flatten(transform(sequence(greatest(l - 6, 21), least(l + 6, 64)), pl -> " +
+          "transform(sequence(1, 7), j -> " +
+          "transform(sequence(greatest(((j-1)*pl) div 7 + 1 - 6, 1), " +
+          "least(((j-1)*pl) div 7 + 1 + 6, l - ((j*pl) div 7 - ((j-1)*pl) div 7) + 1)), " +
+          "p -> named_struct('bl', pl, 'bj', j, " +
+          "'bc', substring(k, p, (j*pl) div 7 - ((j-1)*pl) div 7)))))))"
+      )).as("e"))
+      .select($"doc_id", $"e.bl".as("bl"), $"e.bj".as("bj"), $"e.bc".as("bc"))
+    // no distinct on the probe windows: duplicate (len, blk, content)
+    // windows within one key are rare (repeated 6-9-char substrings),
+    // and the pair distinct below absorbs them — cheaper than a full
+    // 1183-rows-per-key shuffle just to dedupe
+    val cand = blocks.toDF("doc_a", "bl", "bj", "bc")
+      .join(probes.toDF("doc_b", "bl", "bj", "bc"), Seq("bl", "bj", "bc"))
+      .filter($"doc_a" =!= $"doc_b")
+      // each unordered pair is probed from both sides; canonicalize
+      .select(least($"doc_a", $"doc_b").as("doc_a"),
+        greatest($"doc_a", $"doc_b").as("doc_b"))
+    val sh = keys.filter($"l" < 21).select($"doc_id")
     val shortPairs = sh.toDF("doc_a")
       .crossJoin(sh.toDF("doc_b")) // Σ|short|² residue block, see scaladoc
       .filter($"doc_a" < $"doc_b")
@@ -937,19 +953,19 @@ object Dedup {
       .join(keys.select($"doc_id".as("doc_a"), $"k".as("ka"), $"l".as("la")), "doc_a")
       .join(keys.select($"doc_id".as("doc_b"), $"k".as("kb"), $"l".as("lb")), "doc_b")
       .filter(abs($"la" - $"lb") <= EdMaxDist) // ed ≥ |len diff|: free prune
-      .withColumn("dist", levenshtein($"ka", $"kb"))
-      .filter($"dist" <= EdMaxDist)
+      .withColumn("dist", levenshtein($"ka", $"kb", EdMaxDist))
+      .filter($"dist" >= 0 && $"dist" <= EdMaxDist) // -1 = beyond band
       .select($"doc_a", $"doc_b", $"dist")
     // checkpoint=false is for PLAN INSPECTION only (tools.Plans): the
     // caches release immediately, so executing that plan recomputes
-    if (!checkpoint) { keys.unpersist(); grams.unpersist(); prefix.unpersist(); return out }
+    if (!checkpoint) { keys.unpersist(); return out }
     val cp = out.localCheckpoint()
-    keys.unpersist(); grams.unpersist(); prefix.unpersist()
+    keys.unpersist()
     cp
   }
 
-  /** Levenshtein threshold for [[editDistance]] (d in the q·d+1 prefix). */
-  private val EdMaxDist = 12
+  /** Levenshtein threshold for [[editDistance]] (d; blocks = d+1). */
+  private val EdMaxDist = 6
 
   /** Oracle: the unfiltered quadratic form — identical output because
     * the prefix filter is lossless; both engines' `levenshtein` is the
@@ -960,8 +976,8 @@ object Dedup {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       | CAST(levenshtein(a.k, b.k) AS INT) AS dist
       |FROM kk a JOIN kk b
-      | ON a.doc_id < b.doc_id AND abs(len(a.k) - len(b.k)) <= 12
-      |WHERE levenshtein(a.k, b.k) <= 12""".stripMargin.replace("\n", " ")
+      | ON a.doc_id < b.doc_id AND abs(len(a.k) - len(b.k)) <= 6
+      |WHERE levenshtein(a.k, b.k) <= 6""".stripMargin.replace("\n", " ")
 
   // ----------------------------------------- containment pairs (exact)
 

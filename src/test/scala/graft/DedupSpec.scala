@@ -282,15 +282,15 @@ class DedupSpec extends SparkSuite {
     val got = Dedup.editDistance(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(got((1L, 2L)) == 0)
-    assert(got.get((1L, 3L)).exists(d => d > 0 && d <= 12))
+    assert(got.get((1L, 3L)).exists(d => d > 0 && d <= 6))
     assert(got((1L, 3L)) == got((2L, 3L))) // 1 and 2 share the key
     assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
-  test("edit distance prefix filter is lossless: naive all-pairs agrees at sf0.01") {
-    // empirical pin of the q·d+1 pigeonhole proof in Dedup.scala: the
-    // Ed-Join prefix candidates must find every pair the quadratic
-    // levenshtein scan finds (the DuckDB oracle IS that quadratic scan)
+  test("edit distance block pigeonhole is lossless: naive all-pairs agrees at sf0.01") {
+    // empirical pin of the PassJoin block-pigeonhole proof in
+    // Dedup.scala: the block-match candidates must find every pair the
+    // quadratic levenshtein scan finds (the DuckDB oracle IS that scan)
     val t01 = graft.io.Tables(spark, "/root/testdata/sf0.01")
     val keys = t01.documents
       .select(col("doc_id"), substring(col("text"), 1, 64).as("k"))
@@ -298,7 +298,7 @@ class DedupSpec extends SparkSuite {
       .crossJoin(keys.toDF("doc_b", "kb"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("dist", levenshtein(col("ka"), col("kb")))
-      .filter(col("dist") <= 12)
+      .filter(col("dist") <= 6)
       .select("doc_a", "doc_b", "dist")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val filtered = Dedup.editDistance(t01)
