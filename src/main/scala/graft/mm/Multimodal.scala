@@ -23,6 +23,13 @@ import graft.io.Tables
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed ImageInputStream cache per
+  // read/write; every payload here is an in-memory byte array, so the
+  // temp-file round trip is pure /tmp I/O contention (it showed up as
+  // 2x bench jitter on the decode-heavy queries). Memory-cached
+  // streams are strictly better for byte-array media at any scale.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   final case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
                                 width: Int, height: Int, sig: Long)
