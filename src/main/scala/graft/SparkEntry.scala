@@ -99,6 +99,8 @@ object SparkEntry {
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
     "dedup_incremental" -> q(Dedup.incremental),
     "dedup_incremental_near" -> q(Dedup.incrementalNearDup),
+    // batch fuzzy-key probes of the corpus's PassJoin block index
+    "dedup_incremental_edit" -> q(Dedup.incrementalEdit),
     // the streaming module's near-dup path driven in batch mode:
     // row-LOCAL signatures (pure array expressions, no groupBy) probe
     // the same corpus index; the watermark and within-watermark pair
@@ -407,6 +409,7 @@ object SparkEntry {
     "dedup_simhash_hamming" -> Dedup.simhashHammingSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_edit_distance" -> Dedup.editDistanceSql,
+    "dedup_incremental_edit" -> Dedup.incrementalEditSql,
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_cluster_stats" -> Dedup.clusterStatsSql,
     "dedup_embedding" -> Similarity.embeddingNearDupSql,

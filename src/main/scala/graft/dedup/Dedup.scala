@@ -907,38 +907,50 @@ object Dedup {
     * quadratic scan — identical output because the pigeonhole is
     * lossless (DedupSpec pins this empirically at sf0.01).
     */
+  /** (doc_id, k = 64-char key, l = length) — shared key projection for
+    * the edit-distance family. */
+  private def edKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), substring(col("text"), 1, 64).as("k"))
+      .withColumn("l", length(col("k")))
+
+  /** INDEX side of the PassJoin scheme: the d+1 = 7 partition blocks of
+    * each key as (doc_id, bl = key length, bj = block no, bc = content).
+    * Callers pre-filter to l >= 21. */
+  private def edBlocks(longKeys: DataFrame): DataFrame =
+    longKeys.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, 7), j -> named_struct(" +
+        "'bl', l, 'bj', j, " +
+        "'bc', substring(k, ((j-1)*l) div 7 + 1, (j*l) div 7 - ((j-1)*l) div 7)))"
+    )).as("e"))
+      .select(col("doc_id"), col("e.bl").as("bl"), col("e.bj").as("bj"),
+        col("e.bc").as("bc"))
+
+  /** PROBE side: for every partner length within ±d and every block,
+    * this key's windows at the block's start ± d (same block length) —
+    * the edit-free block of any qualifying partner is guaranteed here.
+    * No distinct: duplicate (len, blk, content) windows within one key
+    * are rare (repeated 6-9-char substrings) and the pair distinct
+    * downstream absorbs them — cheaper than a full 1183-rows-per-key
+    * shuffle just to dedupe. */
+  private def edProbes(longKeys: DataFrame): DataFrame =
+    longKeys.select(col("doc_id"), explode(expr(
+      "flatten(flatten(transform(sequence(greatest(l - 6, 21), least(l + 6, 64)), pl -> " +
+        "transform(sequence(1, 7), j -> " +
+        "transform(sequence(greatest(((j-1)*pl) div 7 + 1 - 6, 1), " +
+        "least(((j-1)*pl) div 7 + 1 + 6, l - ((j*pl) div 7 - ((j-1)*pl) div 7) + 1)), " +
+        "p -> named_struct('bl', pl, 'bj', j, " +
+        "'bc', substring(k, p, (j*pl) div 7 - ((j-1)*pl) div 7)))))))"
+    )).as("e"))
+      .select(col("doc_id"), col("e.bl").as("bl"), col("e.bj").as("bj"),
+        col("e.bc").as("bc"))
+
   def editDistance(t: Tables, checkpoint: Boolean = true): DataFrame = {
     import t.spark.implicits._
-    val keys = t.widen(t.documents)
-      .select($"doc_id", substring($"text", 1, 64).as("k"))
-      .withColumn("l", length($"k"))
+    val keys = edKeys(t.widen(t.documents))
       .persist() // feeds blocks, probes, the short block, both verify joins
     val longKeys = keys.filter($"l" >= 21)
-    // index: the 7 partition blocks of each key — (len, blk, content)
-    val blocks = longKeys
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, 7), j -> named_struct(" +
-          "'bl', l, 'bj', j, " +
-          "'bc', substring(k, ((j-1)*l) div 7 + 1, (j*l) div 7 - ((j-1)*l) div 7)))"
-      )).as("e"))
-      .select($"doc_id", $"e.bl".as("bl"), $"e.bj".as("bj"), $"e.bc".as("bc"))
-    // probe: for every partner length within ±d and every block, this
-    // key's windows at the block's start ± d (same block length),
-    // deduped — the edit-free block of any qualifying partner is here
-    val probes = longKeys
-      .select($"doc_id", explode(expr(
-        "flatten(flatten(transform(sequence(greatest(l - 6, 21), least(l + 6, 64)), pl -> " +
-          "transform(sequence(1, 7), j -> " +
-          "transform(sequence(greatest(((j-1)*pl) div 7 + 1 - 6, 1), " +
-          "least(((j-1)*pl) div 7 + 1 + 6, l - ((j*pl) div 7 - ((j-1)*pl) div 7) + 1)), " +
-          "p -> named_struct('bl', pl, 'bj', j, " +
-          "'bc', substring(k, p, (j*pl) div 7 - ((j-1)*pl) div 7)))))))"
-      )).as("e"))
-      .select($"doc_id", $"e.bl".as("bl"), $"e.bj".as("bj"), $"e.bc".as("bc"))
-    // no distinct on the probe windows: duplicate (len, blk, content)
-    // windows within one key are rare (repeated 6-9-char substrings),
-    // and the pair distinct below absorbs them — cheaper than a full
-    // 1183-rows-per-key shuffle just to dedupe
+    val blocks = edBlocks(longKeys)
+    val probes = edProbes(longKeys)
     val cand = blocks.toDF("doc_a", "bl", "bj", "bc")
       .join(probes.toDF("doc_b", "bl", "bj", "bc"), Seq("bl", "bj", "bc"))
       .filter($"doc_a" =!= $"doc_b")
@@ -963,6 +975,56 @@ object Dedup {
     keys.unpersist()
     cp
   }
+
+  /** Incremental fuzzy-KEY dedup — the edit-distance member of the
+    * incremental family ([[incremental]] exact, [[incrementalNearDup]]
+    * MinHash): each arriving batch document's corpus matches within
+    * Levenshtein [[EdMaxDist]] of its 64-char key. The batch side
+    * (doc_id % 10 == 9 stands in for the nightly drop) emits PROBE
+    * windows and joins the CORPUS's persistent 7-rows-per-key block
+    * index — O(batch) probe work against a precomputed index, the
+    * corpus is never re-blocked per ingest (same asymmetry as the
+    * digest and signature tables; the index is `edBlocks` over the
+    * corpus keys, ~7 short strings per document, GBs at 100 TB).
+    * Lossless by the same PassJoin pigeonhole as [[editDistance]];
+    * the batch↔batch shorts residue is omitted deliberately — this
+    * operator answers "is the arrival a fuzzy dup OF THE CORPUS",
+    * in-batch dups are [[editDistance]]'s job on the merged corpus.
+    * Full hash oracle: the quadratic batch×corpus scan.
+    */
+  def incrementalEdit(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val keys = edKeys(t.widen(t.documents)).persist()
+    val corpus = keys.filter($"doc_id" % 10 =!= 9)
+    val batch = keys.filter($"doc_id" % 10 === 9)
+    val cand = edBlocks(corpus.filter($"l" >= 21))
+      .toDF("match_id", "bl", "bj", "bc")
+      .join(edProbes(batch.filter($"l" >= 21)).toDF("doc_id", "bl", "bj", "bc"),
+        Seq("bl", "bj", "bc"))
+      .select($"doc_id", $"match_id")
+    val shorts = batch.filter($"l" < 21).select($"doc_id")
+      .crossJoin(corpus.filter($"l" < 21).select($"doc_id".as("match_id")))
+    val out = cand.union(shorts).distinct()
+      .join(batch.select($"doc_id", $"k".as("kb"), $"l".as("lb")), "doc_id")
+      .join(corpus.select($"doc_id".as("match_id"), $"k".as("kc"), $"l".as("lc")),
+        "match_id")
+      .filter(abs($"lb" - $"lc") <= EdMaxDist)
+      .withColumn("dist", levenshtein($"kb", $"kc", EdMaxDist))
+      .filter($"dist" >= 0 && $"dist" <= EdMaxDist)
+      .select($"doc_id", $"match_id", $"dist")
+      .localCheckpoint()
+    keys.unpersist()
+    out
+  }
+
+  val incrementalEditSql: String =
+    """WITH kk AS (SELECT doc_id, substr(text, 1, 64) AS k FROM documents)
+      |SELECT b.doc_id AS doc_id, c.doc_id AS match_id,
+      | CAST(levenshtein(b.k, c.k) AS INT) AS dist
+      |FROM kk b JOIN kk c
+      | ON b.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+      | AND abs(len(b.k) - len(c.k)) <= 6
+      |WHERE levenshtein(b.k, c.k) <= 6""".stripMargin.replace("\n", " ")
 
   /** Levenshtein threshold for [[editDistance]] (d; blocks = d+1). */
   private val EdMaxDist = 6

@@ -307,6 +307,28 @@ class DedupSpec extends SparkSuite {
     assert(naive.nonEmpty) // the fixture actually exercises the filter
   }
 
+  test("incremental edit: batch keys fuzzy-match the corpus index only") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val ti = tempTables { dir =>
+      Seq(
+        (1L, base, "en", "s", 0L),                            // corpus
+        (4L, "completely different words about spark shuffles and columnar storage", "en", "s", 0L),
+        (9L, base.replace("again and", "again nad"), "en", "s", 0L), // batch: typo dup of 1
+        (19L, base.replace("again and", "again nad"), "en", "s", 0L), // batch: in-batch dup of 9
+        (29L, "unrelated batch text that matches nothing in the corpus at all", "en", "s", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val got = Dedup.incrementalEdit(ti).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // 9 and 19 each match corpus doc 1 (transposition, dist 2 within the
+    // 64-char key); the 9<->19 in-batch pair is deliberately NOT here
+    assert(got.keySet == Set((9L, 1L), (19L, 1L)), s"got $got")
+    assert(got((9L, 1L)) > 0 && got((9L, 1L)) <= 6)
+    assert(!got.keys.exists { case (b, c) => b == 29L || c == 4L })
+  }
+
   test("containment: verbatim-quoted small doc scores 1.0 against its host") {
     import spark.implicits._
     val small = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
