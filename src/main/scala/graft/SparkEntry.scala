@@ -101,6 +101,18 @@ object SparkEntry {
     "dedup_incremental_near" -> q(Dedup.incrementalNearDup),
     // batch fuzzy-key probes of the corpus's PassJoin block index
     "dedup_incremental_edit" -> q(Dedup.incrementalEdit),
+    // the streaming twin driven in batch mode: row-LOCAL probe windows
+    // (shared edProbeExpr), stream-static block + key joins, banded
+    // verify — output equals dedup_incremental_edit bit for bit, so it
+    // shares that oracle
+    "stream_edit_dedup" -> q((t: Tables) => {
+      val keys = Dedup.edKeys(t.widen(t.documents))
+      val docs = t.widen(t.documents).filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id")).as("ts"))
+      graft.streaming.Streams.editDedupStream(docs,
+        keys.filter(col("doc_id") % 10 =!= 9))
+    }),
     // the streaming module's near-dup path driven in batch mode:
     // row-LOCAL signatures (pure array expressions, no groupBy) probe
     // the same corpus index; the watermark and within-watermark pair
@@ -410,6 +422,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_edit_distance" -> Dedup.editDistanceSql,
     "dedup_incremental_edit" -> Dedup.incrementalEditSql,
+    "stream_edit_dedup" -> Dedup.incrementalEditSql,
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_cluster_stats" -> Dedup.clusterStatsSql,
     "dedup_embedding" -> Similarity.embeddingNearDupSql,

@@ -909,14 +909,14 @@ object Dedup {
     */
   /** (doc_id, k = 64-char key, l = length) — shared key projection for
     * the edit-distance family. */
-  private def edKeys(docs: DataFrame): DataFrame =
+  private[graft] def edKeys(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), substring(col("text"), 1, 64).as("k"))
       .withColumn("l", length(col("k")))
 
   /** INDEX side of the PassJoin scheme: the d+1 = 7 partition blocks of
     * each key as (doc_id, bl = key length, bj = block no, bc = content).
     * Callers pre-filter to l >= 21. */
-  private def edBlocks(longKeys: DataFrame): DataFrame =
+  private[graft] def edBlocks(longKeys: DataFrame): DataFrame =
     longKeys.select(col("doc_id"), explode(expr(
       "transform(sequence(1, 7), j -> named_struct(" +
         "'bl', l, 'bj', j, " +
@@ -932,15 +932,19 @@ object Dedup {
     * are rare (repeated 6-9-char substrings) and the pair distinct
     * downstream absorbs them — cheaper than a full 1183-rows-per-key
     * shuffle just to dedupe. */
-  private def edProbes(longKeys: DataFrame): DataFrame =
-    longKeys.select(col("doc_id"), explode(expr(
-      "flatten(flatten(transform(sequence(greatest(l - 6, 21), least(l + 6, 64)), pl -> " +
-        "transform(sequence(1, 7), j -> " +
-        "transform(sequence(greatest(((j-1)*pl) div 7 + 1 - 6, 1), " +
-        "least(((j-1)*pl) div 7 + 1 + 6, l - ((j*pl) div 7 - ((j-1)*pl) div 7) + 1)), " +
-        "p -> named_struct('bl', pl, 'bj', j, " +
-        "'bc', substring(k, p, (j*pl) div 7 - ((j-1)*pl) div 7)))))))"
-    )).as("e"))
+  /** The probe-window generator as a raw expression over columns
+    * `k`/`l`, so callers (the streaming twin) can carry extra columns
+    * through the explode instead of re-joining them on afterwards. */
+  private[graft] val edProbeExpr: String =
+    "flatten(flatten(transform(sequence(greatest(l - 6, 21), least(l + 6, 64)), pl -> " +
+      "transform(sequence(1, 7), j -> " +
+      "transform(sequence(greatest(((j-1)*pl) div 7 + 1 - 6, 1), " +
+      "least(((j-1)*pl) div 7 + 1 + 6, l - ((j*pl) div 7 - ((j-1)*pl) div 7) + 1)), " +
+      "p -> named_struct('bl', pl, 'bj', j, " +
+      "'bc', substring(k, p, (j*pl) div 7 - ((j-1)*pl) div 7)))))))"
+
+  private[graft] def edProbes(longKeys: DataFrame): DataFrame =
+    longKeys.select(col("doc_id"), explode(expr(edProbeExpr)).as("e"))
       .select(col("doc_id"), col("e.bl").as("bl"), col("e.bj").as("bj"),
         col("e.bc").as("bc"))
 
@@ -1027,7 +1031,7 @@ object Dedup {
       |WHERE levenshtein(b.k, c.k) <= 6""".stripMargin.replace("\n", " ")
 
   /** Levenshtein threshold for [[editDistance]] (d; blocks = d+1). */
-  private val EdMaxDist = 6
+  private[graft] val EdMaxDist = 6
 
   /** Oracle: the unfiltered quadratic form — identical output because
     * the prefix filter is lossless; both engines' `levenshtein` is the

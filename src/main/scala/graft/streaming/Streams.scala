@@ -482,6 +482,62 @@ object Streams {
         aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"))
   }
 
+  /** Streaming fuzzy-KEY dedup — the edit-distance member of the
+    * ingest-probe family ([[dedupStream]] exact digests,
+    * [[nearDupStream]] MinHash bands): each arriving document's corpus
+    * matches within Levenshtein Dedup.EdMaxDist of its 64-char key,
+    * probed against the corpus's STATIC key table (the persistent
+    * 7-rows-per-key PassJoin block index derives from it; callers own
+    * its residency for continuous runs, as with the ANN cell index).
+    *
+    * The per-document pipeline is STATELESS: key, length, and the
+    * shifted probe windows are pure row-local expressions (a flatMap-
+    * shaped explode, legal pre-aggregation in append mode), both the
+    * block join and the key-fetch join are stream-static, and the
+    * banded `levenshtein` verify is a per-row filter. The only state
+    * is the within-watermark pair dedup (a pair matching on several
+    * blocks emits identical rows at one event time). Driven on a
+    * batch frame the output equals [[graft.dedup.Dedup.incrementalEdit]]
+    * bit for bit, so the driver entry carries incrementalEditSql as a
+    * FULL hash oracle.
+    */
+  def editDedupStream(docs: DataFrame, corpusKeys0: DataFrame,
+                      horizon: String = "1 hour"): DataFrame = {
+    import graft.dedup.Dedup
+    val corpusKeys = corpusKeys0
+      .select(col("doc_id").as("match_id"), col("k").as("kc"), col("l").as("lc"))
+    val cIndex = Dedup.edBlocks(
+      corpusKeys0.filter(col("l") >= 21)).toDF("match_id", "bl", "bj", "bc")
+    val keyed = docs
+      .withWatermark("ts", horizon)
+      .withColumn("k", substring(col("text"), 1, 64))
+      .withColumn("l", length(col("k")))
+    // ts/key/length ride THROUGH the probe explode (edProbeExpr is the
+    // shared generator) — re-attaching them after the block join would
+    // be a stream-stream self-join, which append mode cannot bound
+    val longCand = keyed.filter(col("l") >= 21)
+      .select(col("doc_id"), col("ts"), col("k").as("kb"), col("l").as("lb"),
+        explode(expr(Dedup.edProbeExpr)).as("e"))
+      .select(col("doc_id"), col("ts"), col("kb"), col("lb"),
+        col("e.bl").as("bl"), col("e.bj").as("bj"), col("e.bc").as("bc"))
+      .join(cIndex, Seq("bl", "bj", "bc")) // stream-static
+      .select(col("doc_id"), col("ts"), col("kb"), col("lb"), col("match_id"))
+    val shortCand = keyed.filter(col("l") < 21)
+      .select(col("doc_id"), col("ts"), col("k").as("kb"), col("l").as("lb"))
+      .join(corpusKeys.filter(col("lc") < 21).select(col("match_id")))
+    val verified = longCand.union(shortCand)
+      .join(corpusKeys, "match_id")   // stream-static
+      .filter(abs(col("lb") - col("lc")) <= Dedup.EdMaxDist)
+      .withColumn("dist", levenshtein(col("kb"), col("kc"), Dedup.EdMaxDist))
+      .filter(col("dist") >= 0 && col("dist") <= Dedup.EdMaxDist)
+      .select(col("doc_id"), col("match_id"), col("ts"), col("dist"))
+    val deduped =
+      if (verified.isStreaming)
+        verified.dropDuplicatesWithinWatermark("doc_id", "match_id")
+      else verified.dropDuplicates("doc_id", "match_id")
+    deduped.select(col("doc_id"), col("match_id"), col("dist"))
+  }
+
   /** Event-time sessionization with explicit state: sessions close after
     * `gapMinutes` of per-user silence (state timeout = watermark-driven
     * eviction). The streaming twin of Relational.q17Sessionize.

@@ -581,4 +581,34 @@ class StreamingSpec extends SparkSuite {
       } finally q.stop()
     }
   }
+
+  test("streaming fuzzy-key dedup probes the static block index through real micro-batches") {
+    import spark.implicits._
+    withLogLevel {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      val corpusDocs = Seq(
+        (1L, base),
+        (4L, "completely different words about spark shuffles and columnar storage")
+      ).toDF("doc_id", "text")
+      val corpusKeys = graft.dedup.Dedup.edKeys(corpusDocs).localCheckpoint()
+      val input = MemoryStream[Streams.Doc]
+      val q = Streams.editDedupStream(input.toDF(), corpusKeys)
+        .writeStream.format("memory").queryName("edit_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          Streams.Doc(9, base.replace("again and", "again nad"), ts(0)), // typo dup of 1
+          Streams.Doc(19, "unrelated arriving text that matches nothing at all here", ts(1)))
+        q.processAllAvailable()
+        input.addData(
+          Streams.Doc(29, base, ts(2))) // exact dup across a later micro-batch
+        q.processAllAvailable()
+        val got = spark.table("edit_stream").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+        assert(got.keySet == Set((9L, 1L), (29L, 1L)), s"got $got")
+        assert(got((29L, 1L)) == 0 && got((9L, 1L)) > 0 && got((9L, 1L)) <= 6)
+      } finally q.stop()
+    }
+  }
 }
