@@ -347,6 +347,8 @@ object SparkEntry {
     // Morton z-curve over (l_partkey, l_suppkey), bucket summary; the
     // file-skipping LAYOUT effect is pinned in ScaleSpec
     "q53_zorder"      -> q(graft.io.ZOrder.zBuckets),
+    // value-based RANGE frame (trailing 30 days in exact microseconds)
+    "q54_range_frame" -> q(Relational.q54RangeFrame),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -501,5 +503,6 @@ object SparkEntry {
     "q51_heavy_hitters_sketch" -> Relational.q50Sql,
     "q52_retention"   -> Relational.q52Sql,
     "q53_zorder"      -> graft.io.ZOrder.zBucketsSql,
+    "q54_range_frame" -> Relational.q54Sql,
   )
 }

@@ -1212,6 +1212,40 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** RANGE-frame window — the value-based frame the rest of the window
+    * suite (ROWS frames, unbounded grand totals) doesn't exercise: per
+    * customer, each order's trailing-30-day spend and order count.
+    * The frame is defined on integer MICROSECONDS (unix_micros /
+    * epoch_us — invariant 11's exact timestamp currency) rather than
+    * an INTERVAL bound, so both engines resolve identical peer sets;
+    * the spend accumulates in DECIMAL(18,4) and casts to double once
+    * (invariant 2). RANGE frames include all peers of the current
+    * order key, so ties agree by construction.
+    *
+    * Scale shape: one shuffle on o_custkey, then a per-partition
+    * ordered scan with a sliding two-pointer frame — state is the
+    * in-frame aggregate, never the partition. Same mega-customer
+    * caveat as every per-entity ordered window (q17/q29): partition
+    * width is one entity's history.
+    */
+  def q54RangeFrame(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(unix_micros($"o_orderdate".cast("timestamp"))) // NTZ→TZ: exact under the pinned UTC session zone
+      .rangeBetween(-30L * 86400L * 1000000L, 0L)
+    t.orders.select($"o_orderkey", $"o_custkey",
+      sum(dec($"o_totalprice")).over(w).cast(DoubleType).as("trail_spend"),
+      count(lit(1)).over(w).as("trail_cnt"))
+  }
+
+  val q54Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trail_spend,
+      | CAST(COUNT(*) OVER w AS BIGINT) AS trail_cnt
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+      | RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""".stripMargin.replace("\n", " ")
+
   val q52Sql: String =
     """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
       |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)

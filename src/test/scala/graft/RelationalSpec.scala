@@ -263,6 +263,27 @@ class RelationalSpec extends SparkSuite {
     assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
   }
 
+  test("q54 range frame: trailing 30-day window includes peers by value, not row count") {
+    import spark.implicits._
+    val d0 = 1700006400000000L // µs
+    val day = 86400000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-rf").toString
+    Seq( // customer 7: orders on days 0, 20, 60
+      (1L, 7L, d0, 10.0), (2L, 7L, d0 + 20 * day, 5.0), (3L, 7L, d0 + 60 * day, 2.0),
+      (4L, 8L, d0, 1.0) // other customer: frames never cross partitions
+    ).toDF("o_orderkey", "o_custkey", "us", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"), lit("O").as("o_orderstatus"),
+        col("o_totalprice"), timestamp_micros(col("us")).as("o_orderdate"),
+        lit("1-URGENT").as("o_orderpriority"))
+      .write.parquet(s"$dir/orders.parquet")
+    val got = Relational.q54RangeFrame(graft.io.Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((10.0, 1L)))       // nothing precedes
+    assert(got(2L) == ((15.0, 2L)))       // day 0 inside the 30-day range
+    assert(got(3L) == ((2.0, 1L)))        // day 20 is 40 days back: out
+    assert(got(4L) == ((1.0, 1L)))        // partition isolation
+  }
+
   test("q52 retention: cohorts by first day, offsets count later activity exactly") {
     import spark.implicits._
     // user 7: days 0,1,3 (cohort d0); user 8: day 1 only (cohort d1);
