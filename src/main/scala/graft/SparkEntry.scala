@@ -94,6 +94,8 @@ object SparkEntry {
     // Lee et al. exact-substring dedup APPLIED: drop every word covered
     // by a cross-doc-repeated 16-word span, reassemble in order
     "corpus_scrub_spans" -> q(graft.pipeline.CorpusOps.scrubSpans(_)),
+    // within-doc repeated-line removal: zero-shuffle row-local HOFs
+    "corpus_dedup_lines" -> q(graft.pipeline.CorpusOps.dedupLines),
     "mj_word_count"   -> q(MapleJuice.wordCount),
     "dedup_exact"     -> q(Dedup.exact),
     "dedup_kept_corpus" -> q(Dedup.keptCorpus),
@@ -408,6 +410,7 @@ object SparkEntry {
     "corpus_boilerplate" -> graft.pipeline.CorpusOps.boilerplateSql,
     "corpus_strip_boilerplate" -> graft.pipeline.CorpusOps.stripBoilerplateSql,
     "corpus_scrub_spans" -> graft.pipeline.CorpusOps.scrubSpansSql,
+    "corpus_dedup_lines" -> graft.pipeline.CorpusOps.dedupLinesSql,
     "mj_word_count"   -> MapleJuice.wordCountSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_kept_corpus" -> Dedup.keptCorpusSql,

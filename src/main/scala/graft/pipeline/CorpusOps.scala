@@ -244,6 +244,52 @@ object CorpusOps {
        | n_lines - coalesce(n_kept, 0) AS n_removed
        |FROM la LEFT JOIN k USING (doc_id)""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------- within-doc line dedupe
+
+  /** WITHIN-document repeated-line removal — the per-page dedupe step
+    * web-corpus pipelines run before any cross-doc pass (nav chrome
+    * and footers repeat inside one page long before they repeat
+    * across pages): keep each line's FIRST occurrence in its document,
+    * drop later repeats, reassemble in order. Lines are the module's
+    * [[LineWidth]]-word segments ([[lineExpr]], the same convention as
+    * the cross-doc boilerplate pair — [[stripBoilerplate]] removes
+    * lines repeated ACROSS docs, this removes repeats INSIDE one).
+    *
+    * Entirely ROW-LOCAL on both engines: the line list, the
+    * keep-first filter (an indexed higher-order `filter` whose
+    * predicate scans only the line's prefix — O(lines²) per doc,
+    * bounded by the [[MaxLines]] cap), and the reassembly are pure
+    * column expressions — the whole operator is a zero-shuffle
+    * projection over the scan, the cheapest shape there is at any
+    * corpus size.
+    */
+  def dedupLines(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .withColumn("ls", expr(lineExpr))
+      // Spark HOF index is 0-based: slice(ls, 1, i) = the i lines before x
+      .withColumn("keep", expr(
+        "filter(ls, (x, i) -> NOT exists(slice(ls, 1, i), y -> y = x))"))
+      .select($"doc_id",
+        expr("array_join(keep, ' ')").as("clean_text"),
+        size($"ls").cast(LongType).as("n_lines"),
+        (size($"ls") - size($"keep")).cast(LongType).as("n_dropped"))
+  }
+
+  val dedupLinesSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |l AS (SELECT doc_id, list_transform(
+       |   range(1, least((len(toks) + ${LineWidth - 1}) // $LineWidth, $MaxLines) + 1),
+       |   j -> array_to_string(toks[CAST((j-1)*$LineWidth+1 AS INT):CAST((j-1)*$LineWidth+$LineWidth AS INT)], ' ')) AS ls
+       | FROM d),
+       |k AS (SELECT doc_id, ls,
+       |   list_filter(ls, (x, i) -> len(list_filter(ls[1:i-1], y -> y = x)) = 0) AS keep
+       | FROM l)
+       |SELECT doc_id, array_to_string(keep, ' ') AS clean_text,
+       | CAST(len(ls) AS BIGINT) AS n_lines,
+       | CAST(len(ls) - len(keep) AS BIGINT) AS n_dropped
+       |FROM k""".stripMargin.replace("\n", " ")
+
   // --------------------------------------- duplicate-substring scrub
 
   /** Duplicate-SUBSTRING removal applied to the text — the

@@ -485,6 +485,27 @@ class CorpusOpsSpec extends SparkSuite {
       s"drew ${got.size} vs target sum $targetSum")
   }
 
+  test("dedup lines: later within-doc repeats drop, first stays, order preserved") {
+    import spark.implicits._
+    val lineA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val lineB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val t2 = tempTables { dir =>
+      Seq(
+        // doc 1: A B A B -> A B (both repeats drop, order kept)
+        (1L, s"$lineA $lineB $lineA $lineB", "en", "s", 0L),
+        // doc 2: same line in ANOTHER doc is untouched (within-doc only)
+        (2L, s"$lineA", "en", "s", 0L),
+        (3L, (1 to 16).map(i => s"u$i").mkString(" "), "en", "s", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val got = CorpusOps.dedupLines(t2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((s"$lineA $lineB", 4L, 2L)))
+    assert(got(2L) == ((lineA, 1L, 0L)))
+    assert(got(3L)._3 == 0L)
+  }
+
   test("scrub spans: shared passage removed at any alignment, survivors rejoin in order") {
     import spark.implicits._
     val shared = (1 to 16).map(i => s"p$i").mkString(" ")
