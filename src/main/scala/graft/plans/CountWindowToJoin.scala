@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -39,7 +39,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * partition spec (grand-total windows over already-aggregated rows
   * are deliberately kept — see Quiet.windowWarn), no ORDER BY, a
   * whole-partition frame, and every window expression in the node is a
-  * plain COUNT (no DISTINCT, no FILTER) over that same spec.
+  * plain COUNT/SUM/MIN/MAX/AVG (no DISTINCT, no FILTER) over that same
+  * spec — the deterministic decomposable aggregates, where
+  * f(window partition) == f(GROUP BY group) because both see exactly
+  * the same row set. Order-sensitive or nondeterministic functions
+  * (collect_list, first) and rank machinery stay windows.
   *
   * Deployment is OPT-IN: injected by graft.functions.GraftExtensions
   * (config-only) or session-locally via
@@ -57,12 +61,17 @@ object CountWindowToJoin extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def safeAgg(f: AggregateFunction): Boolean = f match {
+    case _: Count | _: Sum | _: Min | _: Max | _: Average => true
+    case _ => false
+  }
+
   private def rewritable(parts: Seq[Expression])(ne: NamedExpression): Boolean =
     ne match {
       case Alias(WindowExpression(
-        AggregateExpression(_: Count, _, false, None, _),
+        AggregateExpression(af, _, false, None, _),
         WindowSpecDefinition(p2, Nil, f)), _) =>
-        p2 == parts && wholePartition(f)
+        safeAgg(af) && p2 == parts && wholePartition(f)
       case _ => false
     }
 

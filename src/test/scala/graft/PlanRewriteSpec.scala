@@ -81,10 +81,31 @@ class PlanRewriteSpec extends SparkSuite {
       val grand = fixture.withColumn("c", count(lit(1)).over(Window.partitionBy()))
       assert(grand.queryExecution.optimizedPlan.toString.contains("Window"),
         "grand-total window is deliberately kept (documented pattern)")
-      val summed = fixture.withColumn("s",
-        sum(coalesce(col("k"), lit(0L))).over(Window.partitionBy(col("v"))))
-      assert(summed.queryExecution.optimizedPlan.toString.contains("Window"),
-        "non-count aggregates are out of scope")
+      val listed = fixture.withColumn("l",
+        collect_list(col("v")).over(Window.partitionBy(col("k"))))
+      assert(listed.queryExecution.optimizedPlan.toString.contains("Window"),
+        "order-sensitive aggregates are out of scope")
+    }
+  }
+
+  test("sum/min/avg whole-partition windows rewrite with exact results") {
+    import spark.implicits._
+    val df0 = Seq(("a", 1.0), ("a", 2.5), ("b", 4.0)).toDF("k", "x")
+    val q = (df: DataFrame) => df
+      .withColumn("s", sum(col("x")).over(Window.partitionBy(col("k"))))
+      .withColumn("m", min(col("x")).over(Window.partitionBy(col("k"))))
+      .withColumn("a", avg(col("x")).over(Window.partitionBy(col("k"))))
+    val expected = q(df0).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    withRule {
+      val df = q(df0)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("Window"), s"Window survived: $opt")
+      val got = df.collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toSet
+      assert(got == expected)
     }
   }
 }
