@@ -351,6 +351,8 @@ object SparkEntry {
     "q53_zorder"      -> q(graft.io.ZOrder.zBuckets),
     // value-based RANGE frame (trailing 30 days in exact microseconds)
     "q54_range_frame" -> q(Relational.q54RangeFrame),
+    // percent_rank + cume_dist: exact integer-ratio rank normalizers
+    "q55_percent_rank" -> q(Relational.q55PercentRank),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -507,5 +509,6 @@ object SparkEntry {
     "q52_retention"   -> Relational.q52Sql,
     "q53_zorder"      -> graft.io.ZOrder.zBucketsSql,
     "q54_range_frame" -> Relational.q54Sql,
+    "q55_percent_rank" -> Relational.q55Sql,
   )
 }

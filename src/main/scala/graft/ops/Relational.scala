@@ -1246,6 +1246,31 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
       | RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""".stripMargin.replace("\n", " ")
 
+  /** Rank-normalizing window functions — percent_rank and cume_dist,
+    * the two members of the rank family (q10 rank, q33 ntile) not yet
+    * covered. Both are exact single divisions of rank integers
+    * ((rank−1)/(n−1) and |rows ≤ current|/n — invariant 3's
+    * exactly-representable-operands rule), and tie handling is defined
+    * identically by the SQL standard in both engines, so the result
+    * hash-matches without a tiebreak column. Scale: one shuffle on the
+    * 5-value priority key — the same bounded-partition caveat as every
+    * exact rank query (q20/q33).
+    */
+  def q55PercentRank(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+    t.orders.select($"o_orderkey", $"o_orderpriority",
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+  }
+
+  val q55Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)""".stripMargin
+      .replace("\n", " ")
+
   val q52Sql: String =
     """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
       |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
