@@ -896,10 +896,11 @@ object Dedup {
     * the df-prefix scheme where it belongs: word-gram sets with a
     * long-tail df distribution.
     *
-    * Keys too short for meaningful blocks (len < 21, i.e.
-    * pre-quality-gate debris) pair among themselves in an explicit
-    * short block — all-pairs over that residue by construction,
-    * documented as Σ|short|². Scale shape: the probe explode is
+    * Keys too short for meaningful blocks pair in an explicit residue
+    * block: the pigeonhole needs both sides ≥ 21 chars, so every pair
+    * whose SHORTER side is < 21 (partner ≤ 26, since ed ≥ |len diff|)
+    * is enumerated directly — Σ|short|·|near-short| work over
+    * pre-quality-gate debris. Scale shape: the probe explode is
     * ≤ 13·7·13 rows per key before its distinct (position/length
     * clamps cut most), the join is equi on (len, block, content) with
     * no forced broadcast (AQE decides), and every surviving candidate
@@ -961,10 +962,19 @@ object Dedup {
       // each unordered pair is probed from both sides; canonicalize
       .select(least($"doc_a", $"doc_b").as("doc_a"),
         greatest($"doc_a", $"doc_b").as("doc_b"))
+    // residue block: the pigeonhole needs BOTH sides >= 21 chars, so a
+    // pair is unproven whenever its SHORTER side is < 21 — partner
+    // length is then <= 26 (ed >= |len diff|). Pair every short key
+    // with every key under 27 (short x short and short x near-short
+    // both land here after canonicalization); Σ|short|·|near-short| by
+    // construction, pre-quality-gate debris on a real corpus.
     val sh = keys.filter($"l" < 21).select($"doc_id")
+    val nearSh = keys.filter($"l" < 27).select($"doc_id")
     val shortPairs = sh.toDF("doc_a")
-      .crossJoin(sh.toDF("doc_b")) // Σ|short|² residue block, see scaladoc
-      .filter($"doc_a" < $"doc_b")
+      .crossJoin(nearSh.toDF("doc_b"))
+      .filter($"doc_a" =!= $"doc_b")
+      .select(least($"doc_a", $"doc_b").as("doc_a"),
+        greatest($"doc_a", $"doc_b").as("doc_b"))
     val out = cand.union(shortPairs).distinct()
       .join(keys.select($"doc_id".as("doc_a"), $"k".as("ka"), $"l".as("la")), "doc_a")
       .join(keys.select($"doc_id".as("doc_b"), $"k".as("kb"), $"l".as("lb")), "doc_b")
@@ -1006,8 +1016,13 @@ object Dedup {
       .join(edProbes(batch.filter($"l" >= 21)).toDF("doc_id", "bl", "bj", "bc"),
         Seq("bl", "bj", "bc"))
       .select($"doc_id", $"match_id")
+    // residue covers the boundary too: the short side can be EITHER
+    // the batch doc or the corpus doc (pigeonhole fails when min < 21,
+    // partner <= 26)
     val shorts = batch.filter($"l" < 21).select($"doc_id")
-      .crossJoin(corpus.filter($"l" < 21).select($"doc_id".as("match_id")))
+      .crossJoin(corpus.filter($"l" < 27).select($"doc_id".as("match_id")))
+      .union(batch.filter($"l" < 27).select($"doc_id")
+        .crossJoin(corpus.filter($"l" < 21).select($"doc_id".as("match_id"))))
     val out = cand.union(shorts).distinct()
       .join(batch.select($"doc_id", $"k".as("kb"), $"l".as("lb")), "doc_id")
       .join(corpus.select($"doc_id".as("match_id"), $"k".as("kc"), $"l".as("lc")),

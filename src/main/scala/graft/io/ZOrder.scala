@@ -40,7 +40,11 @@ object ZOrder {
     */
   def zValueSql(a: String, b: String): String =
     (0 until Bits).map { i =>
-      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})"
+      // CAST before shifting: bit 15 of b shifts by 31, and DuckDB's
+      // 1 << 31 on INT32 raises an overflow error (invariant 10's
+      // class) — the Spark side is LongType throughout
+      s"(CAST((($a >> $i) & 1) AS BIGINT) << ${2 * i}) | " +
+        s"(CAST((($b >> $i) & 1) AS BIGINT) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
 
   /** Write `df` z-clustered on (ca, cb): range-partition into `files`

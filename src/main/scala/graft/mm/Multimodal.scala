@@ -658,16 +658,24 @@ object Multimodal {
     * (bit 63's literal round-trips through HUGEINT like
     * Similarity's signWordSql).
     */
+  /** The [[imagePixel]] formula as a SQL table of (doc_id, x, y, v) —
+    * the ONE place the formula lives on the oracle side; every image
+    * oracle (aHash, PNG round trip, downscale) builds on this CTE body
+    * so a formula change is a two-site edit (Scala + here), not four.
+    */
+  private val pxCteBody: String =
+    """ SELECT doc_id, x.range AS x, y.range AS y,
+      |  CASE WHEN x.range < 2 AND y.range < 2 THEN (doc_id * 37) % 256
+      |   ELSE 32 + 24 * (((x.range//2 + 8*(y.range//2) + 1) * ((doc_id//16) % 251 + 1)) % 251 % 8) END AS v
+      | FROM documents, range(0, 16) x, range(0, 16) y""".stripMargin
+
   private val ahashCte: String = {
     val blkCols = (0 until 64).map(b =>
       s"sum(CASE WHEN (y//2)*8 + (x//2) = $b THEN v ELSE 0 END) AS b$b").mkString(", ")
     val word = (0 until 64).map(i =>
       s"(CASE WHEN b$i*64 > total THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" | ")
     s"""WITH px AS (
-       | SELECT doc_id, x.range AS x, y.range AS y,
-       |  CASE WHEN x.range < 2 AND y.range < 2 THEN (doc_id * 37) % 256
-       |   ELSE 32 + 24 * (((x.range//2 + 8*(y.range//2) + 1) * ((doc_id//16) % 251 + 1)) % 251 % 8) END AS v
-       | FROM documents, range(0, 16) x, range(0, 16) y),
+       |$pxCteBody),
        |agg AS (SELECT doc_id, sum(v) AS total, $blkCols FROM px GROUP BY doc_id),
        |ah AS (SELECT doc_id, $word AS ahash FROM agg)""".stripMargin
   }
@@ -758,10 +766,7 @@ object Multimodal {
   val imageDownscaleSql: String = {
     val h32 = "('0x'||substr(md5(ds),1,8))::BIGINT"
     s"""WITH px AS (
-       | SELECT doc_id, x.range AS x, y.range AS y,
-       |  CASE WHEN x.range < 2 AND y.range < 2 THEN (doc_id * 37) % 256
-       |   ELSE 32 + 24 * (((x.range//2 + 8*(y.range//2) + 1) * ((doc_id//16) % 251 + 1)) % 251 % 8) END AS v
-       | FROM documents, range(0, 16) x, range(0, 16) y),
+       |$pxCteBody),
        |blk AS (SELECT doc_id, (y//2)*8 + (x//2) AS b, sum(v) // 4 AS m
        | FROM px GROUP BY 1, 2),
        |ds AS (SELECT doc_id, sum(m) AS px_total,

@@ -75,9 +75,19 @@ object CountWindowToJoin extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** The rewrite evaluates `child` on BOTH join sides; a
+    * nondeterministic subtree (rand-bucketed keys, uuid columns) would
+    * re-roll independently per side — wrong counts and inner-join row
+    * loss. Spark's own plan-duplicating rules carry the same guard. */
+  private def fullyDeterministic(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case p if p.expressions.exists(e => !e.deterministic) => p
+    }.isEmpty
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Window(wes, parts, Nil, child, _)
-        if parts.nonEmpty && wes.nonEmpty && wes.forall(rewritable(parts)) =>
+        if parts.nonEmpty && wes.nonEmpty && wes.forall(rewritable(parts)) &&
+          parts.forall(_.deterministic) && fullyDeterministic(child) =>
       val keyAliases = parts.zipWithIndex.map { case (p, i) =>
         Alias(p, s"__cwj_k$i")()
       }

@@ -522,9 +522,14 @@ object Streams {
         col("e.bl").as("bl"), col("e.bj").as("bj"), col("e.bc").as("bc"))
       .join(cIndex, Seq("bl", "bj", "bc")) // stream-static
       .select(col("doc_id"), col("ts"), col("kb"), col("lb"), col("match_id"))
+    // residue covers the l=21 boundary from both sides (pigeonhole
+    // needs min(lb, lc) >= 21; partner <= 26 by the length bound)
     val shortCand = keyed.filter(col("l") < 21)
       .select(col("doc_id"), col("ts"), col("k").as("kb"), col("l").as("lb"))
-      .join(corpusKeys.filter(col("lc") < 21).select(col("match_id")))
+      .join(corpusKeys.filter(col("lc") < 27).select(col("match_id")))
+      .union(keyed.filter(col("l") < 27)
+        .select(col("doc_id"), col("ts"), col("k").as("kb"), col("l").as("lb"))
+        .join(corpusKeys.filter(col("lc") < 21).select(col("match_id"))))
     val verified = longCand.union(shortCand)
       .join(corpusKeys, "match_id")   // stream-static
       .filter(abs(col("lb") - col("lc")) <= Dedup.EdMaxDist)

@@ -84,28 +84,16 @@ object Profile {
     time("ann-brute-force")(graft.sim.Similarity.annBruteForce(t).count())
     time("ann-pq")(graft.sim.Similarity.annPq(t).count())
 
-    // PassJoin edit-distance sub-stages (mirrors Dedup.editDistance)
-    val keysE = t.widen(t.documents)
-      .select($"doc_id", substring($"text", 1, 64).as("k"))
-      .withColumn("l", length($"k")).persist()
+    // PassJoin edit-distance sub-stages — the SAME private[graft]
+    // builders Dedup.editDistance runs, so the timings always profile
+    // the shipped pipeline (a pasted copy would silently diverge when
+    // the constants change)
+    val keysE = graft.dedup.Dedup.edKeys(t.widen(t.documents)).persist()
     time("edq-keys")(keysE.count())
     val longKeys = keysE.filter($"l" >= 21)
-    val blocksE = longKeys.select($"doc_id", explode(expr(
-      "transform(sequence(1, 7), j -> named_struct(" +
-        "'bl', l, 'bj', j, " +
-        "'bc', substring(k, ((j-1)*l) div 7 + 1, (j*l) div 7 - ((j-1)*l) div 7)))"
-    )).as("e"))
-      .select($"doc_id", $"e.bl".as("bl"), $"e.bj".as("bj"), $"e.bc".as("bc"))
+    val blocksE = graft.dedup.Dedup.edBlocks(longKeys)
     time("edq-blocks")(blocksE.count())
-    val probesE = longKeys.select($"doc_id", explode(expr(
-      "flatten(flatten(transform(sequence(greatest(l - 6, 21), least(l + 6, 64)), pl -> " +
-        "transform(sequence(1, 7), j -> " +
-        "transform(sequence(greatest(((j-1)*pl) div 7 + 1 - 6, 1), " +
-        "least(((j-1)*pl) div 7 + 1 + 6, l - ((j*pl) div 7 - ((j-1)*pl) div 7) + 1)), " +
-        "p -> named_struct('bl', pl, 'bj', j, " +
-        "'bc', substring(k, p, (j*pl) div 7 - ((j-1)*pl) div 7)))))))"
-    )).as("e"))
-      .select($"doc_id", $"e.bl".as("bl"), $"e.bj".as("bj"), $"e.bc".as("bc"))
+    val probesE = graft.dedup.Dedup.edProbes(longKeys)
     time("edq-probes")(probesE.count())
     val candE = blocksE.toDF("doc_a", "bl", "bj", "bc")
       .join(probesE.toDF("doc_b", "bl", "bj", "bc"), Seq("bl", "bj", "bc"))

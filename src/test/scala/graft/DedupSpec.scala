@@ -329,6 +329,41 @@ class DedupSpec extends SparkSuite {
     assert(!got.keys.exists { case (b, c) => b == 29L || c == 4L })
   }
 
+  test("edit distance: pairs straddling the short/long boundary are found") {
+    import spark.implicits._
+    // 18-char key (below the 21-char pigeonhole floor) vs its 23-char
+    // extension (above it): ed = 5 <= 6. The block join can't prove
+    // this pair — the widened residue (short x near-short) must.
+    val shortT = "abcdefgh ijklmnop"          // 17 chars
+    val longT = shortT + " qrstu"             // 23 chars, ed = 6
+    val tb = tempTables { dir =>
+      Seq(
+        (1L, shortT, "en", "s", 0L),
+        (2L, longT, "en", "s", 0L),
+        (3L, "a completely different text that is long enough to block fine", "en", "s", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val got = Dedup.editDistance(tb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.get((1L, 2L)).contains(6), s"boundary pair missing: $got")
+    // the incremental + streaming twins share the residue fix: corpus
+    // doc 1 short, batch doc 9 near-short (and the reverse orientation)
+    val ti = tempTables { dir =>
+      Seq(
+        (1L, shortT, "en", "s", 0L),   // corpus, short
+        (2L, longT, "en", "s", 0L),    // corpus, near-short
+        (9L, longT, "en", "s", 0L),    // batch, near-short -> matches 1 and 2
+        (19L, shortT, "en", "s", 0L)   // batch, short -> matches 1 and 2
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val inc = Dedup.incrementalEdit(ti).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(inc.keySet == Set((9L, 1L), (9L, 2L), (19L, 1L), (19L, 2L)), s"got $inc")
+    assert(inc((9L, 1L)) == 6 && inc((9L, 2L)) == 0 && inc((19L, 2L)) == 6)
+  }
+
   test("containment: verbatim-quoted small doc scores 1.0 against its host") {
     import spark.implicits._
     val small = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"

@@ -88,6 +88,19 @@ class PlanRewriteSpec extends SparkSuite {
     }
   }
 
+  test("nondeterministic children are left alone (plan-duplication hazard)") {
+    withRule {
+      // a Range source (not a LocalRelation, which constant-folding
+      // would materialize — including the rand values — before the
+      // rule runs) keeps the rand expression live in the child plan
+      val df = spark.range(100)
+        .withColumn("bucket", (rand(7) * 3).cast("int"))
+        .withColumn("c", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      assert(df.queryExecution.optimizedPlan.toString.contains("Window"),
+        "rand-derived keys must not be re-evaluated on two join sides")
+    }
+  }
+
   test("sum/min/avg whole-partition windows rewrite with exact results") {
     import spark.implicits._
     val df0 = Seq(("a", 1.0), ("a", 2.5), ("b", 4.0)).toDF("k", "x")
