@@ -156,6 +156,10 @@ object SparkEntry {
     // range search (FAISS range_search): all neighbors with cos >= tau,
     // no k truncation; exact baseline with a full hash oracle
     "ann_range"       -> q(Similarity.annRange(_)),
+    // Matryoshka truncated-dims funnel: 16-dim prefix shortlist, full
+    // 64-dim exact re-rank — the dimension-axis sibling of the int8/PQ
+    // value-axis funnels, and exact enough for a full hash oracle
+    "ann_mrl"         -> q((t: Tables) => Similarity.annMrl(t)),
     // cell-pruned range search: rows-only (KMeans fit); check.py bands
     // pair recall vs the exact ann_range
     "ann_range_ivf"   -> q((t: Tables) => Similarity.annRangeIvf(t)),
@@ -436,6 +440,7 @@ object SparkEntry {
     "ann_brute_force" -> Similarity.annBruteForceSql,
     "ann_label_filtered" -> Similarity.annLabelFilteredSql,
     "ann_range"       -> Similarity.annRangeSql,
+    "ann_mrl"         -> Similarity.annMrlSql,
     // ann_lsh IS oracle-checkable despite recall<1: the md5-derived
     // hyperplanes re-derive in SQL, so both engines bucket identically
     // and the reported neighbor set + cosines hash-compare exactly.

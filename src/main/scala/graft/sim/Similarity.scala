@@ -1011,6 +1011,88 @@ object Similarity {
     * (the int8 middle stage loses ~nothing, QuantizeSpec's 0.99
     * recall), while reading 4x fewer float rows.
     */
+  /** Matryoshka (MRL) truncated-dimension funnel — the OTHER way to
+    * make the first retrieval stage cheap (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS'22): score the
+    * shortlist on the first [[MrlDims]] = 16 of 64 dimensions (4x
+    * fewer multiply-adds and 4x smaller resident vectors — MRL-trained
+    * embeddings front-load information so prefix cosine preserves
+    * neighborhood order), then re-rank the survivors with the full
+    * vectors. Complements the quantization family: int8/PQ/1-bit
+    * shrink the VALUE axis, MRL shrinks the DIMENSION axis; at 100 TB
+    * the 16-dim prefixes are the hot resident table (16 doubles/row)
+    * and full vectors page in only for shortlist·|probes| rows.
+    *
+    * Both stages are exact arithmetic on deterministic slices, so
+    * unlike the KMeans-backed funnels this one carries a FULL hash
+    * oracle (the slice preserves element order, so the left-fold dot
+    * matches list_dot_product bitwise — the validated annLsh class).
+    *
+    * Recall is a property of the EMBEDDINGS, not the operator: the
+    * synthetic corpus is i.i.d. random, the worst case for truncation
+    * (each dim carries 1/64 of the variance, so the 16-dim prefix
+    * holds 25%), and the measured shortlist sweep quantifies exactly
+    * that — recall@5 vs brute force 0.45/0.58/0.67/0.73/0.84 at
+    * shortlist 32/64/96/128/192 (sf0.01). MRL-trained embeddings
+    * front-load ~90% of variance into the prefix (the paper's
+    * premise), where shortlists of 2-3x k suffice. Default 128 is the
+    * honest worst-case setting; the hash oracle pins correctness at
+    * any knob value.
+    */
+  def annMrl(t: Tables, shortlist: Int = 128): DataFrame = {
+    val e = withNorm(t)
+    val pref = e.select(col("vec_id"),
+      expr(s"slice(v, 1, $MrlDims)").as("p"))
+      .withColumn("pn", sqrt(dot(col("p"), col("p"))))
+    val probes = pref.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("probe_id"), col("p").as("pp"), col("pn").as("ppn"))
+    val cands = pref.select(col("vec_id").as("cand_id"), col("p").as("pc"),
+      col("pn").as("pcn"))
+    val wPre = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cand_id").asc)
+    val short = probes.join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("pcos", dot(col("pp"), col("pc")) / (col("ppn") * col("pcn")))
+      .withColumn("pr", row_number().over(wPre))
+      .filter(col("pr") <= shortlist)
+      .select(col("probe_id"), col("cand_id"), col("pcos"))
+    val vp = e.select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
+    val vc = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
+    val wCos = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    short.join(vp, "probe_id").join(vc, "cand_id")
+      .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
+      .withColumn("rnk", row_number().over(wCos))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rnk"), col("pcos"), col("cos"))
+  }
+
+  private val MrlDims = 16
+
+  val annMrlSql: String = {
+    val pd = "list_dot_product(pr.p, c.p)"
+    val pn = "sqrt(list_dot_product(pr.p, pr.p))"
+    val pcn = "sqrt(list_dot_product(c.p, c.p))"
+    val d = dotSql.format("p.embedding", "c.embedding")
+    val np = "sqrt(" + dotSql.format("p.embedding", "p.embedding") + ")"
+    val nc = "sqrt(" + dotSql.format("c.embedding", "c.embedding") + ")"
+    s"""WITH pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[])[1:16] AS p FROM embeddings),
+       |s1 AS (SELECT probe_id, cand_id, pcos FROM (
+       | SELECT pr.vec_id AS probe_id, c.vec_id AS cand_id,
+       |  $pd / ($pn * $pcn) AS pcos,
+       |  row_number() OVER (PARTITION BY pr.vec_id
+       |   ORDER BY $pd / ($pn * $pcn) DESC, c.vec_id ASC) AS prr
+       | FROM pe pr JOIN pe c ON pr.vec_id <> c.vec_id
+       | WHERE pr.vec_id % 13 = 0) WHERE prr <= 128)
+       |SELECT probe_id, cand_id, rnk, pcos, cos FROM (
+       | SELECT s1.probe_id, s1.cand_id, s1.pcos,
+       |  $d / ($np * $nc) AS cos,
+       |  row_number() OVER (PARTITION BY s1.probe_id
+       |   ORDER BY $d / ($np * $nc) DESC, s1.cand_id ASC) AS rnk
+       | FROM s1 JOIN embeddings p ON s1.probe_id = p.vec_id
+       | JOIN embeddings c ON s1.cand_id = c.vec_id)
+       |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
+  }
+
   def annCascade(t: Tables, shortlist: Int = 256, rerank: Int = 32): DataFrame = {
     val e = withNorm(t)
     val words = t.widen(t.embeddings)

@@ -31,7 +31,10 @@ object AdaptivePlans {
       // still broadcasts them at local scale (and could demote at 100x)
       "q32_fuzzy_name" -> graft.ops.Relational.q32FuzzyName(t),
       "ann_brute_force" -> graft.sim.Similarity.annBruteForce(t),
-      "corpus_budget_sample" -> graft.pipeline.CorpusOps.budgetSample(t))
+      "corpus_budget_sample" -> graft.pipeline.CorpusOps.budgetSample(t),
+      // round 15: the un-hinted candidate joins of the new dedup/ANN ops
+      "dedup_edit_distance" -> graft.dedup.Dedup.editDistance(t, checkpoint = false),
+      "ann_label_filtered" -> graft.sim.Similarity.annLabelFiltered(t))
     interesting.foreach { case (name, df) =>
       df.count() // materialize so AQE finalizes every stage
       println(s"===== $name (final adaptive plan) =====")

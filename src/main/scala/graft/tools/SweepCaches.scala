@@ -31,7 +31,7 @@ object SweepCaches {
     * mode of a renamed/added consumer missing from here. */
   private[graft] val simConsumers = Set(
     "dedup_embedding", "dedup_embedding_ivf",
-    "ann_brute_force", "ann_label_filtered", "ann_range", "ann_range_ivf",
+    "ann_brute_force", "ann_label_filtered", "ann_range", "ann_range_ivf", "ann_mrl",
     "ann_ivf", "ann_lsh",
     "emb_quantize_int8", "ann_int8", "ann_ivf_int8", "stream_ann_int8",
     "stream_ann_ivf_int8", "stream_index_append", "ann_pq", "ann_ivf_pq",

@@ -119,7 +119,7 @@ def main():
     CACHE_FAMILIES = {
         "sim (norm projection + quantizer fit)": [
             "dedup_embedding", "dedup_embedding_ivf", "ann_brute_force",
-            "ann_label_filtered", "ann_range", "ann_range_ivf",
+            "ann_label_filtered", "ann_range", "ann_range_ivf", "ann_mrl",
             "ann_ivf", "ann_lsh", "emb_quantize_int8", "ann_int8",
             "ann_ivf_int8", "stream_ann_int8", "stream_ann_ivf_int8",
             "stream_index_append",
