@@ -121,6 +121,22 @@ class AnnRecallSpec extends SparkSuite {
     }
   }
 
+  test("ann_mrl funnel: genuine cosines, exact re-rank consistent with brute force") {
+    val mrl = Similarity.annMrl(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // every reported cosine must equal the exact pairwise cosine the
+    // brute-force path computes (the funnel only prunes, never scores
+    // approximately at the final stage)
+    val bf = Similarity.annBruteForce(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val overlap = mrl.keySet.intersect(bf.keySet)
+    assert(overlap.nonEmpty)
+    overlap.foreach { k => assert(mrl(k) == bf(k), s"cosine mismatch at $k") }
+    val recall = overlap.size.toDouble / bf.size
+    info(f"ann_mrl recall@5 = $recall%.3f (worst-case random embeddings)")
+    assert(recall >= 0.6, f"recall $recall%.3f below the shortlist-128 floor")
+  }
+
   test("ann_ivf reported cosines are genuine and ranks consistent (independent recompute)") {
     // ann_ivf has no SQL oracle (the KMeans quantizer isn't
     // SQL-expressible), so verify the value-level guarantee here with
