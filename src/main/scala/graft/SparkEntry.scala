@@ -68,6 +68,9 @@ object SparkEntry {
     "q21_above_avg"   -> q(Relational.q21AboveAvg),
     "q22_cube"        -> q(Relational.q22Cube),
     "asof_join"       -> q(graft.ops.AsOf.eventsAsOfOrders),
+    // nearest-direction as-of (merge_asof direction='nearest'): both
+    // carry directions + integer-microsecond closer-side pick
+    "asof_nearest"    -> q(graft.ops.AsOf.eventsAsOfNearest),
     "text_tfidf"      -> q(TextAnalysis.tfidf),
     "agg_typed_sum"   -> q(graft.functions.Aggs.typedSumQuery),
     // bounded-buffer per-group top-k (O(k) state per task per group,
@@ -404,6 +407,7 @@ object SparkEntry {
     "q21_above_avg"   -> Relational.q21Sql,
     "q22_cube"        -> Relational.q22Sql,
     "asof_join"       -> graft.ops.AsOf.eventsAsOfOrdersSql,
+    "asof_nearest"    -> graft.ops.AsOf.eventsAsOfNearestSql,
     "text_tfidf"      -> TextAnalysis.tfidfSql,
     "agg_typed_sum"   -> graft.functions.Aggs.typedSumSql,
     "agg_topk_per_group" -> graft.functions.Aggs.topKPerGroupSql,

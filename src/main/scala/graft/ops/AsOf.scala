@@ -47,6 +47,76 @@ object AsOf {
         $"m_orderkey".as("o_orderkey"), $"m_totalprice".as("o_totalprice"))
   }
 
+  /** NEAREST-direction as-of (pandas merge_asof direction='nearest'):
+    * for each event, the same customer's order minimizing
+    * |ts − orderdate|, ties to the EARLIER order. Distinct semantics
+    * from the backward join above: an event whose only orders lie in
+    * the FUTURE still matches (attribution backfill for users whose
+    * first order follows their first activity), which `t >= orderdate`
+    * structurally cannot express.
+    *
+    * Same one-shuffle union-and-carry shape, run in BOTH directions:
+    * the backward window carries the last order forward, the mirrored
+    * frame (currentRow..unboundedFollowing) carries the next order
+    * backward, and a per-row integer-microsecond compare picks the
+    * closer side — no per-event probing, no range join. The µs
+    * arithmetic is exact (invariant 11), so the tie compare
+    * (prev-gap ≤ next-gap, mirroring the oracle's ORDER BY distance,
+    * order-time) is an integer decision on both engines. A same-time
+    * order sorts before its event and is picked up by the backward
+    * carry at distance 0 — unbeatable, so the forward frame's
+    * exclusion of it is immaterial.
+    */
+  def eventsAsOfNearest(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val dedup = Window.partitionBy($"o_custkey", $"o_orderdate")
+      .orderBy($"o_orderkey".desc)
+    val ord = t.orders
+      .withColumn("rn", row_number().over(dedup)).filter($"rn" === 1)
+      .select($"o_custkey".as("key"), $"o_orderdate".as("t"),
+        lit(1).as("is_order"), $"o_orderkey", $"o_totalprice",
+        lit(null).cast("long").as("event_id"))
+    val ev = t.events
+      .select($"user_id".as("key"), $"ts".as("t"),
+        lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"), $"event_id")
+    val wPrev = Window.partitionBy($"key").orderBy($"t".asc, $"is_order".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"key").orderBy($"t".asc, $"is_order".desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ot = when($"is_order" === 1, $"tt")
+    ord.unionByName(ev)
+      .withColumn("tt", unix_micros($"t".cast("timestamp")))
+      .withColumn("pk", last($"o_orderkey", ignoreNulls = true).over(wPrev))
+      .withColumn("pp", last($"o_totalprice", ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(ot, ignoreNulls = true).over(wPrev))
+      .withColumn("nk", first($"o_orderkey", ignoreNulls = true).over(wNext))
+      .withColumn("np", first($"o_totalprice", ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(ot, ignoreNulls = true).over(wNext))
+      .filter($"is_order" === 0 && ($"pk".isNotNull || $"nk".isNotNull))
+      .withColumn("usePrev",
+        $"pk".isNotNull && ($"nk".isNull || ($"tt" - $"pt") <= ($"nt" - $"tt")))
+      .select($"event_id", $"key".as("user_id"),
+        when($"usePrev", $"pk").otherwise($"nk").as("o_orderkey"),
+        when($"usePrev", $"pp").otherwise($"np").as("o_totalprice"))
+  }
+
+  /** Oracle: the naive per-event minimum over the customer's orders —
+    * tiny per-user order lists make the quadratic form cheap at oracle
+    * scale; the Spark side is the one-shuffle carry. */
+  val eventsAsOfNearestSql: String =
+    """WITH ord AS (
+      | SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn = 1),
+      |j AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+      |  abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS d,
+      |  epoch_us(o.o_orderdate) AS ot
+      | FROM events e JOIN ord o ON e.user_id = o.o_custkey)
+      |SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+      | SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d, ot) AS rn FROM j)
+      |WHERE rn = 1""".stripMargin.replace("\n", " ")
+
   val eventsAsOfOrdersSql: String =
     """WITH ord AS (
       | SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (

@@ -42,4 +42,20 @@ class AsOfSpec extends SparkSuite {
       1001L -> (12L, 300.0),
       1002L -> (12L, 300.0)))
   }
+
+  test("nearest as-of picks the closer side, ties to earlier, matches future-only users") {
+    val got = AsOf.eventsAsOfNearest(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      // Jan 3 sits 2 days after order 10 and 2 days before order 12 —
+      // an exact tie, broken toward the EARLIER order
+      1000L -> (10L, 100.0),
+      1001L -> (12L, 300.0), // distance 0: same-instant order
+      1002L -> (12L, 300.0), // only past orders are nearer
+      // cust 2's sole order is in the FUTURE: backward as-of drops this
+      // event, nearest matches it — the semantic the variant exists for
+      1003L -> (13L, 400.0)))
+    // user 3 (no orders) still yields nothing
+    assert(!got.contains(1004L))
+  }
 }
