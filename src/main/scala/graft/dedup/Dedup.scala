@@ -896,17 +896,27 @@ object Dedup {
     * the df-prefix scheme where it belongs: word-gram sets with a
     * long-tail df distribution.
     *
-    * Keys too short for meaningful blocks pair in an explicit residue
-    * block: the pigeonhole needs both sides ≥ 21 chars, so every pair
-    * whose SHORTER side is < 21 (partner ≤ 26, since ed ≥ |len diff|)
-    * is enumerated directly — Σ|short|·|near-short| work over
-    * pre-quality-gate debris. Scale shape: the probe explode is
-    * ≤ 13·7·13 rows per key before its distinct (position/length
-    * clamps cut most), the join is equi on (len, block, content) with
-    * no forced broadcast (AQE decides), and every surviving candidate
-    * costs one banded levenshtein. The oracle is the unfiltered
-    * quadratic scan — identical output because the pigeonhole is
-    * lossless (DedupSpec pins this empirically at sf0.01).
+    * The pigeonhole only needs each of the 7 blocks NON-EMPTY, so the
+    * block join covers every key down to l = 7 (1–2-char blocks at the
+    * short end — shared-character buckets; coarser, but still a
+    * lossless per-(len, block, char) bucketing, never a global
+    * product). Only keys SHORTER than 7 chars fall outside it, and for
+    * those the residue is a LENGTH-BANDED equi-join: the short side
+    * keys on its own length (0–6), the partner side (≤ 12 chars, since
+    * ed ≥ |len diff|) explodes to the ≤ 7 bands within ±d of its
+    * length. Work is Σ per-band |short_l|·|partner±6(l)| — and on a
+    * sub-7-char slice the TRUE OUTPUT is itself near-quadratic (most
+    * such pairs really are within 6 edits), so candidates stay
+    * proportional to output even on a pre-quality-gate crawl with
+    * billions of near-empty docs; no unconditioned product anywhere.
+    * Scale shape: the probe explode is ≤ 13·7·13 rows per key before
+    * its distinct (position/length clamps cut most), the join is equi
+    * on (len, block, content) with no forced broadcast (AQE decides),
+    * and every surviving candidate costs one banded levenshtein. The
+    * oracle is the unfiltered quadratic scan — identical output
+    * because the pigeonhole is lossless (DedupSpec pins this
+    * empirically at sf0.01, and pins the per-bucket candidate bound on
+    * a majority-short fixture).
     */
   /** (doc_id, k = 64-char key, l = length) — shared key projection for
     * the edit-distance family. */
@@ -916,7 +926,8 @@ object Dedup {
 
   /** INDEX side of the PassJoin scheme: the d+1 = 7 partition blocks of
     * each key as (doc_id, bl = key length, bj = block no, bc = content).
-    * Callers pre-filter to l >= 21. */
+    * Callers pre-filter to l >= [[EdBlockMinLen]] (= 7, every block
+    * non-empty). */
   private[graft] def edBlocks(longKeys: DataFrame): DataFrame =
     longKeys.select(col("doc_id"), explode(expr(
       "transform(sequence(1, 7), j -> named_struct(" +
@@ -937,7 +948,7 @@ object Dedup {
     * `k`/`l`, so callers (the streaming twin) can carry extra columns
     * through the explode instead of re-joining them on afterwards. */
   private[graft] val edProbeExpr: String =
-    "flatten(flatten(transform(sequence(greatest(l - 6, 21), least(l + 6, 64)), pl -> " +
+    "flatten(flatten(transform(sequence(greatest(l - 6, 7), least(l + 6, 64)), pl -> " +
       "transform(sequence(1, 7), j -> " +
       "transform(sequence(greatest(((j-1)*pl) div 7 + 1 - 6, 1), " +
       "least(((j-1)*pl) div 7 + 1 + 6, l - ((j*pl) div 7 - ((j-1)*pl) div 7) + 1)), " +
@@ -949,33 +960,42 @@ object Dedup {
       .select(col("doc_id"), col("e.bl").as("bl"), col("e.bj").as("bj"),
         col("e.bc").as("bc"))
 
+  /** Canonicalized distinct candidate pairs (doc_a < doc_b) from the
+    * block pigeonhole (l >= [[EdBlockMinLen]]) plus the length-banded
+    * sub-7-char residue — every true pair is here (lossless), every
+    * candidate came from a per-(len, block, content) or per-length-band
+    * bucket (no global product). Split out so DedupSpec can pin the
+    * candidate COUNT (Σ|bucket|² shape) independently of the verify. */
+  private[graft] def edCandidatePairs(keys: DataFrame): DataFrame = {
+    val longKeys = keys.filter(col("l") >= EdBlockMinLen)
+    val cand = edBlocks(longKeys).toDF("doc_a", "bl", "bj", "bc")
+      .join(edProbes(longKeys).toDF("doc_b", "bl", "bj", "bc"),
+        Seq("bl", "bj", "bc"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      // each unordered pair is probed from both sides; canonicalize
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    // residue: the pigeonhole needs BOTH sides >= 7 chars (non-empty
+    // blocks), so only pairs whose SHORTER side is < 7 are unproven —
+    // partner <= 12 (ed >= |len diff|). Banded equi-join on the short
+    // side's length: the partner explodes to the <= 7 bands within ±d,
+    // so work is Σ per-band products, never a global cross product.
+    val sh = keys.filter(col("l") < EdBlockMinLen)
+      .select(col("doc_id").as("doc_a"), col("l").as("band"))
+    val nearSh = keys.filter(col("l") < EdBlockMinLen + EdMaxDist)
+      .select(col("doc_id").as("doc_b"), explode(expr(edBandExpr)).as("band"))
+    val shortPairs = sh.join(nearSh, "band")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    cand.union(shortPairs).distinct()
+  }
+
   def editDistance(t: Tables, checkpoint: Boolean = true): DataFrame = {
     import t.spark.implicits._
     val keys = edKeys(t.widen(t.documents))
       .persist() // feeds blocks, probes, the short block, both verify joins
-    val longKeys = keys.filter($"l" >= 21)
-    val blocks = edBlocks(longKeys)
-    val probes = edProbes(longKeys)
-    val cand = blocks.toDF("doc_a", "bl", "bj", "bc")
-      .join(probes.toDF("doc_b", "bl", "bj", "bc"), Seq("bl", "bj", "bc"))
-      .filter($"doc_a" =!= $"doc_b")
-      // each unordered pair is probed from both sides; canonicalize
-      .select(least($"doc_a", $"doc_b").as("doc_a"),
-        greatest($"doc_a", $"doc_b").as("doc_b"))
-    // residue block: the pigeonhole needs BOTH sides >= 21 chars, so a
-    // pair is unproven whenever its SHORTER side is < 21 — partner
-    // length is then <= 26 (ed >= |len diff|). Pair every short key
-    // with every key under 27 (short x short and short x near-short
-    // both land here after canonicalization); Σ|short|·|near-short| by
-    // construction, pre-quality-gate debris on a real corpus.
-    val sh = keys.filter($"l" < 21).select($"doc_id")
-    val nearSh = keys.filter($"l" < 27).select($"doc_id")
-    val shortPairs = sh.toDF("doc_a")
-      .crossJoin(nearSh.toDF("doc_b"))
-      .filter($"doc_a" =!= $"doc_b")
-      .select(least($"doc_a", $"doc_b").as("doc_a"),
-        greatest($"doc_a", $"doc_b").as("doc_b"))
-    val out = cand.union(shortPairs).distinct()
+    val out = edCandidatePairs(keys)
       .join(keys.select($"doc_id".as("doc_a"), $"k".as("ka"), $"l".as("la")), "doc_a")
       .join(keys.select($"doc_id".as("doc_b"), $"k".as("kb"), $"l".as("lb")), "doc_b")
       .filter(abs($"la" - $"lb") <= EdMaxDist) // ed ≥ |len diff|: free prune
@@ -1011,18 +1031,27 @@ object Dedup {
     val keys = edKeys(t.widen(t.documents)).persist()
     val corpus = keys.filter($"doc_id" % 10 =!= 9)
     val batch = keys.filter($"doc_id" % 10 === 9)
-    val cand = edBlocks(corpus.filter($"l" >= 21))
+    val cand = edBlocks(corpus.filter($"l" >= EdBlockMinLen))
       .toDF("match_id", "bl", "bj", "bc")
-      .join(edProbes(batch.filter($"l" >= 21)).toDF("doc_id", "bl", "bj", "bc"),
-        Seq("bl", "bj", "bc"))
+      .join(edProbes(batch.filter($"l" >= EdBlockMinLen))
+        .toDF("doc_id", "bl", "bj", "bc"), Seq("bl", "bj", "bc"))
       .select($"doc_id", $"match_id")
-    // residue covers the boundary too: the short side can be EITHER
-    // the batch doc or the corpus doc (pigeonhole fails when min < 21,
-    // partner <= 26)
-    val shorts = batch.filter($"l" < 21).select($"doc_id")
-      .crossJoin(corpus.filter($"l" < 27).select($"doc_id".as("match_id")))
-      .union(batch.filter($"l" < 27).select($"doc_id")
-        .crossJoin(corpus.filter($"l" < 21).select($"doc_id".as("match_id"))))
+    // residue covers the boundary from both orientations: the sub-7-char
+    // side can be EITHER the batch doc or the corpus doc (pigeonhole
+    // fails when min < 7, partner <= 12). Length-banded equi-joins —
+    // the longer side explodes to the <= 7 bands within ±d — so the
+    // work is per-band, never a batch×corpus product.
+    val shorts = batch.filter($"l" < EdBlockMinLen)
+      .select($"doc_id", $"l".as("band"))
+      .join(corpus.filter($"l" < EdBlockMinLen + EdMaxDist)
+        .select($"doc_id".as("match_id"), explode(expr(edBandExpr)).as("band")),
+        "band")
+      .select($"doc_id", $"match_id")
+      .union(batch.filter($"l" < EdBlockMinLen + EdMaxDist)
+        .select($"doc_id", explode(expr(edBandExpr)).as("band"))
+        .join(corpus.filter($"l" < EdBlockMinLen)
+          .select($"doc_id".as("match_id"), $"l".as("band")), "band")
+        .select($"doc_id", $"match_id"))
     val out = cand.union(shorts).distinct()
       .join(batch.select($"doc_id", $"k".as("kb"), $"l".as("lb")), "doc_id")
       .join(corpus.select($"doc_id".as("match_id"), $"k".as("kc"), $"l".as("lc")),
@@ -1047,6 +1076,16 @@ object Dedup {
 
   /** Levenshtein threshold for [[editDistance]] (d; blocks = d+1). */
   private[graft] val EdMaxDist = 6
+
+  /** Shortest key the 7-block pigeonhole covers (every block >= 1
+    * char). Keys below this go through the length-banded residue. */
+  private[graft] val EdBlockMinLen = 7
+
+  /** Residue band explode over column `l` (partner side, l < 13): one
+    * row per short-side length band within ±[[EdMaxDist]] — the equi
+    * key that replaces a global short×short product with Σ per-band
+    * work. Bands are the short side's own length 0–6. */
+  private[graft] val edBandExpr: String = "sequence(greatest(l - 6, 0), 6)"
 
   /** Oracle: the unfiltered quadratic form — identical output because
     * the prefix filter is lossless; both engines' `levenshtein` is the

@@ -507,7 +507,8 @@ object Streams {
     val corpusKeys = corpusKeys0
       .select(col("doc_id").as("match_id"), col("k").as("kc"), col("l").as("lc"))
     val cIndex = Dedup.edBlocks(
-      corpusKeys0.filter(col("l") >= 21)).toDF("match_id", "bl", "bj", "bc")
+      corpusKeys0.filter(col("l") >= Dedup.EdBlockMinLen))
+      .toDF("match_id", "bl", "bj", "bc")
     val keyed = docs
       .withWatermark("ts", horizon)
       .withColumn("k", substring(col("text"), 1, 64))
@@ -515,21 +516,30 @@ object Streams {
     // ts/key/length ride THROUGH the probe explode (edProbeExpr is the
     // shared generator) — re-attaching them after the block join would
     // be a stream-stream self-join, which append mode cannot bound
-    val longCand = keyed.filter(col("l") >= 21)
+    val longCand = keyed.filter(col("l") >= Dedup.EdBlockMinLen)
       .select(col("doc_id"), col("ts"), col("k").as("kb"), col("l").as("lb"),
         explode(expr(Dedup.edProbeExpr)).as("e"))
       .select(col("doc_id"), col("ts"), col("kb"), col("lb"),
         col("e.bl").as("bl"), col("e.bj").as("bj"), col("e.bc").as("bc"))
       .join(cIndex, Seq("bl", "bj", "bc")) // stream-static
       .select(col("doc_id"), col("ts"), col("kb"), col("lb"), col("match_id"))
-    // residue covers the l=21 boundary from both sides (pigeonhole
-    // needs min(lb, lc) >= 21; partner <= 26 by the length bound)
-    val shortCand = keyed.filter(col("l") < 21)
-      .select(col("doc_id"), col("ts"), col("k").as("kb"), col("l").as("lb"))
-      .join(corpusKeys.filter(col("lc") < 27).select(col("match_id")))
-      .union(keyed.filter(col("l") < 27)
-        .select(col("doc_id"), col("ts"), col("k").as("kb"), col("l").as("lb"))
-        .join(corpusKeys.filter(col("lc") < 21).select(col("match_id"))))
+    // residue covers sub-7-char keys from both orientations (pigeonhole
+    // needs min(lb, lc) >= 7; partner <= 12 by the length bound) as
+    // length-banded stream-static EQUI-joins — per-band work, and no
+    // unconditioned stream-static join for append mode to reject
+    val shortCand = keyed.filter(col("l") < Dedup.EdBlockMinLen)
+      .select(col("doc_id"), col("ts"), col("k").as("kb"), col("l").as("lb"),
+        col("l").as("band"))
+      .join(corpusKeys0.filter(col("l") < Dedup.EdBlockMinLen + Dedup.EdMaxDist)
+        .select(col("doc_id").as("match_id"),
+          explode(expr(Dedup.edBandExpr)).as("band")), "band")
+      .select(col("doc_id"), col("ts"), col("kb"), col("lb"), col("match_id"))
+      .union(keyed.filter(col("l") < Dedup.EdBlockMinLen + Dedup.EdMaxDist)
+        .select(col("doc_id"), col("ts"), col("k").as("kb"), col("l").as("lb"),
+          explode(expr(Dedup.edBandExpr)).as("band"))
+        .join(corpusKeys0.filter(col("l") < Dedup.EdBlockMinLen)
+          .select(col("doc_id").as("match_id"), col("l").as("band")), "band")
+        .select(col("doc_id"), col("ts"), col("kb"), col("lb"), col("match_id")))
     val verified = longCand.union(shortCand)
       .join(corpusKeys, "match_id")   // stream-static
       .filter(abs(col("lb") - col("lc")) <= Dedup.EdMaxDist)

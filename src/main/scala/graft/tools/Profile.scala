@@ -90,7 +90,7 @@ object Profile {
     // the constants change)
     val keysE = graft.dedup.Dedup.edKeys(t.widen(t.documents)).persist()
     time("edq-keys")(keysE.count())
-    val longKeys = keysE.filter($"l" >= 21)
+    val longKeys = keysE.filter($"l" >= graft.dedup.Dedup.EdBlockMinLen)
     val blocksE = graft.dedup.Dedup.edBlocks(longKeys)
     time("edq-blocks")(blocksE.count())
     val probesE = graft.dedup.Dedup.edProbes(longKeys)

@@ -589,7 +589,8 @@ class StreamingSpec extends SparkSuite {
       val base = "the quick brown fox jumps over the lazy dog again and again today"
       val corpusDocs = Seq(
         (1L, base),
-        (4L, "completely different words about spark shuffles and columnar storage")
+        (4L, "completely different words about spark shuffles and columnar storage"),
+        (5L, "abcde") // sub-7-char corpus key: the banded residue's static side
       ).toDF("doc_id", "text")
       val corpusKeys = graft.dedup.Dedup.edKeys(corpusDocs).localCheckpoint()
       val input = MemoryStream[Streams.Doc]
@@ -599,15 +600,18 @@ class StreamingSpec extends SparkSuite {
       try {
         input.addData(
           Streams.Doc(9, base.replace("again and", "again nad"), ts(0)), // typo dup of 1
-          Streams.Doc(19, "unrelated arriving text that matches nothing at all here", ts(1)))
+          Streams.Doc(19, "unrelated arriving text that matches nothing at all here", ts(1)),
+          Streams.Doc(39, "abcxy", ts(1))) // sub-7-char arrival: residue path in a real micro-batch
         q.processAllAvailable()
         input.addData(
-          Streams.Doc(29, base, ts(2))) // exact dup across a later micro-batch
+          Streams.Doc(29, base, ts(2)),         // exact dup across a later micro-batch
+          Streams.Doc(49, "abcde fghij", ts(3))) // 11 chars: residue's longer-side orientation
         q.processAllAvailable()
         val got = spark.table("edit_stream").collect()
           .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-        assert(got.keySet == Set((9L, 1L), (29L, 1L)), s"got $got")
+        assert(got.keySet == Set((9L, 1L), (29L, 1L), (39L, 5L), (49L, 5L)), s"got $got")
         assert(got((29L, 1L)) == 0 && got((9L, 1L)) > 0 && got((9L, 1L)) <= 6)
+        assert(got((39L, 5L)) == 2 && got((49L, 5L)) == 6)
       } finally q.stop()
     }
   }
