@@ -71,6 +71,9 @@ object SparkEntry {
     // nearest-direction as-of (merge_asof direction='nearest'): both
     // carry directions + integer-microsecond closer-side pick
     "asof_nearest"    -> q(graft.ops.AsOf.eventsAsOfNearest),
+    // tolerance-bounded as-of (merge_asof's third knob): backward
+    // match discarded when staler than 30 days, integer-µs compare
+    "asof_tolerance"  -> q(graft.ops.AsOf.eventsAsOfTolerance(_)),
     "text_tfidf"      -> q(TextAnalysis.tfidf),
     "agg_typed_sum"   -> q(graft.functions.Aggs.typedSumQuery),
     // bounded-buffer per-group top-k (O(k) state per task per group,
@@ -408,6 +411,7 @@ object SparkEntry {
     "q22_cube"        -> Relational.q22Sql,
     "asof_join"       -> graft.ops.AsOf.eventsAsOfOrdersSql,
     "asof_nearest"    -> graft.ops.AsOf.eventsAsOfNearestSql,
+    "asof_tolerance"  -> graft.ops.AsOf.eventsAsOfToleranceSql,
     "text_tfidf"      -> TextAnalysis.tfidfSql,
     "agg_typed_sum"   -> graft.functions.Aggs.typedSumSql,
     "agg_topk_per_group" -> graft.functions.Aggs.topKPerGroupSql,

@@ -101,6 +101,63 @@ object AsOf {
         when($"usePrev", $"pp").otherwise($"np").as("o_totalprice"))
   }
 
+  /** TOLERANCE-bounded as-of (pandas merge_asof's third knob): the
+    * backward join, but a match older than `toleranceMicros` is
+    * discarded — "most recent order, unless it's gone stale". Same
+    * one-shuffle union-and-carry as [[eventsAsOfOrders]] with the
+    * matched order's event-time carried alongside its attributes; the
+    * staleness gate is a single integer-microsecond compare (exact on
+    * both engines, invariant 11), applied AFTER the carry — semantics
+    * are "the as-of match, filtered", not "the nearest in-window
+    * order", exactly like pandas: an event whose latest order is too
+    * old matches NOTHING even if an older window would contain one.
+    * The default window (8400 days) is calibrated to SPLIT the
+    * testdata's gap distribution (events 2024, orders 1995–2001 →
+    * backward gaps of ~8200–9200 days; the median is ~8370), so the
+    * gate genuinely partitions the matches instead of passing or
+    * dropping everything.
+    */
+  def eventsAsOfTolerance(t: Tables,
+                          toleranceMicros: Long = 8400L * 86400 * 1000000): DataFrame = {
+    import t.spark.implicits._
+    val dedup = Window.partitionBy($"o_custkey", $"o_orderdate")
+      .orderBy($"o_orderkey".desc)
+    val ord = t.orders
+      .withColumn("rn", row_number().over(dedup)).filter($"rn" === 1)
+      .select($"o_custkey".as("key"), $"o_orderdate".as("t"),
+        lit(1).as("is_order"), $"o_orderkey", $"o_totalprice",
+        lit(null).cast("long").as("event_id"))
+    val ev = t.events
+      .select($"user_id".as("key"), $"ts".as("t"),
+        lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"), $"event_id")
+    val w = Window.partitionBy($"key").orderBy($"t".asc, $"is_order".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ot = when($"is_order" === 1, $"tt")
+    ord.unionByName(ev)
+      .withColumn("tt", unix_micros($"t".cast("timestamp")))
+      .withColumn("m_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("m_totalprice", last($"o_totalprice", ignoreNulls = true).over(w))
+      .withColumn("m_t", last(ot, ignoreNulls = true).over(w))
+      .filter($"is_order" === 0 && $"m_orderkey".isNotNull &&
+        $"tt" - $"m_t" <= toleranceMicros)
+      .select($"event_id", $"key".as("user_id"),
+        $"m_orderkey".as("o_orderkey"), $"m_totalprice".as("o_totalprice"))
+  }
+
+  /** Oracle: DuckDB's native ASOF JOIN plus the same integer-µs
+    * staleness filter (the literal is pre-multiplied — DuckDB folds
+    * small-int products in INT32, invariant 10). */
+  val eventsAsOfToleranceSql: String =
+    """WITH ord AS (
+      | SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn = 1)
+      |SELECT e.event_id, e.user_id, ord.o_orderkey, ord.o_totalprice
+      |FROM events e ASOF JOIN ord
+      | ON e.user_id = ord.o_custkey AND e.ts >= ord.o_orderdate
+      |WHERE epoch_us(e.ts) - epoch_us(ord.o_orderdate) <= 725760000000000""".stripMargin.replace("\n", " ")
+
   /** Oracle: the naive per-event minimum over the customer's orders —
     * tiny per-user order lists make the quadratic form cheap at oracle
     * scale; the Spark side is the one-shuffle carry. */

@@ -58,4 +58,21 @@ class AsOfSpec extends SparkSuite {
     // user 3 (no orders) still yields nothing
     assert(!got.contains(1004L))
   }
+
+  test("tolerance as-of keeps the backward match only while it is fresh") {
+    // 10-day window: the Jan 3 and Jan 5 events keep their matches
+    // (gaps 2 and 0 days); the Feb 1 event's latest order (Jan 5) is 27
+    // days stale -> dropped, NOT replaced by any other order
+    val tenDays = 10L * 86400 * 1000000
+    val got = AsOf.eventsAsOfTolerance(t, toleranceMicros = tenDays).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      1000L -> (10L, 100.0),
+      1001L -> (12L, 300.0)))
+    // the boundary is inclusive: a window of exactly the 2-day gap keeps 1000
+    val twoDays = 2L * 86400 * 1000000
+    val tight = AsOf.eventsAsOfTolerance(t, toleranceMicros = twoDays).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(tight == Set(1000L, 1001L))
+  }
 }
