@@ -185,31 +185,48 @@ def _band_ivf_recall(con, out_dir, name):
 
 
 def _band_range_recall(con, out_dir, name):
-    """Cell-pruned range search pair recall vs the oracle-green exact
-    ann_range: >= 0.8 of the exact (probe_id, cand_id) pairs at the
-    tau threshold must survive cell pruning (the same floor as the
-    top-k ANN bands; reported cosines share the exact form's verified
-    arithmetic)."""
+    """Cell-pruned range search vs the oracle-green exact ann_range:
+      - recall: >= 0.8 of the exact (probe_id, cand_id) pairs at the
+        tau threshold survive cell pruning (same floor as the top-k
+        ANN bands);
+      - pruning-only: every emitted pair IS an exact pair with a
+        BITWISE-equal cosine (cell pruning may only drop candidates,
+        never invent pairs or change scores — the AnnRecallSpec
+        property, mirrored here so a spurious-pair or scoring
+        regression fails the local gate too, not just the spec)."""
     base = f"{out_dir}/ann_range"
     if not glob.glob(f"{base}/*.parquet"):
         print(f"FAIL {name}[band]: baseline ann_range output missing "
               f"at {base} — recall has no anchor")
         return False
-    exact = {tuple(r) for r in con.execute(
-        f"SELECT probe_id, cand_id FROM read_parquet('{base}/*.parquet')").fetchall()}
-    found = {tuple(r) for r in con.execute(
-        f"SELECT probe_id, cand_id FROM read_parquet('{out_dir}/{name}/*.parquet')"
+    exact = {(p, c): v for p, c, v in con.execute(
+        f"SELECT probe_id, cand_id, cos FROM read_parquet('{base}/*.parquet')"
     ).fetchall()}
+    found = {(p, c): v for p, c, v in con.execute(
+        f"SELECT probe_id, cand_id, cos "
+        f"FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()}
     if not exact:
         print(f"FAIL {name}[band]: baseline range pair set is empty")
         return False
-    recall = len(exact & found) / len(exact)
+    spurious = set(found) - set(exact)
+    if spurious:
+        print(f"FAIL {name}[band]: {len(spurious)} pairs not in the exact "
+              f"range result (pruning must only PRUNE), e.g. "
+              f"{sorted(spurious)[:3]}")
+        return False
+    drifted = [k for k in found if found[k] != exact[k]]
+    if drifted:
+        k = drifted[0]
+        print(f"FAIL {name}[band]: {len(drifted)} cosines differ from the "
+              f"exact form, e.g. {k}: {found[k]!r} vs {exact[k]!r}")
+        return False
+    recall = len(found) / len(exact)
     if recall < 0.8:
         print(f"FAIL {name}[band]: range pair recall {recall:.3f} < 0.8 "
-              f"({len(exact & found)}/{len(exact)} exact pairs found)")
+              f"({len(found)}/{len(exact)} exact pairs found)")
         return False
-    print(f"PASS {name}[band] (range pair recall {recall:.3f} >= 0.8, "
-          f"{len(exact)} exact pairs)")
+    print(f"PASS {name}[band] (range pair recall {recall:.3f} >= 0.8 over "
+          f"{len(exact)} exact pairs; subset + bitwise cosines)")
     return True
 
 
@@ -370,14 +387,28 @@ def extra_checks(con, out_dir):
     return n_pass, n_fail
 
 
+# The DuckDB version whose arithmetic three hash oracles were validated
+# against: ann_lsh leans on list_dot_product's undocumented left-fold
+# accumulation order, corpus_weighted_sample on libm ln() rounding, and
+# emb_quantize_int8/ann_int8 on the left-fold norm. On ANY other
+# version those three can hash-mismatch while being correct.
+VALIDATED_DUCKDB = "1.0.0"
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    # ann_lsh pins DuckDB's list_dot_product accumulation order and
-    # corpus_weighted_sample pins its ln() rounding — if either hash
-    # ever breaks, the version line is the first thing to adjudicate
-    # (see Similarity.annLshSql / Aggs.aesKey scaladoc: demote to
-    # rows-only, don't chase ulps).
     print(f"oracle engine: duckdb {duckdb.__version__}")
+    if duckdb.__version__ != VALIDATED_DUCKDB:
+        # fail FAST with one actionable line instead of three mystery
+        # hash mismatches (r15 verdict item 3)
+        print(f"FAIL duckdb-version: oracle engine {duckdb.__version__} != "
+              f"validated {VALIDATED_DUCKDB}. ann_lsh / corpus_weighted_sample "
+              f"/ emb_quantize_int8+ann_int8 pin version-specific fold order "
+              f"(see Similarity.annLshSql / Aggs.aesKey / "
+              f"Similarity.quantizedCodes scaladoc): DEMOTE them to rows-only "
+              f"(don't chase ulps), re-validate the rest, then bump "
+              f"VALIDATED_DUCKDB here.")
+        sys.exit(1)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
