@@ -85,7 +85,7 @@ object CountWindowToJoin extends Rule[LogicalPlan] {
     }.isEmpty
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Window(wes, parts, Nil, child, _)
+    case w @ Window(wes, parts, Nil, child, _)
         if parts.nonEmpty && wes.nonEmpty && wes.forall(rewritable(parts)) &&
           parts.forall(_.deterministic) && fullyDeterministic(child) =>
       val keyAliases = parts.zipWithIndex.map { case (p, i) =>
@@ -98,13 +98,31 @@ object CountWindowToJoin extends Rule[LogicalPlan] {
       val cond = parts.zip(keyAliases).map { case (p, k) =>
         EqualNullSafe(p, k.toAttribute)
       }.reduce[Expression](And)
-      val joined = Join(child, agg, Inner, Some(cond), JoinHint.NONE)
-      val restored = wes.zip(cntAliases).map {
-        case (orig: Alias, cnt) =>
-          Alias(cnt.toAttribute, orig.name)(exprId = orig.exprId,
-            qualifier = orig.qualifier)
-        case (other, _) => other // unreachable under the guard
+      // The Aggregate subtree is the SAME `child` instance as the left
+      // join side — an optimizer-created self-join the analyzer's
+      // DeduplicateRelations never saw. Run that rule here so the right
+      // subtree's relations (and any conflicting aliases) get fresh
+      // exprIds: downstream rules may assume exprId disjointness below
+      // a join, and the shared-instance form only survives by the
+      // accident of the Aggregate's all-alias output.
+      val joined = org.apache.spark.sql.catalyst.analysis.DeduplicateRelations(
+        Join(child, agg, Inner, Some(cond), JoinHint.NONE)).asInstanceOf[Join]
+      if (joined.left.output != child.output) w // renewal must hit the
+      // RIGHT side only (first occurrence wins; left feeds the parent's
+      // references) — if an engine change ever flips that, keep the
+      // window form rather than emit a plan with rewired output
+      else {
+        // dedup may renew the right side's alias exprIds — take the
+        // count attributes positionally from the renewed output (keys
+        // first, counts after, the order the Aggregate was built in)
+        val cntAttrs = joined.right.output.drop(keyAliases.length)
+        val restored = wes.zip(cntAttrs).map {
+          case (orig: Alias, cnt) =>
+            Alias(cnt, orig.name)(exprId = orig.exprId,
+              qualifier = orig.qualifier)
+          case (other, _) => other // unreachable under the guard
+        }
+        Project(joined.left.output ++ restored, joined)
       }
-      Project(child.output ++ restored, joined)
   }
 }

@@ -121,4 +121,27 @@ class PlanRewriteSpec extends SparkSuite {
       assert(got == expected)
     }
   }
+
+  test("generated self-join subtrees carry disjoint exprIds") {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    withRule {
+      // an intermediate alias BELOW the window child exercises the
+      // renewal of conflicting aliases, not just leaf relations
+      val df = fixture
+        .select(col("k"), upper(col("v")).as("vu"))
+        .withColumn("c", count(lit(1)).over(Window.partitionBy(col("k"))))
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty, "rewrite must produce a join")
+      def ids(p: LogicalPlan): Set[Long] = p.collect { case n =>
+        n.output.map(_.exprId.id).toSet ++
+          n.expressions.flatMap(_.collect { case a: Alias => a.exprId.id })
+      }.flatten.toSet
+      val shared = ids(joins.head.left) & ids(joins.head.right)
+      assert(shared.isEmpty,
+        s"exprIds present in BOTH join subtrees (optimizer-created " +
+          s"self-join must be deduplicated): $shared")
+      assert(df.collect().length == fixture.count()) // still executes
+    }
+  }
 }
