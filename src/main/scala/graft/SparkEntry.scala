@@ -234,6 +234,23 @@ object SparkEntry {
       graft.streaming.Streams.indexAppend(
         t.widen(t.embeddings).select(col("vec_id"), col("embedding")), cents)
     }),
+    // SemDeDup's ingest-side probe: arrivals (vec_id % 10 == 9, the
+    // nightly-drop convention) cell-assign row-locally and probe the
+    // corpus's semantic index. Rows-only (KMeans fit); check.py bands
+    // keep/drop agreement + rep co-clustering vs dedup_semantic on the
+    // arrival slice; StreamingSpec drives a real MemoryStream
+    "stream_semantic" -> q((t: Tables) => {
+      val (idx, cents) = Similarity.semanticIndex(t)
+      val arrivals = t.widen(t.embeddings).filter(col("vec_id") % 10 === 9)
+        .select(col("vec_id"), col("embedding"),
+          timestamp_seconds(col("vec_id")).as("ts"))
+      graft.streaming.Streams.semanticDedupStream(arrivals, idx, cents)
+    }),
+    // index-health drift monitor: IVF recall over a bounded hash-drawn
+    // probe sample vs the flat quantized scan, refit flag on breach.
+    // Rows-only (KMeans fit); check.py bands the no-drift case;
+    // AnnProbeScan's stale mode shows the flag firing
+    "ann_recall_probe" -> q((t: Tables) => Similarity.annRecallProbe(t)),
     "text_stats"      -> q(TextAnalysis.stats),
     "text_quality"    -> q(TextAnalysis.quality),
     "text_lang_id"    -> q(TextAnalysis.langId),

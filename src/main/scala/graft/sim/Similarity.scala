@@ -335,6 +335,46 @@ object Similarity {
         when(col("vec_id") === col("rep_id"), 1).otherwise(0).cast(IntegerType))
   }
 
+  /** Static side of the streaming semantic-dedup twin
+    * ([[graft.streaming.Streams.semanticDedupStream]]): the corpus's
+    * cell-assigned vectors joined with their [[semanticDedup]] cluster
+    * representative — (cell, cand_id, rep_id, vc, nc) — plus the
+    * centroid constants the stream ranks row-locally. Cell assignment
+    * is the SAME multi-assign (cdist asc, cell asc) rule as
+    * [[embeddingNearDupIvf]] with the same derived knobs, so an
+    * arriving vector probes exactly the cells the batch blocking would
+    * have placed it in. The index is corpus-sized but cell-keyed — the
+    * stream-static join ships a probe to its `assign` cells only,
+    * never the corpus (the ANN cell-index asymmetry; a nightly batch
+    * job owns the rebuild).
+    */
+  def semanticIndex(t: Tables,
+      minCos: Double = 0.35): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val nl = nlistFor(corpusSize(t))
+    val a = assignFor(nl)
+    val e = withNorm(t)
+    val model = coarseQuantizer(t, nl)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val cdf = t.spark.createDataFrame(centroids).toDF("cell", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<double>"))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val reps = semanticDedup(t, minCos)
+      .select(col("vec_id").as("cand_id"), col("rep_id"))
+    val idx = e.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("cdist",
+        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("v"), col("centroid")))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= a)
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        col("v").as("vc"), col("nrm").as("nc"))
+      .join(reps, "cand_id")
+    (idx, centroids)
+  }
+
   /** Brute-force cosine top-k: the correctness baseline for ANN. Probe
     * set = vec_id % 13 == 0; k = 5; total-order tiebreak on cand_id.
     */
@@ -1645,5 +1685,99 @@ object Similarity {
       .localCheckpoint()
     assigned.unpersist()
     out
+  }
+
+  /** Index-health maintenance query (`ann_recall_probe`): measured
+    * recall of the IVF cell-pruned search against the flat quantized
+    * index, plus a REFIT flag when it breaches `floor`. This is the
+    * drift monitor the streaming scaladocs defer to ("a periodic batch
+    * job re-fits the coarse quantizer on drift"): [[graft.streaming
+    * .Streams.indexAppend]] ingests without re-fitting, so as the
+    * ingested distribution drifts away from the fitted centroids, cell
+    * assignment degrades and IVF recall decays — THIS query is what
+    * notices, cheaply, without ground-truth labels: the flat int8 scan
+    * over a BOUNDED probe sample is the reference, so the measurement
+    * isolates exactly the coarse-quantizer/cell-pruning stage (the
+    * compression error is common to both sides and cancels).
+    *
+    * Probe sample: the `nProbes` vectors with the smallest md5-derived
+    * hash — deterministic, partitioning-independent, and O(nProbes)
+    * state per partition (the same TakeOrderedAndProject shape as the
+    * quantizer fit set). Cost is O(nProbes·N) for the flat side — a
+    * metrics job over a tiny fixed probe set, NOT a per-query path;
+    * the IVF side touches nprobe cells per probe as usual. Output is
+    * one row per probe (probe_id, hits, k) with the micro-averaged
+    * recall and the flag repeated (grand-total window over nProbes
+    * already-aggregated rows — the accepted Quiet.windowWarn class).
+    * recall = Σhits / Σk is one IEEE division of exact ints; rows-only
+    * at the driver (KMeans centroids), check.py bands the no-drift
+    * case at recall >= floor and flag agreement; AnnProbeScan's
+    * `stale` mode demonstrates the flag firing against a deliberately
+    * mis-mapped index.
+    *
+    * `index` overrides the (cell table, centroids) pair to measure a
+    * POSSIBLY STALE resident index instead of the freshly derived one
+    * — the production call probes the index actually serving traffic.
+    */
+  def annRecallProbe(t: Tables, k: Int = 5, nProbes: Int = 64,
+      floor: Double = 0.8,
+      index: Option[(DataFrame, Seq[(Int, Seq[Double])])] = None): DataFrame = {
+    val (cellIdx, cents) = index.getOrElse(quantizedCellIndex(t))
+    val e = withQuantCols(withNorm(t))
+    // bounded-by-construction probe set: broadcast is legitimate here
+    // (nProbes rows by the limit, never corpus-scaled)
+    val probes = broadcast(e
+      .withColumn("ph", graft.dedup.Dedup.h32(
+        concat(col("vec_id").cast("string"), lit(":recallprobe"))))
+      .orderBy(col("ph").asc, col("vec_id").asc)
+      .limit(nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("vp"),
+        col("qmax").as("qp"), col("codes").cast("array<double>").as("cp")))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    // reference: flat ADC over the WHOLE quantized corpus (the same
+    // scoring the IVF side uses, so only cell pruning differs)
+    val cands = quantizedCodes(t).select(col("vec_id").as("cand_id"),
+      col("qmax").as("qc"), col("codes").cast("array<double>").as("cc"))
+    val truth = probes.join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("qdot", dot(col("cp"), col("cc")).cast(LongType))
+      .withColumn("score", col("qdot") * col("qp") * col("qc") / lit(16129.0))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("cand_id"))
+    // measured: the same probes through the cell-pruned path against
+    // the (possibly stale) resident index
+    val cdf = t.spark.createDataFrame(cents).toDF("cell", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<double>"))
+    val np = nprobeFor(cents.size)
+    val wCell = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probeCells = probes.crossJoin(broadcast(cdf))
+      .withColumn("cdist",
+        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("vp"), col("centroid")))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= np)
+      .select(col("probe_id"), col("qp"), col("cp"), col("cell"))
+    val ivfCands = cellIdx.select(col("vec_id").as("cand_id"),
+      col("qmax").as("qc"), col("codes").cast("array<double>").as("cc"),
+      col("cell"))
+    val found = probeCells.join(ivfCands, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("qdot", dot(col("cp"), col("cc")).cast(LongType))
+      .withColumn("score", col("qdot") * col("qp") * col("qc") / lit(16129.0))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("cand_id"), lit(1).as("f"))
+    val perProbe = truth.join(found, Seq("probe_id", "cand_id"), "left_outer")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("f"), lit(0))).cast(IntegerType).as("hits"),
+        count(lit(1)).cast(IntegerType).as("k"))
+    val wAll = Window.partitionBy()
+    perProbe
+      .withColumn("recall",
+        sum(col("hits")).over(wAll).cast("double") / sum(col("k")).over(wAll))
+      .withColumn("refit", when(col("recall") < floor, 1).otherwise(0)
+        .cast(IntegerType))
+      .select(col("probe_id"), col("hits"), col("k"), col("recall"), col("refit"))
   }
 }

@@ -482,6 +482,78 @@ object Streams {
         aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"))
   }
 
+  /** Streaming SemDeDup — the ingest-side probe of the batch
+    * [[graft.sim.Similarity.semanticDedup]]: each arriving vector is
+    * normalized and cell-assigned ROW-LOCALLY (the same
+    * [[rankedCellArray]] centroid ranking as the retrieval streams,
+    * sliced to the batch blocking's `assign` count), stream-static
+    * joins ONLY its assigned cells of the corpus's semantic index
+    * (cell, cand_id, rep_id, vc, nc — [[graft.sim.Similarity
+    * .semanticIndex]]), and is kept iff no corpus vector in those
+    * cells reaches `minCos`; a dropped arrival maps to its best
+    * match's cluster representative. The left-outer join + a sentinel
+    * −1 score keeps arrivals with NO cell candidates in the output
+    * (kept = 1) without any stream-stream machinery; the only stateful
+    * op is the bounded per-(window, vec) top-1 aggregator, identical
+    * in shape to [[annStreamIvf]]'s top-k. Scale: O(assign) index
+    * partitions touched per arrival, the corpus is never rescanned.
+    *
+    * Batch-driven it reproduces the batch blocking's candidate
+    * geometry exactly (same cdist expressions bit for bit), so
+    * check.py bands keep/drop agreement with dedup_semantic on the
+    * arrival slice; rows-only at the driver (KMeans centroids).
+    */
+  def semanticDedupStream(vectors: DataFrame, semIndex: DataFrame,
+                          centroids: Seq[(Int, Seq[Double])], assign: Int = 0,
+                          minCos: Double = 0.35,
+                          horizon: String = "1 hour"): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(vectors.sparkSession)
+    val a = if (assign > 0) assign
+      else graft.sim.Similarity.assignFor(centroids.size)
+    // same static-side pinning as the retrieval streams: a continuous
+    // run must not replay the KMeans + CC lineage per micro-batch
+    val index = if (vectors.isStreaming) semIndex.localCheckpoint() else semIndex
+    val rankedCells = rankedCellArray(centroids, col("v"))
+    val p = vectors
+      .withWatermark("ts", horizon)
+      .select(col("vec_id"), col("ts"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(GraftFunctions.graftDot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .withColumn("pc", explode(slice(rankedCells, 1, a)))
+      .select(col("vec_id"), col("ts"), col("v"), col("nrm"),
+        col("pc.cell").as("cell"))
+    val idx = index.select(col("cell"), col("cand_id"), col("rep_id"),
+      col("vc"), col("nc"))
+    val scored = p.join(idx, Seq("cell"), "left_outer")
+      // self-matches and empty cells score the −1 sentinel (below any
+      // real cosine) instead of being filtered, so every arrival keeps
+      // >= 1 row into the aggregate and a no-match doc emits kept=1
+      .withColumn("score",
+        when(col("cand_id").isNull || col("cand_id") === col("vec_id"), lit(-1.0))
+          .otherwise(GraftFunctions.graftDot(col("v"), col("vc")) /
+            (col("nrm") * col("nc"))))
+      .withColumn("cand_rep", coalesce(col("rep_id"), lit(-1L)))
+    val top1 = udaf(graft.functions.Aggs.topKOf[(Double, Long)](1)(_._1, _._2),
+      Encoders.product[(Double, Long)])
+    scored
+      .groupBy(window(col("ts"), horizon), col("vec_id"))
+      .agg(top1(col("score"), col("cand_rep")).as("best"))
+      .select(col("vec_id"), element_at(col("best"), 1).as("b"))
+      // drop iff a corpus match clears minCos AND its representative
+      // is someone else: batch-driven, an arrival that is its own
+      // cluster's canonical keeper finds its mates in the index but
+      // they map back to IT — it must stay kept, exactly as the batch
+      // CC's min-id rule decided. (On a true out-of-corpus arrival the
+      // self-rep case cannot arise and the clause is inert.)
+      .select(col("vec_id"),
+        when(col("b._1") >= minCos && col("b._2") =!= col("vec_id"),
+          col("b._2")).otherwise(col("vec_id")).as("rep_id"),
+        when(col("b._1") >= minCos && col("b._2") =!= col("vec_id"), 0)
+          .otherwise(1).cast("int").as("kept"))
+  }
+
   /** Streaming fuzzy-KEY dedup — the edit-distance member of the
     * ingest-probe family ([[dedupStream]] exact digests,
     * [[nearDupStream]] MinHash bands): each arriving document's corpus

@@ -35,7 +35,8 @@ object SweepCaches {
     "ann_ivf", "ann_lsh",
     "emb_quantize_int8", "ann_int8", "ann_ivf_int8", "stream_ann_int8",
     "stream_ann_ivf_int8", "stream_index_append", "ann_pq", "ann_ivf_pq",
-    "ann_hamming", "ann_cascade", "dedup_semantic")
+    "ann_hamming", "ann_cascade", "dedup_semantic", "stream_semantic",
+    "ann_recall_probe")
 
   /** Queries that read Dedup.lshCache (the memoized pair table) or
     * Dedup.sigCache (the shared signature table). Same pin as

@@ -582,6 +582,48 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming semantic dedup probes the cell index; keep/drop through real micro-batches") {
+    import spark.implicits._
+    withLogLevel {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // two cells along the first two axes; corpus: a two-member
+      // cluster (1 is the keeper, 2 its near-dup) in cell 0 and a
+      // singleton rep 3 in cell 1
+      val centroids = Seq(
+        (0, Seq(1.0, 0.0, 0.0, 0.0)),
+        (1, Seq(0.0, 1.0, 0.0, 0.0)))
+      val n2 = math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+      val semIndex = Seq(
+        (0, 1L, 1L, Seq(1.0, 0.0, 0.0, 0.0), 1.0),
+        (0, 2L, 1L, Seq(0.9, 0.1, 0.0, 0.0), n2),
+        (1, 3L, 3L, Seq(0.0, 1.0, 0.0, 0.0), 1.0)
+      ).toDF("cell", "cand_id", "rep_id", "vc", "nc")
+      val input = MemoryStream[VecProbe]
+      val q = Streams.semanticDedupStream(input.toDF(), semIndex, centroids,
+        assign = 1)
+        .writeStream.format("memory").queryName("sem_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          VecProbe(10L, Seq(1f, 0.05f, 0f, 0f), ts(5)),  // near cluster 1 -> drop
+          VecProbe(11L, Seq(0f, 0.1f, 1f, 0f), ts(6)))   // near nothing -> keep
+        q.processAllAvailable()
+        // advance event time past the 1-hour horizon so window 0 closes
+        input.addData(
+          VecProbe(12L, Seq(0.05f, 1f, 0f, 0f), ts(70)), // near rep 3 -> drop
+          VecProbe(13L, Seq(1f, 0f, 0f, 0f), ts(200)))
+        q.processAllAvailable()
+        input.addData(VecProbe(14L, Seq(0f, 0f, 0f, 1f), ts(400)))
+        q.processAllAvailable()
+        val got = spark.table("sem_stream").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+        assert(got.get(10L).contains((1L, 0)), s"got $got")  // mapped to keeper 1
+        assert(got.get(11L).contains((11L, 1)), s"got $got") // no match: kept
+        assert(got.get(12L).contains((3L, 0)), s"got $got")  // mapped to rep 3
+      } finally q.stop()
+    }
+  }
+
   test("streaming fuzzy-key dedup probes the static block index through real micro-batches") {
     import spark.implicits._
     withLogLevel {

@@ -124,7 +124,7 @@ def main():
             "ann_ivf_int8", "stream_ann_int8", "stream_ann_ivf_int8",
             "stream_index_append",
             "ann_pq", "ann_ivf_pq", "ann_hamming", "ann_cascade",
-            "dedup_semantic"],
+            "dedup_semantic", "stream_semantic", "ann_recall_probe"],
         "dedup (MinHash signature/pair tables)": [
             "dedup_minhash_lsh", "dedup_clusters", "dedup_near_kept",
             "dedup_cluster_stats",

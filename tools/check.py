@@ -345,6 +345,92 @@ def _band_index_append(con, out_dir, name):
     return True
 
 
+def _band_stream_semantic(con, out_dir, name):
+    """Ingest-side SemDeDup vs the batch dedup_semantic on the arrival
+    slice (vec_id % 10 == 9):
+      - keep/drop agreement >= 0.9 (the stream probes the same cells
+        the batch blocking assigned, so disagreement is confined to
+        closure-only links and cell-boundary misses);
+      - rep co-clustering: when both drop an arrival, the stream's
+        chosen representative must sit in the arrival's batch cluster
+        for >= 0.9 of those rows (a dropped doc is replaced by a
+        member of its own cluster, not an arbitrary near-neighbor);
+      - non-triviality: the arrival slice must contain both kept and
+        dropped rows."""
+    base = f"{out_dir}/dedup_semantic"
+    if not glob.glob(f"{base}/*.parquet"):
+        print(f"FAIL {name}[band]: baseline dedup_semantic output missing "
+              f"at {base} — agreement has no anchor")
+        return False
+    batch = {v: (r, k) for v, r, k in con.execute(
+        f"SELECT vec_id, rep_id, kept FROM read_parquet('{base}/*.parquet') "
+        f"WHERE vec_id % 10 = 9").fetchall()}
+    batch_rep = dict(con.execute(
+        f"SELECT vec_id, rep_id FROM read_parquet('{base}/*.parquet')"
+    ).fetchall())
+    stream = {v: (r, k) for v, r, k in con.execute(
+        f"SELECT vec_id, rep_id, kept "
+        f"FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()}
+    if set(stream) != set(batch):
+        print(f"FAIL {name}[band]: arrival slice mismatch "
+              f"({len(stream)} stream vs {len(batch)} batch rows)")
+        return False
+    if not any(k == 0 for _, k in stream.values()) or \
+       not any(k == 1 for _, k in stream.values()):
+        print(f"FAIL {name}[band]: stream output is all-kept or "
+              f"all-dropped — nothing non-trivial checked")
+        return False
+    agree = sum(1 for v in stream if stream[v][1] == batch[v][1])
+    agreement = agree / len(stream)
+    if agreement < 0.9:
+        print(f"FAIL {name}[band]: keep/drop agreement {agreement:.3f} "
+              f"< 0.9 ({agree}/{len(stream)})")
+        return False
+    dropped = [v for v in stream if stream[v][1] == 0 and batch[v][1] == 0]
+    cocl = sum(1 for v in dropped
+               if batch_rep.get(stream[v][0]) == batch[v][0])
+    if dropped and cocl / len(dropped) < 0.9:
+        print(f"FAIL {name}[band]: only {cocl}/{len(dropped)} dropped "
+              f"arrivals map to a rep inside their batch cluster")
+        return False
+    print(f"PASS {name}[band] (keep/drop agreement {agreement:.3f} >= 0.9 "
+          f"over {len(stream)} arrivals; {cocl}/{len(dropped)} rep "
+          f"co-clustered)")
+    return True
+
+
+def _band_recall_probe(con, out_dir, name):
+    """The drift monitor's no-drift case: probing the freshly derived
+    index must clear its own floor (recall >= 0.8, refit = 0 on every
+    row), the repeated recall column must equal sum(hits)/sum(k)
+    recomputed from the per-probe rows, and the probe sample must be
+    the full configured size (64)."""
+    rows = con.execute(
+        f"SELECT probe_id, hits, k, recall, refit "
+        f"FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
+    if len(rows) != 64:
+        print(f"FAIL {name}[band]: {len(rows)} probes != 64 configured")
+        return False
+    tot_h = sum(r[1] for r in rows)
+    tot_k = sum(r[2] for r in rows)
+    recomputed = tot_h / tot_k
+    if any(r[3] != recomputed for r in rows):
+        print(f"FAIL {name}[band]: recall column != sum(hits)/sum(k) "
+              f"({rows[0][3]} vs {recomputed})")
+        return False
+    if recomputed < 0.8:
+        print(f"FAIL {name}[band]: no-drift recall {recomputed:.3f} < 0.8 "
+              f"— fresh index should not need a refit")
+        return False
+    if any(r[4] != 0 for r in rows):
+        print(f"FAIL {name}[band]: refit flag set with recall "
+              f"{recomputed:.3f} >= floor")
+        return False
+    print(f"PASS {name}[band] (no-drift recall {recomputed:.3f} >= 0.8 "
+          f"over {len(rows)} probes, refit flag clear)")
+    return True
+
+
 BAND_CHECKS = {
     "q27_approx_distinct": _band_q27,
     "q40_approx_quantile": _band_q40,
@@ -358,6 +444,8 @@ BAND_CHECKS = {
     "ann_ivf_pq": _band_ann_recall,
     "text_rolling_hash": _band_rolling_hash,
     "stream_index_append": _band_index_append,
+    "stream_semantic": _band_stream_semantic,
+    "ann_recall_probe": _band_recall_probe,
 }
 
 
