@@ -17,6 +17,7 @@ import graft.sim.Similarity
   */
 object AnnProbeScan {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("stale")) { staleDemo(args.drop(1)); return }
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val nlists = (if (args.length > 1) args(1) else "16").split(",").map(_.trim.toInt)
     val nprobes = (if (args.length > 2) args(2) else "8,10,12").split(",").map(_.trim.toInt)
@@ -54,6 +55,39 @@ object AnnProbeScan {
     }
     println(s"ANNPROBE nlistFor: n=${Similarity.corpusSize(t)} -> " +
       s"nlist=${Similarity.nlistFor(Similarity.corpusSize(t))}")
+    spark.stop()
+  }
+
+  /** Drift-flag demonstration for the ann_recall_probe monitor:
+    *   sbt -batch "runMain graft.tools.AnnProbeScan stale [sfDir]"
+    * Runs the probe twice — against the fresh index (flag must be
+    * clear) and against a deliberately STALE one whose centroid table
+    * is rotated one cell (the geometry a drifted corpus produces: the
+    * resident assignments no longer match the centroids the probe
+    * ranks against), where the flag must fire.
+    */
+  private def staleDemo(rest: Array[String]): Unit = {
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Quiet.windowWarn()
+    val t = Tables(spark, dir)
+    def report(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val r = df.select("recall", "refit").head()
+      println(f"ANNPROBE $tag recall=${r.getDouble(0)}%.3f refit=${r.getInt(1)}")
+    }
+    report("fresh", Similarity.annRecallProbe(t))
+    val (idx, cents) = Similarity.quantizedCellIndex(t)
+    val nl = cents.size
+    val rotated = cents.map { case (cell, c) => ((cell + 1) % nl, c) }
+      .sortBy(_._1)
+    report("stale", Similarity.annRecallProbe(t, index = Some((idx, rotated))))
     spark.stop()
   }
 }

@@ -171,4 +171,25 @@ class AnnRecallSpec extends SparkSuite {
       assert(ordered == ordered.sorted, s"probe $p rank order inconsistent")
     }
   }
+
+  test("ann_recall_probe: fresh index clears the floor, mis-mapped index fires refit") {
+    val fresh = Similarity.annRecallProbe(t).collect()
+    assert(fresh.length == 64, s"${fresh.length} probes != 64")
+    val recall = fresh.head.getDouble(3)
+    info(f"fresh-index probe recall = $recall%.3f")
+    // the recall column is the micro-average of the per-probe rows
+    val recomputed = fresh.map(_.getInt(1)).sum.toDouble / fresh.map(_.getInt(2)).sum
+    assert(recall == recomputed)
+    assert(recall >= 0.8 && fresh.forall(_.getInt(4) == 0),
+      f"no-drift case must not flag a refit (recall $recall%.3f)")
+    // a stale index — resident assignments no longer matching the
+    // centroid table the probe ranks against — must fire the flag
+    val (idx, cents) = Similarity.quantizedCellIndex(t)
+    val rotated = cents.map { case (cell, c) => ((cell + 1) % cents.size, c) }
+      .sortBy(_._1)
+    val stale = Similarity.annRecallProbe(t, index = Some((idx, rotated))).collect()
+    info(f"stale-index probe recall = ${stale.head.getDouble(3)}%.3f")
+    assert(stale.head.getDouble(3) < recall)
+    assert(stale.forall(_.getInt(4) == 1), "stale index must flag refit")
+  }
 }
