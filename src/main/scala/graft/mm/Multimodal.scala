@@ -612,15 +612,56 @@ object Multimodal {
     }
   }
 
-  /** Perceptual average-hash over REAL decoded pixels: synthesize the
-    * BMP, decode it with the JDK's ImageIO (full raster this time, not
-    * just the header — the one decode in the module that reads pixels
-    * for real), then compute the classic aHash: 2x2 block means vs the
-    * global mean, one bit per 8x8 grid cell, packed into a BIGINT.
-    * The mean comparison is cross-multiplied (`block_sum * 64 >
-    * total`) so every step is exact integer arithmetic and the oracle
-    * reproduces the hash from the pixel formula without decoding
-    * anything.
+  /** PNG-encode the synthesized raster — ImageIO's real encoder (zlib
+    * deflate inside IDAT), the compressed container actual corpora
+    * carry. [[pngRoundTrip]] pins the deflate→inflate cycle lossless
+    * byte-for-byte, which is exactly what lets PNG payloads share the
+    * BMP path's formula-derived oracles. */
+  def buildPng(width: Int, height: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, (pix(x, y) & 0xff) * 0x010101); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** MIXED-container image media table (r16): even doc_ids carry the
+    * raw BMP, odd ones the SAME raster PNG-encoded — a corpus whose
+    * payload bytes differ per container but whose decoded pixels are
+    * identical, the shape real image dedup faces (re-encodes of one
+    * image across formats must collide). ImageIO's reader dispatches
+    * on magic bytes, so the consumer is container-agnostic.
+    */
+  def imagesFromDocuments(t: Tables): Dataset[MediaRow] = {
+    import t.spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[MediaRow] =
+      Encoders.product[MediaRow]
+    t.widen(t.documents).select($"doc_id").as[Long].map { id =>
+      if (id % 2 == 0)
+        MediaRow(id, "bmp", buildBmp(16, 16, (x, y) => imagePixel(id, x, y)))
+      else
+        MediaRow(id, "png", buildPng(16, 16, (x, y) => imagePixel(id, x, y)))
+    }
+  }
+
+  /** Perceptual average-hash over REAL decoded pixels from the MIXED
+    * BMP/PNG media table ([[imagesFromDocuments]]): decode each payload
+    * with the JDK's ImageIO (raw raster for BMP, inflate + unfilter for
+    * PNG — reader chosen by magic bytes), then compute the classic
+    * aHash: 2x2 block means vs the global mean, one bit per 8x8 grid
+    * cell, packed into a BIGINT. The mean comparison is
+    * cross-multiplied (`block_sum * 64 > total`) so every step is
+    * exact integer arithmetic, and because the PNG round trip is
+    * pixel-lossless ([[pngRoundTrip]]'s oracle pins this), ONE
+    * formula-derived oracle covers BOTH containers — the `container`
+    * column is part of the hash-checked output, so the oracle also
+    * proves the PNG half really went through the compressed path.
     *
     * At 100 TB this is the image twin of [[graft.dedup.Dedup.simhash]]:
     * decode runs per-partition (one ImageIO context per task), the
@@ -628,11 +669,11 @@ object Multimodal {
     * corpus-scale image dedup — and the binary column never shuffles.
     */
   def imageAHash(t: Tables): DataFrame = {
-    import t.spark.implicits._ // Tuple5 encoder
-    bmpFromDocuments(t).mapPartitions { rows =>
+    import t.spark.implicits._ // Tuple6 encoder
+    imagesFromDocuments(t).mapPartitions { rows =>
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        if (img == null) sys.error(s"media ${r.media_id}: synthesized BMP failed to decode")
+        if (img == null) sys.error(s"media ${r.media_id}: synthesized ${r.kind} failed to decode")
         val w = img.getWidth; val h = img.getHeight
         var total = 0L
         val blk = new Array[Long](64)
@@ -647,9 +688,10 @@ object Multimodal {
         }
         var word = 0L; var i = 0
         while (i < 64) { if (blk(i) * 64 > total) word |= (1L << i); i += 1 }
-        (r.media_id, w.toLong, h.toLong, word, java.lang.Long.bitCount(word).toLong)
+        (r.media_id, r.kind, w.toLong, h.toLong, word,
+          java.lang.Long.bitCount(word).toLong)
       }
-    }.toDF("media_id", "width", "height", "ahash", "nbits")
+    }.toDF("media_id", "container", "width", "height", "ahash", "nbits")
   }
 
   /** Shared oracle CTE ending in `ah(doc_id, ahash)`: pixels from the
@@ -682,7 +724,9 @@ object Multimodal {
 
   val imageAHashSql: String =
     s"""$ahashCte
-       |SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS width,
+       |SELECT doc_id AS media_id,
+       | CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS container,
+       | CAST(16 AS BIGINT) AS width,
        | CAST(16 AS BIGINT) AS height, ahash,
        | CAST(bit_count(ahash) AS BIGINT) AS nbits
        |FROM ah""".stripMargin.replace("\n", " ")

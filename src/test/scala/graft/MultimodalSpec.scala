@@ -83,9 +83,14 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("aHash: batch-mates are near-identical, distinct batches differ") {
-    val ah = Multimodal.imageAHash(t).collect()
-      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val rows = Multimodal.imageAHash(t).collect()
+    val ah = rows.map(r => r.getLong(0) -> r.getLong(4)).toMap
     assert(ah.size == t.documents.count())
+    // the media table is container-MIXED: both the raw-BMP and the
+    // zlib'd-PNG decode paths must be represented
+    assert(rows.map(_.getString(1)).toSet == Set("bmp", "png"))
+    // batch-mates straddle the id parity, so every near-identical pair
+    // below crosses containers somewhere — re-encodes collide
     // same id-div-16 batch: corner noise only → Hamming <= 1 bit of 64
     val mates = ah.keys.groupBy(_ / 16).values.filter(_.size >= 2)
     assert(mates.nonEmpty)
@@ -109,7 +114,7 @@ class MultimodalSpec extends SparkSuite {
 
   test("image near-dup blocking is lossless vs brute-force all-pairs at threshold 7") {
     val ah = Multimodal.imageAHash(t).collect()
-      .map(r => r.getLong(0) -> r.getLong(3)).toSeq.sortBy(_._1)
+      .map(r => r.getLong(0) -> r.getLong(4)).toSeq.sortBy(_._1)
     val brute = (for {
       (a, fa) <- ah; (b, fb) <- ah if a < b
       h = java.lang.Long.bitCount(fa ^ fb) if h <= 7
@@ -305,9 +310,9 @@ class MultimodalSpec extends SparkSuite {
     // path reads — cross-codec agreement pins the inflater bitwise
     val viaPng = Multimodal.pngRoundTrip(t).collect()
       .map(r => r.getLong(0) -> r.getLong(4)).toMap
-    val viaBmp = Multimodal.imageAHash(t).collect()
-      .map(r => r.getLong(0) -> r.getLong(3)).toMap
-    assert(viaPng.nonEmpty && viaPng == viaBmp)
+    val viaMixed = Multimodal.imageAHash(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(viaPng.nonEmpty && viaPng == viaMixed)
     // encoded size stays out of the oracle (encoder-version-specific);
     // pin locally that IDAT deflate beats the raw 24-bit raster
     val img = new java.awt.image.BufferedImage(
