@@ -1,0 +1,204 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-rehearsal data generator (r16, verdict item 2):
+  * synthesizes the TESTDATA.md table shapes at a multiple of the sf0.1
+  * row counts into a caller-chosen directory (NEVER /root/testdata),
+  * so the derived-knob ANN/dedup paths and the bench can be observed
+  * above the shipped sf0.1 ceiling.
+  *
+  *   sbt -batch "runMain graft.tools.ScaleGen /tmp/sf1 10"
+  *
+  * Every value derives from xxhash64(id, tag) — no rand(), no
+  * Date.now — so the output is bit-identical across runs, sessions,
+  * and partitionings (the same discipline as the quantizer fit set).
+  * Distributions mirror the driver's testdata, measured at sf0.1:
+  *   documents  31-word vocabulary soup, 10–100 words/doc, weighted
+  *              langs (en 41%, zh/es/fr 15%, de 14%), 20 uniform
+  *              sources, ~1/625 adjacent exact-dup pairs
+  *   embeddings 64-dim unit-norm gaussians (per-dim std 1/8 after
+  *              normalization), labels 0–9
+  *   TPC-H-ish  orders 1995–2001, 1–7 lineitems per order, the same
+  *              flag/status/priority/segment/brand/type categories
+  *   events     30 days of 2024-01 at µs resolution, 5 event types,
+  *              user_id range scaled with the corpus
+  * region/nation are fixed dims copied through from the reference dir.
+  */
+object ScaleGen {
+
+  /** uniform in [0, 1) from (id, tag) — bit-stable across runs. */
+  private def u(tag: String) =
+    (abs(xxhash64(col("id"), lit(tag))) % 1000000007L).cast("double") / 1000000007.0
+
+  /** integer in [0, n) from (id, tag). */
+  private def h(tag: String, n: Long) = abs(xxhash64(col("id"), lit(tag))) % n
+
+  /** standard gaussian via Box–Muller over two tagged uniforms. */
+  private def gauss(tag: String) =
+    sqrt(lit(-2.0) * log(greatest(u(tag + ":u1"), lit(1e-12)))) *
+      cos(lit(2.0 * math.Pi) * u(tag + ":u2"))
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult]")
+    val out = args(0)
+    require(!out.startsWith("/root/testdata"), "refusing to write into /root/testdata")
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, out, mult)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, out: String, mult: Int,
+               refDims: String = "/root/testdata/sf0.1"): Unit = {
+    val nCust = 15000L * mult
+    val nSupp = 1000L * mult
+    val nPart = 20000L * mult
+    val nOrd = 150000L * mult
+    val nDoc = 5000L * mult
+    val nEmb = 2000L * mult
+    val nEvt = 100000L * mult
+    val nUser = 1500L * mult
+
+    def rng(n: Long): DataFrame =
+      spark.range(0, n, 1, 32).toDF("id")
+    def save(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] wrote $name")
+    }
+
+    // fixed dims: identical to the reference testdata
+    save(spark.read.parquet(s"$refDims/region.parquet"), "region")
+    save(spark.read.parquet(s"$refDims/nation.parquet"), "nation")
+
+    save(rng(nCust).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      h("cnat", 25).cast("int").as("c_nationkey"),
+      round(u("cbal") * 10999.65 - 999.85, 2).as("c_acctbal"),
+      element_at(typedLit(Seq("MACHINERY", "BUILDING", "FURNITURE",
+        "AUTOMOBILE", "HOUSEHOLD")), (h("cseg", 5) + 1).cast("int"))
+        .as("c_mktsegment")), "customer")
+
+    save(rng(nSupp).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      h("snat", 25).cast("int").as("s_nationkey"),
+      round(u("sbal") * 10999.65 - 999.85, 2).as("s_acctbal")), "supplier")
+
+    save(rng(nPart).select(
+      col("id").as("p_partkey"),
+      concat_ws(" ",
+        element_at(typedLit(Seq("large", "hot", "blue", "green", "small",
+          "shiny", "red", "dark", "light", "old")), (h("pn1", 10) + 1).cast("int")),
+        element_at(typedLit(Seq("ring", "bolt", "screw", "wheel", "plate",
+          "rod", "case", "box", "cap", "pin")), (h("pn2", 10) + 1).cast("int")))
+        .as("p_name"),
+      format_string("Brand#%d", h("pbr", 25) + 1).as("p_brand"),
+      element_at(typedLit(Seq("PROMO", "ECONOMY", "LARGE", "STANDARD",
+        "MEDIUM", "SMALL")), (h("pty", 6) + 1).cast("int")).as("p_type"),
+      (h("psz", 50) + 1).cast("int").as("p_size"),
+      round(lit(900.0) + h("prp", 1000).cast("double") / 10.0, 2)
+        .as("p_retailprice")), "part")
+
+    val orders = rng(nOrd).select(
+      col("id").as("o_orderkey"),
+      h("ocust", nCust).as("o_custkey"),
+      element_at(typedLit(Seq("O", "P", "F")), (h("ost", 3) + 1).cast("int"))
+        .as("o_orderstatus"),
+      round(u("otp") * 498991.27 + 1001.91, 2).as("o_totalprice"),
+      date_add(to_date(lit("1995-01-01")), h("odt", 2405).cast("int"))
+        .cast("timestamp").as("o_orderdate"),
+      element_at(typedLit(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")), (h("opr", 5) + 1).cast("int"))
+        .as("o_orderpriority"))
+    save(orders, "orders")
+
+    // 1–7 lineitems per order (avg 4 — the sf0.1 ratio)
+    save(orders.select(col("o_orderkey").as("id"), col("o_orderdate"))
+      .withColumn("l_linenumber",
+        explode(sequence(lit(1), (h("onl", 7) + 1).cast("int"))))
+      .select(
+        col("id").as("l_orderkey"),
+        abs(xxhash64(col("id"), col("l_linenumber"), lit("lpart"))).mod(nPart)
+          .as("l_partkey"),
+        abs(xxhash64(col("id"), col("l_linenumber"), lit("lsupp"))).mod(nSupp)
+          .as("l_suppkey"),
+        col("l_linenumber"),
+        (abs(xxhash64(col("id"), col("l_linenumber"), lit("lqty"))).mod(50L) + 1)
+          .cast("double").as("l_quantity"),
+        round((abs(xxhash64(col("id"), col("l_linenumber"), lit("lep")))
+          .mod(1000000007L).cast("double") / 1000000007.0) * 104099.23 + 900.68, 2)
+          .as("l_extendedprice"),
+        (abs(xxhash64(col("id"), col("l_linenumber"), lit("ldis"))).mod(11L)
+          .cast("double") / 100.0).as("l_discount"),
+        (abs(xxhash64(col("id"), col("l_linenumber"), lit("ltax"))).mod(9L)
+          .cast("double") / 100.0).as("l_tax"),
+        element_at(typedLit(Seq("A", "N", "R")),
+          (abs(xxhash64(col("id"), col("l_linenumber"), lit("lrf"))).mod(3L) + 1)
+            .cast("int")).as("l_returnflag"),
+        element_at(typedLit(Seq("O", "F")),
+          (abs(xxhash64(col("id"), col("l_linenumber"), lit("lls"))).mod(2L) + 1)
+            .cast("int")).as("l_linestatus"),
+        date_add(col("o_orderdate").cast("date"),
+          (abs(xxhash64(col("id"), col("l_linenumber"), lit("lsd"))).mod(95L) + 1)
+            .cast("int")).cast("timestamp").as("l_shipdate")), "lineitem")
+
+    // documents: the measured 31-word soup; ~1/625 adjacent dup pairs
+    // (sid = text seed; id % 625 == 1 reuses the previous id's text)
+    val vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data",
+      "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+      "merge", "order", "part", "query", "row", "scan", "slow", "small",
+      "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+    save(rng(nDoc)
+      .withColumn("sid",
+        when(col("id") % 625 === 1, col("id") - 1).otherwise(col("id")))
+      .withColumn("nw", (abs(xxhash64(col("sid"), lit("dnw"))) % 91 + 10).cast("int"))
+      .withColumn("text", concat_ws(" ", transform(
+        sequence(lit(1), col("nw")),
+        i => element_at(typedLit(vocab),
+          (abs(xxhash64(col("sid"), i, lit("dw"))) % vocab.size + 1).cast("int")))))
+      .select(
+        col("id").as("doc_id"),
+        col("text"),
+        // weighted langs: en 41%, zh/es/fr 15%, de 14% (measured)
+        when(h("dlang", 100) < 41, "en").when(h("dlang", 100) < 56, "zh")
+          .when(h("dlang", 100) < 71, "es").when(h("dlang", 100) < 86, "fr")
+          .otherwise("de").as("lang"),
+        format_string("src%d", h("dsrc", 20)).as("source"),
+        length(col("text")).cast("long").as("n_chars")), "documents")
+
+    // embeddings: 64-dim unit-norm gaussians, labels 0-9
+    save(rng(nEmb)
+      .withColumn("g", transform(sequence(lit(0), lit(63)),
+        i => sqrt(lit(-2.0) * log(greatest(
+          (abs(xxhash64(col("id"), i, lit("eu1"))) % 1000000007L).cast("double")
+            / 1000000007.0, lit(1e-12)))) *
+          cos(lit(2.0 * math.Pi) *
+            (abs(xxhash64(col("id"), i, lit("eu2"))) % 1000000007L).cast("double")
+              / 1000000007.0)))
+      .withColumn("nrm", sqrt(aggregate(col("g"), lit(0.0), (a, x) => a + x * x)))
+      .select(
+        col("id").as("vec_id"),
+        transform(col("g"), x => (x / col("nrm")).cast("float")).as("embedding"),
+        h("elab", 10).cast("int").as("label")), "embeddings")
+
+    // events: 30 days of 2024-01 at µs resolution
+    save(rng(nEvt).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) + h("ets", 30L * 86400000000L))
+        .as("ts"),
+      h("euid", nUser).as("user_id"),
+      element_at(typedLit(Seq("signup", "purchase", "view", "click", "error")),
+        (h("eet", 5) + 1).cast("int")).as("event_type"),
+      round(u("eval") * 560.21, 2).as("value"),
+      format_string("{\"k\": %d}", h("ek", 100)).as("props")), "events")
+  }
+}

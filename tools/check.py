@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--bands-only]
 
 Reads each <verifyOutDir>/<name> parquet (Spark output), runs the
 matching SQL from oracle_sql.json in DuckDB against the sfDir tables,
 sorts columns by name and rows by value, and compares cell-by-cell.
+
+--bands-only skips the per-query oracle compare and runs just the
+BAND_CHECKS value checks — the 10x scale-rehearsal mode (SCALING.md):
+several full oracles are deliberately quadratic (the Spark side is the
+scalable one), so only the bands are tractable above sf0.1.
 """
 import sys, json, glob, os, math
 import duckdb
@@ -500,10 +505,16 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table (ScaleGen rehearsal dirs)
+            p = f"{p}/*.parquet"
+        if glob.glob(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    if "--bands-only" in sys.argv:
+        ep, ef = extra_checks(con, out_dir)
+        print(f"== {ep} pass, {ef} fail (bands only) ==")
+        sys.exit(1 if ef else 0)
     for name, sql in sorted(oracle.items()):
         spark_path = f"{out_dir}/{name}"
         if not glob.glob(f"{spark_path}/*.parquet"):
