@@ -240,11 +240,13 @@ object SparkEntry {
     // keep/drop agreement + rep co-clustering vs dedup_semantic on the
     // arrival slice; StreamingSpec drives a real MemoryStream
     "stream_semantic" -> q((t: Tables) => {
-      val (idx, cents) = Similarity.semanticIndex(t)
+      val tau = Similarity.semanticTauFor(Similarity.corpusSize(t))
+      val (idx, cents) = Similarity.semanticIndex(t, tau)
       val arrivals = t.widen(t.embeddings).filter(col("vec_id") % 10 === 9)
         .select(col("vec_id"), col("embedding"),
           timestamp_seconds(col("vec_id")).as("ts"))
-      graft.streaming.Streams.semanticDedupStream(arrivals, idx, cents)
+      graft.streaming.Streams.semanticDedupStream(arrivals, idx, cents,
+        minCos = tau)
     }),
     // index-health drift monitor: IVF recall over a bounded hash-drawn
     // probe sample vs the flat quantized scan, refit flag on breach.

@@ -525,20 +525,39 @@ object Relational {
   def q32FuzzyName(t: Tables): DataFrame = {
     import t.spark.implicits._
     val bkt = floor(length($"probe_name") / lit(5))
-    val probes = t.part.filter($"p_partkey" % 50 === 0)
+    // The length-bucket key `blk` has only a handful of distinct
+    // values (name lengths 7-12 → blk ∈ {1,2}) — catastrophically
+    // skewed as a shuffle key at ANY scale — and the per-pair DP
+    // amplifies compute ~50000x over the input bytes, so AQE's
+    // byte-based partition sizing is blind to the real cost (at the
+    // r16 10x rehearsal it coalesced the post-shuffle join read to ONE
+    // task grinding 1.2B banded levenshteins — SCALING.md). The
+    // scale-correct shape is a SALTED co-partitioned join: candidates
+    // take a deterministic 16-way salt, probes replicate across all
+    // salts, and both sides repartition by (blk, salt) with an
+    // EXPLICIT width — REPARTITION_BY_NUM, which AQE never coalesces —
+    // so the DP spreads over the full executor set no matter how small
+    // the input bytes look. Same (q48) salt discipline as ops/Skew.
+    // 64 salts × ~2 effective blk values = ~128 combos over the
+    // partition width — balls-into-bins balance within ~1.3x of even
+    // (16 salts measured 5/16 core efficiency at the 10x rehearsal:
+    // 32 combos collide badly into 32 partitions). Replication cost is
+    // on the SMALL side only (probes ×64, ~30 MB shuffled at 10x).
+    val salts = 64
+    val probes = t.widen(t.part).filter($"p_partkey" % 50 === 0)
       .select($"p_partkey".as("probe_key"), $"p_name".as("probe_name"))
       .withColumn("blk", explode(array(bkt - 1, bkt, bkt + 1)))
-    // widen: part is one parquet file = one input split locally
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     val cands = t.widen(t.part)
       .select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"))
       .withColumn("blk", floor(length($"cand_name") / lit(5)))
+      .withColumn("salt", pmod(hash($"cand_key"), lit(salts)))
     // length-difference lower bound: |len(a)-len(b)| > k ⇒ dist > k.
     // The residual prune skips the O(len²) DP for cross-bucket pairs
     // whose lengths still differ by >4.
-    // No broadcast hint: probes are a fixed FRACTION of part (N/50), so
-    // they grow with the corpus. AQE broadcasts while small and falls
-    // back to a shuffled hash join on blk at scale.
-    probes.join(cands, "blk")
+    val width = t.spark.sparkContext.defaultParallelism
+    probes.repartition(width, $"blk", $"salt")
+      .join(cands.repartition(width, $"blk", $"salt"), Seq("blk", "salt"))
       .filter($"probe_key" =!= $"cand_key" &&
         abs(length($"probe_name") - length($"cand_name")) <= 4)
       // thresholded variant early-exits the DP (returns -1 above 4);

@@ -109,6 +109,41 @@ object Similarity {
     */
   def assignFor(nlist: Int): Int = math.ceil(math.sqrt(nlist)).toInt
 
+  /** Default exact-re-rank shortlist for the PQ family: √N scaling,
+    * anchored so the 500-row gate corpus keeps the measured rerank=64
+    * operating point (recall@5 0.995). ADC score noise is fixed by the
+    * codebook (m, ks), so on an UNCLUSTERED corpus the number of
+    * competitors within noise of the true top-5 boundary grows with N
+    * and a FIXED shortlist decays: measured at the 10x rehearsal
+    * (N=20000, SCALING.md), rerank 64/128/256/512 → recall@5
+    * 0.690/0.823/0.920/0.975, while rerankFor(20000) = 405 lands
+    * ~0.95+. These near-uniform synthetic embeddings are the
+    * adversarial case — a clustered real corpus holds recall with
+    * rerank = O(k) constants, so √N is the conservative ceiling, not
+    * the expected production cost. */
+  def rerankFor(n: Long): Int =
+    math.max(64, math.round(64.0 * math.sqrt(n / 500.0)).toInt)
+
+  /** Default SemDeDup threshold: a percolation ladder over corpus
+    * size. On these near-uniform synthetic embeddings pair cosine is
+    * ~N(0, 1/64), so the expected near-dup DEGREE at a fixed τ grows
+    * linearly with N — past degree ≈ 1 the transitive closure
+    * percolates and the whole corpus collapses into one cluster
+    * (measured: τ=0.35 keeps healthy structure at the 500-row gate but
+    * yields a 1964/2000 giant component at sf0.1 and 19998/20000 at
+    * the 10x rehearsal; τ=0.42 at n=2000 → largest 13, τ=0.48 at
+    * n=20000 → largest 19). The ladder steps ~z(1−1/n)/√d per decade,
+    * anchored at the gate's calibrated 0.35; tools/check.py mirrors it
+    * for the co-clustering bands. Real sentence embeddings gate at a
+    * QUALITY threshold (~0.9) far above any percolation point — this
+    * derivation is the guard the adversarial random corpus needs. */
+  def semanticTauFor(n: Long): Double =
+    if (n <= 1000) 0.35
+    else if (n <= 8000) 0.42
+    else if (n <= 80000) 0.48
+    else if (n <= 800000) 0.54
+    else 0.60
+
   /** Family-cache population counter (normCache entries built; quant
     * fits have their own [[quantizerFits]]), for the SweepCaches
     * no-repopulate-after-drain pin. */
@@ -313,17 +348,22 @@ object Similarity {
     * kept) — `kept=1` rows are the deduplicated corpus, the rest map
     * to their replacement.
     *
-    * minCos defaults to 0.35, scaled to THIS corpus's near-uniform
-    * synthetic embeddings (max observed pair cos ≈ 0.5; real sentence
-    * embeddings would gate at ~0.9): 0.35 yields a real cluster
-    * structure to verify rather than all-singletons. Rows-only (the
+    * minCos defaults to [[semanticTauFor]](N) — the percolation
+    * ladder (0.35 at the gate corpus, stepping up per decade), scaled
+    * to THIS corpus's near-uniform synthetic embeddings (real sentence
+    * embeddings would gate at ~0.9): it yields a real cluster
+    * structure to verify at EVERY scale rather than all-singletons at
+    * one end or a single giant component at the other (the r16 10x
+    * rehearsal caught the fixed 0.35 collapsing 20000 vectors into one
+    * cluster). Rows-only (the
     * KMeans fit); check.py bands co-clustering recall ≥ 0.9 against
     * the hash-checked dedup_embedding baseline's ≥ minCos pairs —
     * every baseline near-dup pair should land in one cluster (the
     * closure can only merge MORE than the direct pair list).
     */
-  def semanticDedup(t: Tables, minCos: Double = 0.35): DataFrame = {
-    val pairs = embeddingNearDupIvf(t, minCos = minCos)
+  def semanticDedup(t: Tables, minCos: Double = 0.0): DataFrame = {
+    val tau = if (minCos > 0) minCos else semanticTauFor(corpusSize(t))
+    val pairs = embeddingNearDupIvf(t, minCos = tau)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val cc = graft.dedup.Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))
@@ -349,7 +389,8 @@ object Similarity {
     * job owns the rebuild).
     */
   def semanticIndex(t: Tables,
-      minCos: Double = 0.35): (DataFrame, Seq[(Int, Seq[Double])]) = {
+      minCos: Double = 0.0): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val tau = if (minCos > 0) minCos else semanticTauFor(corpusSize(t))
     val nl = nlistFor(corpusSize(t))
     val a = assignFor(nl)
     val e = withNorm(t)
@@ -361,7 +402,7 @@ object Similarity {
       .withColumn("centroid", col("centroid").cast("array<double>"))
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
-    val reps = semanticDedup(t, minCos)
+    val reps = semanticDedup(t, tau)
       .select(col("vec_id").as("cand_id"), col("rep_id"))
     val idx = e.select(col("vec_id"), col("v"), col("nrm"))
       .crossJoin(broadcast(cdf))
@@ -1413,7 +1454,8 @@ object Similarity {
     * entry; check.py bands recall@5 vs ann_brute_force (the exact
     * re-rank recovers nearly everything the 8-byte codes blur).
     */
-  def annPq(t: Tables, m: Int = 8, ks: Int = 256, rerank: Int = 64): DataFrame = {
+  def annPq(t: Tables, m: Int = 8, ks: Int = 256, rerank: Int = 0): DataFrame = {
+    val rr = if (rerank > 0) rerank else rerankFor(corpusSize(t))
     val e = withNorm(t)
     val cb = fitPqCodebook(t, m, ks)
     val ds = cb(0)(0).length
@@ -1453,7 +1495,7 @@ object Similarity {
     val shortlist = probes.join(codes, col("probe_id") =!= col("cand_id"))
       .withColumn("adc", dot(col("up"), col("uhat")))
       .withColumn("ar", row_number().over(wAdc))
-      .filter(col("ar") <= rerank)
+      .filter(col("ar") <= rr)
       .select(col("probe_id"), col("vp"), col("np"), col("cand_id"))
     // stage 2: exact re-rank of the small shortlist only
     val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
@@ -1553,7 +1595,8 @@ object Similarity {
     * tiebreak orders at every ranking stage).
     */
   def annIvfPq(t: Tables, m: Int = 8, ks: Int = 256, nlist: Int = 0,
-      nprobe: Int = 0, rerank: Int = 64): DataFrame = {
+      nprobe: Int = 0, rerank: Int = 0): DataFrame = {
+    val rr = if (rerank > 0) rerank else rerankFor(corpusSize(t))
     import org.apache.spark.ml.functions.array_to_vector
     val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
     val np = if (nprobe > 0) nprobe else nprobeFor(nl)
@@ -1624,7 +1667,7 @@ object Similarity {
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("adc", dot(col("up"), col("uhat")))
       .withColumn("ar", row_number().over(wAdc))
-      .filter(col("ar") <= rerank)
+      .filter(col("ar") <= rr)
       .select(col("probe_id"), col("vp"), col("pnrm"), col("cand_id"))
     // stage 3 — exact re-rank of the small shortlist
     val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"),

@@ -235,14 +235,27 @@ def _band_range_recall(con, out_dir, name):
     return True
 
 
+def _semantic_tau(con):
+    """Mirror of Similarity.semanticTauFor: the percolation ladder over
+    the embedding count (0.35 at the gate corpus, stepping up per
+    decade so transitive closure never collapses the corpus into one
+    giant component — measured in SCALING.md's 10x rehearsal)."""
+    n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    for lim, tau in [(1000, 0.35), (8000, 0.42), (80000, 0.48),
+                     (800000, 0.54)]:
+        if n <= lim:
+            return tau
+    return 0.60
+
+
 def _band_semantic(con, out_dir, name):
     """SemDeDup co-clustering recall vs the oracle-green label-blocked
-    baseline: every dedup_embedding pair at cos >= 0.35 (the operator's
-    semantic threshold on this corpus) should land in one cluster —
-    rep[id_a] == rep[id_b] for >= 0.9 of baseline pairs. Transitive
-    closure can only merge MORE than the direct pair list, so missing
-    co-clusters mean the IVF blocking lost the pair. Also requires a
-    real cluster structure (kept < total rows)."""
+    baseline: every dedup_embedding pair at cos >= tau (the operator's
+    derived semantic threshold, _semantic_tau) should land in one
+    cluster — rep[id_a] == rep[id_b] for >= 0.9 of baseline pairs.
+    Transitive closure can only merge MORE than the direct pair list,
+    so missing co-clusters mean the IVF blocking lost the pair. Also
+    requires a real cluster structure (kept < total rows)."""
     base = f"{out_dir}/dedup_embedding"
     if not glob.glob(f"{base}/*.parquet"):
         print(f"FAIL {name}[band]: baseline dedup_embedding output missing "
@@ -250,7 +263,7 @@ def _band_semantic(con, out_dir, name):
         return False
     pairs = con.execute(
         f"SELECT id_a, id_b FROM read_parquet('{base}/*.parquet') "
-        f"WHERE cos >= 0.35").fetchall()
+        f"WHERE cos >= {_semantic_tau(con)}").fetchall()
     reps = dict(con.execute(
         f"SELECT vec_id, rep_id FROM read_parquet('{out_dir}/{name}/*.parquet')"
     ).fetchall())
