@@ -1008,10 +1008,34 @@ object Similarity {
     * in both engines. Same probe set and output contract as the rest
     * of the ANN family; AnnRecallSpec pins recall@5 vs brute force.
     */
+  /** The packed sign-word table (vec_id, w) behind a narrow exchange.
+    * The exchange is load-bearing, not a repartition for width: the
+    * 64-term signWord CASE-chain is too large for whole-stage codegen,
+    * and when it is planned INSIDE the probe×cand join stage the
+    * fallback turns the whole stage interpreted — every one of the
+    * Q·N pair rows then pays the interpreted JoinedRow/copy path
+    * (measured at the 10x rehearsal: 67 s for 30.8M pairs vs 2.5 s
+    * with the boundary; SCALING.md §10x). The shuffle this buys is
+    * O(N) rows of 16 bytes — at 100 TB this materialized word table
+    * IS the resident 1-bit index the scaladoc below describes.
+    *
+    * Explicit-width repartition (REPARTITION_BY_NUM), NOT by-col: the
+    * word table is tiny in BYTES (16 B/row), so AQE's byte-based
+    * coalescing shrinks a by-col exchange to ONE partition — and the
+    * probe-side exchange's partitioning already satisfies the
+    * shortlist window's distribution, so the Q·N pair production,
+    * sort, and window all inherit that single task (measured: 20.4 s
+    * in 1 task vs ~2 s across 32). Same lesson as q32_fuzzy_name:
+    * compute-amplified stages must pin their width.
+    */
+  private def signWords(t: Tables): DataFrame =
+    t.widen(t.embeddings)
+      .select(col("vec_id"), signWord(col("embedding")).as("w"))
+      .repartition(t.spark.sparkContext.defaultParallelism, col("vec_id"))
+
   def annHamming(t: Tables, rerank: Int = 128): DataFrame = {
     val e = withNorm(t)
-    val words = t.widen(t.embeddings)
-      .select(col("vec_id"), signWord(col("embedding")).as("w"))
+    val words = signWords(t)
     val probes = words.filter(col("vec_id") % 13 === 0)
       .select(col("vec_id").as("probe_id"), col("w").as("wp"))
     val cands = words.select(col("vec_id").as("cand_id"), col("w").as("wc"))
@@ -1176,8 +1200,7 @@ object Similarity {
 
   def annCascade(t: Tables, shortlist: Int = 256, rerank: Int = 32): DataFrame = {
     val e = withNorm(t)
-    val words = t.widen(t.embeddings)
-      .select(col("vec_id"), signWord(col("embedding")).as("w"))
+    val words = signWords(t) // the codegen-fallback containment boundary (see signWords)
     val probes = words.filter(col("vec_id") % 13 === 0)
       .select(col("vec_id").as("probe_id"), col("w").as("wp"))
     val cands = words.select(col("vec_id").as("cand_id"), col("w").as("wc"))

@@ -29,6 +29,9 @@ object Profile {
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    if (args.length > 1 && args(1) == "ann") { annProfile(spark, t); spark.stop(); return }
+    if (args.length > 1 && args(1) == "ann2") { annProfile2(spark, t); spark.stop(); return }
+
     val shingles = t.documents
       .select($"doc_id", explode(expr(
         "transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5))"
@@ -105,5 +108,68 @@ object Profile {
     keysE.unpersist()
     time("edq-full")(graft.dedup.Dedup.editDistance(t).count())
     spark.stop()
+  }
+
+  /** Spark-stage-level timing of the full ann_hamming/ann_cascade
+    * queries (Profile <dir> ann2). */
+  private def annProfile2(spark: SparkSession, t: Tables): Unit = {
+    import graft.sim.Similarity
+    @volatile var label = ""
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        val cpu = si.taskMetrics.executorRunTime / 1e3
+        println(f"STAGE [$label] id=${si.stageId} tasks=${si.numTasks} wall=$wall%7.2f s cpu=$cpu%8.2f s  ${si.name.takeWhile(_ != '\n').take(90)}")
+      }
+    })
+    def time(name: String)(f: => Long): Unit = {
+      label = name
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    time("ann-hamming-full")(Similarity.annHamming(t).count())
+    time("ann-cascade-full")(Similarity.annCascade(t).count())
+  }
+
+  /** ANN stage-1 breakdown (Profile <dir> ann) — the measurement
+    * behind Similarity.signWords' exchange boundary (r16): the giant
+    * signWord CASE-chain planned inside the probe×cand join stage
+    * makes row production interpreted (ham-shortlist-inline), while
+    * a materialization boundary before the join restores it
+    * (ham-shortlist-repart-words); 67 s vs 2.5 s at 10x. */
+  private def annProfile(spark: SparkSession, t: Tables): Unit = {
+    import spark.implicits._
+    import graft.sim.Similarity
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    val words = t.widen(t.embeddings)
+      .select($"vec_id",
+        (0 until 64).map(i => when($"embedding" (i) > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("w"))
+    time("ham-words")(words.count())
+    val wHam = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"ham".asc, $"cand_id".asc)
+    def shortlist(w: org.apache.spark.sql.DataFrame): Long = {
+      val probes = w.filter($"vec_id" % 13 === 0)
+        .select($"vec_id".as("probe_id"), $"w".as("wp"))
+      val cands = w.select($"vec_id".as("cand_id"), $"w".as("wc"))
+      probes.join(cands, $"probe_id" =!= $"cand_id")
+        .withColumn("ham", bit_count($"wp".bitwiseXOR($"wc")))
+        .withColumn("hr", row_number().over(wHam))
+        .filter($"hr" <= 128).count()
+    }
+    time("ham-shortlist-inline")(shortlist(words))
+    time("ham-shortlist-repart-words")(shortlist(
+      words.repartition(spark.sparkContext.defaultParallelism, $"vec_id")))
+    time("ann-hamming-full")(Similarity.annHamming(t).count())
+    time("ann-brute-force-full")(Similarity.annBruteForce(t).count())
+    time("ann-mrl-full")(Similarity.annMrl(t).count())
+    time("ann-cascade-full")(Similarity.annCascade(t).count())
   }
 }
