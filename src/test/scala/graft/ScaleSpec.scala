@@ -272,4 +272,25 @@ class ScaleSpec extends SparkSuite {
         col("l_suppkey").between(10, 29)).count()
     assert(pred(s"$base/z") == pred(s"$base/n"))
   }
+
+  test("derived knobs: gate anchors hold, ladders are monotone (10x rehearsal pins)") {
+    import graft.sim.Similarity._
+    // gate-corpus anchors: derived defaults must equal the measured
+    // operating points every oracle/band was calibrated against
+    assert(nlistFor(500) == 16 && nprobeFor(16) == 10)
+    assert(rerankFor(500) == 64)
+    assert(semanticTauFor(500) == 0.35)
+    // 10x rehearsal operating points (SCALING.md §10x): the values the
+    // 14 green bands were measured at — a formula change that shifts
+    // them re-runs the rehearsal knowingly, not by accident
+    assert(nlistFor(20000) == 101 && nprobeFor(101) == 63)
+    assert(assignFor(101) == 11)
+    assert(rerankFor(20000) == 405)
+    assert(semanticTauFor(20000) == 0.48)
+    // monotone, no plateaus at decade boundaries
+    val ns = Seq(500L, 2000L, 20000L, 200000L, 2000000L)
+    assert(ns.map(nlistFor) == ns.map(nlistFor).sorted)
+    assert(ns.map(rerankFor) == ns.map(rerankFor).sorted)
+    assert(ns.map(semanticTauFor) == ns.map(semanticTauFor).sorted)
+  }
 }
