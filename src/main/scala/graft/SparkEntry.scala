@@ -155,7 +155,7 @@ object SparkEntry {
     // rows-only: KMeans quantizer isn't SQL-derivable (like ann_ivf);
     // SimilaritySpec pins pair recall vs the label-blocked baseline
     "dedup_embedding_ivf" -> q((t: Tables) => Similarity.embeddingNearDupIvf(t)),
-    "ann_brute_force" -> q(Similarity.annBruteForce),
+    "ann_brute_force" -> q((t: Tables) => Similarity.annBruteForce(t)),
     // filtered vector search: the metadata predicate IS the join key
     // (pre-filtering), exact within the label partition → full oracle
     "ann_label_filtered" -> q(Similarity.annLabelFiltered),

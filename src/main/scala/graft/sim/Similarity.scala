@@ -419,9 +419,9 @@ object Similarity {
   /** Brute-force cosine top-k: the correctness baseline for ANN. Probe
     * set = vec_id % 13 == 0; k = 5; total-order tiebreak on cand_id.
     */
-  def annBruteForce(t: Tables): DataFrame = {
+  def annBruteForce(t: Tables, probeMod: Int = 13): DataFrame = {
     val e = withNorm(t)
-    val probes = e.filter(col("vec_id") % 13 === 0)
+    val probes = e.filter(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
     val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
     val w = Window.partitionBy(col("probe_id"))
@@ -604,7 +604,8 @@ object Similarity {
     * check.py BAND_CHECKS; AnnProbeScan sweep in SCALING.md). Passing
     * explicit nlist/nprobe (> 0) overrides the derivation.
     */
-  def annIvf(t: Tables, nlist: Int = 0, nprobe: Int = 0): DataFrame = {
+  def annIvf(t: Tables, nlist: Int = 0, nprobe: Int = 0,
+      probeMod: Int = 13): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
     val np = if (nprobe > 0) nprobe else nprobeFor(nl)
@@ -621,7 +622,7 @@ object Similarity {
     }.toSeq
     val cdf = t.spark.createDataFrame(centroids).toDF("cell", "centroid")
       .withColumn("centroid", col("centroid").cast("array<double>"))
-    val probes = assigned.filter(col("vec_id") % 13 === 0)
+    val probes = assigned.filter(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
     val wCell = Window.partitionBy(col("probe_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
@@ -1477,7 +1478,8 @@ object Similarity {
     * entry; check.py bands recall@5 vs ann_brute_force (the exact
     * re-rank recovers nearly everything the 8-byte codes blur).
     */
-  def annPq(t: Tables, m: Int = 8, ks: Int = 256, rerank: Int = 0): DataFrame = {
+  def annPq(t: Tables, m: Int = 8, ks: Int = 256, rerank: Int = 0,
+      probeMod: Int = 13): DataFrame = {
     val rr = if (rerank > 0) rerank else rerankFor(corpusSize(t))
     val e = withNorm(t)
     val cb = fitPqCodebook(t, m, ks)
@@ -1508,7 +1510,7 @@ object Similarity {
           (id, uhat.toSeq)
         }
       }.toDF("cand_id", "uhat")
-    val probes = e.filter(col("vec_id") % 13 === 0 && col("nrm") > 0)
+    val probes = e.filter(col("vec_id") % probeMod === 0 && col("nrm") > 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"),
         transform(col("v"), x => x / col("nrm")).as("up"))
     val wAdc = Window.partitionBy(col("probe_id"))
@@ -1618,7 +1620,7 @@ object Similarity {
     * tiebreak orders at every ranking stage).
     */
   def annIvfPq(t: Tables, m: Int = 8, ks: Int = 256, nlist: Int = 0,
-      nprobe: Int = 0, rerank: Int = 0): DataFrame = {
+      nprobe: Int = 0, rerank: Int = 0, probeMod: Int = 13): DataFrame = {
     val rr = if (rerank > 0) rerank else rerankFor(corpusSize(t))
     import org.apache.spark.ml.functions.array_to_vector
     val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
@@ -1670,7 +1672,7 @@ object Similarity {
         cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
       .toDF("cell", "centroid")
       .withColumn("centroid", col("centroid").cast("array<double>"))
-    val probes = e.filter(col("vec_id") % 13 === 0 && col("nrm") > 0)
+    val probes = e.filter(col("vec_id") % probeMod === 0 && col("nrm") > 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"),
         col("nrm").as("pnrm"),
         transform(col("v"), x => x / col("nrm")).as("up"))
@@ -1704,7 +1706,8 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
   }
 
-  def annIvfInt8(t: Tables, nlist: Int = 0, nprobe: Int = 0): DataFrame = {
+  def annIvfInt8(t: Tables, nlist: Int = 0, nprobe: Int = 0,
+      probeMod: Int = 13): DataFrame = {
     val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
     val np = if (nprobe > 0) nprobe else nprobeFor(nl)
     val e = withNorm(t)
@@ -1723,7 +1726,7 @@ object Similarity {
     }.toSeq
     val cdf = t.spark.createDataFrame(centroids).toDF("cell", "centroid")
       .withColumn("centroid", col("centroid").cast("array<double>"))
-    val probes = withQuantCols(e.filter(col("vec_id") % 13 === 0))
+    val probes = withQuantCols(e.filter(col("vec_id") % probeMod === 0))
       .select(col("vec_id").as("probe_id"), col("v").as("vp"),
         col("qmax").as("qp"), col("codes").cast("array<double>").as("cp"))
     val wCell = Window.partitionBy(col("probe_id"))

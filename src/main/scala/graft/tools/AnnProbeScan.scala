@@ -18,6 +18,7 @@ import graft.sim.Similarity
 object AnnProbeScan {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("stale")) { staleDemo(args.drop(1)); return }
+    if (args.headOption.contains("decade")) { decade(args.drop(1)); return }
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val nlists = (if (args.length > 1) args(1) else "16").split(",").map(_.trim.toInt)
     val nprobes = (if (args.length > 2) args(2) else "8,10,12").split(",").map(_.trim.toInt)
@@ -55,6 +56,55 @@ object AnnProbeScan {
     }
     println(s"ANNPROBE nlistFor: n=${Similarity.corpusSize(t)} -> " +
       s"nlist=${Similarity.nlistFor(Similarity.corpusSize(t))}")
+    spark.stop()
+  }
+
+  /** Derived-knob recall at a NEW corpus decade on a probe subsample:
+    *   sbt -batch "runMain graft.tools.AnnProbeScan decade <dir> [probeMod]"
+    * The per-probe search cost of the IVF/PQ family is O(N·nprobe/
+    * nlist) regardless of how many probes run, so a subsampled probe
+    * set (probeMod >> 13) makes a decade above the full-rehearsal
+    * ceiling tractable: recall estimated on the subsample is an
+    * unbiased estimate of the %13 workload's recall (probe ids are
+    * hash-spread by construction). Every knob is DERIVED from corpus
+    * size — the point is to observe the nlistFor/nprobeFor/rerankFor
+    * ladders at a decade nobody calibrated against (SCALING.md §10x).
+    */
+  private def decade(rest: Array[String]): Unit = {
+    val dir = rest.headOption.getOrElse("/tmp/gen_sf10emb")
+    val pm = if (rest.length > 1) rest(1).toInt else 1300
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Quiet.windowWarn()
+    val t = Tables(spark, dir)
+    val n = Similarity.corpusSize(t)
+    val nl = Similarity.nlistFor(n)
+    println(s"ANNPROBE decade n=$n probeMod=$pm -> nlist=$nl " +
+      s"nprobe=${Similarity.nprobeFor(nl)} assign=${Similarity.assignFor(nl)} " +
+      s"rerank=${Similarity.rerankFor(n)} tau=${Similarity.semanticTauFor(n)}")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var tm = System.nanoTime()
+    val truth = pairs(Similarity.annBruteForce(t, probeMod = pm))
+    println(f"ANNPROBE decade brute      pairs=${truth.size} ${(System.nanoTime() - tm) / 1e9}%.1f s")
+    def report(tag: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+      tm = System.nanoTime()
+      val found = pairs(df)
+      val r = (truth & found).size.toDouble / math.max(truth.size, 1)
+      println(f"ANNPROBE decade $tag%-10s recall@5=$r%.3f " +
+        f"(${(truth & found).size}/${truth.size}) ${(System.nanoTime() - tm) / 1e9}%.1f s")
+    }
+    report("ivf", Similarity.annIvf(t, probeMod = pm))
+    report("ivf_int8", Similarity.annIvfInt8(t, probeMod = pm))
+    report("pq", Similarity.annPq(t, probeMod = pm))
+    report("ivf_pq", Similarity.annIvfPq(t, probeMod = pm))
     spark.stop()
   }
 

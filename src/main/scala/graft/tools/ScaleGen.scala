@@ -41,10 +41,11 @@ object ScaleGen {
       cos(lit(2.0 * math.Pi) * u(tag + ":u2"))
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult]")
+    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult] [table ...]")
     val out = args(0)
     require(!out.startsWith("/root/testdata"), "refusing to write into /root/testdata")
     val mult = if (args.length > 1) args(1).toInt else 10
+    val only = args.drop(2).toSet // empty = all tables
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -52,12 +53,13 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, out, mult)
+    generate(spark, out, mult, only = only)
     spark.stop()
   }
 
   def generate(spark: SparkSession, out: String, mult: Int,
-               refDims: String = "/root/testdata/sf0.1"): Unit = {
+               refDims: String = "/root/testdata/sf0.1",
+               only: Set[String] = Set.empty): Unit = {
     val nCust = 15000L * mult
     val nSupp = 1000L * mult
     val nPart = 20000L * mult
@@ -69,10 +71,11 @@ object ScaleGen {
 
     def rng(n: Long): DataFrame =
       spark.range(0, n, 1, 32).toDF("id")
-    def save(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scalegen] wrote $name")
-    }
+    def save(df: => DataFrame, name: String): Unit =
+      if (only.isEmpty || only(name)) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[scalegen] wrote $name")
+      } else println(s"[scalegen] skipped $name (subset)")
 
     // fixed dims: identical to the reference testdata
     save(spark.read.parquet(s"$refDims/region.parquet"), "region")
