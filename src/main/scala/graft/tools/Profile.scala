@@ -31,6 +31,9 @@ object Profile {
 
     if (args.length > 1 && args(1) == "ann") { annProfile(spark, t); spark.stop(); return }
     if (args.length > 1 && args(1) == "ann2") { annProfile2(spark, t); spark.stop(); return }
+    if (args.length > 1 && args(1) == "stages") {
+      annProfile2(spark, t, args.drop(2).toSeq); spark.stop(); return
+    }
 
     val shingles = t.documents
       .select($"doc_id", explode(expr(
@@ -110,10 +113,15 @@ object Profile {
     spark.stop()
   }
 
-  /** Spark-stage-level timing of the full ann_hamming/ann_cascade
-    * queries (Profile <dir> ann2). */
-  private def annProfile2(spark: SparkSession, t: Tables): Unit = {
-    import graft.sim.Similarity
+  /** Spark-stage-level timing of named SparkEntry queries
+    * (Profile <dir> stages <query...>; "ann2" = the two Hamming-family
+    * queries that motivated it). Prints every completed stage's task
+    * count + wall + summed task CPU — the tool that found the
+    * single-task AQE-coalesced shortlist stage (SCALING.md §10x
+    * defect 3): a stage with tasks=1 and wall ≈ query total is a
+    * byte-based sizing pathology. */
+  private def annProfile2(spark: SparkSession, t: Tables,
+      queries: Seq[String] = Seq("ann_hamming", "ann_cascade")): Unit = {
     @volatile var label = ""
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
@@ -130,8 +138,11 @@ object Profile {
       val n = f
       println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    time("ann-hamming-full")(Similarity.annHamming(t).count())
-    time("ann-cascade-full")(Similarity.annCascade(t).count())
+    queries.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      time(name)(fn(spark, t.dir).count())
+    }
   }
 
   /** ANN stage-1 breakdown (Profile <dir> ann) — the measurement
