@@ -273,6 +273,19 @@ class ScaleSpec extends SparkSuite {
     assert(pred(s"$base/z") == pred(s"$base/n"))
   }
 
+  test("Hamming shortlist sign-word table pins its exchange width (REPARTITION_BY_NUM)") {
+    // SCALING.md §10x defect 3: a by-col exchange of the 16 B/row word
+    // table gets AQE-coalesced to ONE partition, and the shortlist
+    // window inherits the single task. The explicit-width repartition
+    // is the containment — both Hamming-family queries must carry it.
+    for (df <- Seq(graft.sim.Similarity.annHamming(t),
+                   graft.sim.Similarity.annCascade(t))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        s"sign-word exchange lost its pinned width:\n$plan")
+    }
+  }
+
   test("derived knobs: gate anchors hold, ladders are monotone (10x rehearsal pins)") {
     import graft.sim.Similarity._
     // gate-corpus anchors: derived defaults must equal the measured
