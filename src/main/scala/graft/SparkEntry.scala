@@ -158,7 +158,7 @@ object SparkEntry {
     "ann_brute_force" -> q((t: Tables) => Similarity.annBruteForce(t)),
     // filtered vector search: the metadata predicate IS the join key
     // (pre-filtering), exact within the label partition → full oracle
-    "ann_label_filtered" -> q(Similarity.annLabelFiltered),
+    "ann_label_filtered" -> q((t: Tables) => Similarity.annLabelFiltered(t)),
     // range search (FAISS range_search): all neighbors with cos >= tau,
     // no k truncation; exact baseline with a full hash oracle
     "ann_range"       -> q(Similarity.annRange(_)),

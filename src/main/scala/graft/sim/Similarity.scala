@@ -464,24 +464,38 @@ object Similarity {
     *
     * Scale shape (100 TB): the label equi-join partitions candidate
     * work by label — the same blocking [[embeddingNearDup]] uses — so
-    * a probe scans its label's partition, never the corpus. This is
-    * the exact small-cardinality baseline; at high label cardinality
-    * each partition is corpus/|labels| and stays task-sized, while a
-    * skewed mega-label is the documented hand-off point to the
-    * IVF-within-partition composition (cell-block inside the label
-    * partition, [[embeddingNearDupIvf]]'s Σ|cell|² knob applying
-    * per-label). No broadcast hint: probes grow with the corpus.
+    * a probe scans its label's partition, never the corpus. A bare
+    * label equi-join, though, caps join parallelism at |labels| (10
+    * here; a "language" label is ~30 at 100 TB) and AQE coalesces it
+    * further because the shuffled bytes are small while the per-pair
+    * dot amplifies compute — the r16 10x stage audit measured the
+    * whole scoring stage in 4 tasks. So the join is SALTED on the
+    * candidate side with probes replicated across salts, both sides
+    * repartitioned by (label, salt) at an explicit width
+    * (REPARTITION_BY_NUM — the q32_fuzzy_name discipline): each
+    * same-label pair still meets exactly once (under the candidate's
+    * salt), so the result — and the hash oracle — is unchanged, but
+    * scoring spreads over |labels|·salts combos. Replication cost is
+    * probe-side only (x64, the N/13 small side). A skewed mega-label
+    * stays the documented hand-off point to the IVF-within-partition
+    * composition (cell-block inside the label partition,
+    * [[embeddingNearDupIvf]]'s Σ|cell|² knob applying per-label). No
+    * broadcast hint: probes grow with the corpus.
     */
-  def annLabelFiltered(t: Tables): DataFrame = {
+  def annLabelFiltered(t: Tables, salts: Int = 64): DataFrame = {
     val e = withNorm(t)
+    val width = t.spark.sparkContext.defaultParallelism
     val probes = e.filter(col("vec_id") % 13 === 0)
       .select(col("vec_id").as("probe_id"), col("label"),
         col("v").as("vp"), col("nrm").as("np"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     val cands = e.select(col("vec_id").as("cand_id"), col("label"),
       col("v").as("vc"), col("nrm").as("nc"))
+      .withColumn("salt", pmod(hash(col("cand_id")), lit(salts)))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    probes.join(cands, Seq("label"))
+    probes.repartition(width, col("label"), col("salt"))
+      .join(cands.repartition(width, col("label"), col("salt")), Seq("label", "salt"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
       .withColumn("rnk", row_number().over(w))
