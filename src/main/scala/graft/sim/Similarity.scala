@@ -1530,12 +1530,21 @@ object Similarity {
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("cand_id").asc)
     // stage 1: ADC = up · uhat (decoded-dot form; same no-broadcast-
-    // hint reasoning as annBruteForce — probes grow with the corpus)
-    val shortlist = probes.join(codes, col("probe_id") =!= col("cand_id"))
+    // hint reasoning as annBruteForce — probes grow with the corpus).
+    // The rank window's input is projected to (ids, adc) BEFORE the
+    // window: the probe's float vector re-joins only after the rr
+    // filter. Catalyst prunes below-window columns automatically ONLY
+    // when nothing above references them — carrying vp/np through for
+    // stage 2 made the Q·N ADC sort spill ~60x its necessary width
+    // (the r16 100x run filled the local disk through exactly this).
+    val shortlist = probes.select(col("probe_id"), col("up"))
+      .join(codes, col("probe_id") =!= col("cand_id"))
       .withColumn("adc", dot(col("up"), col("uhat")))
+      .select(col("probe_id"), col("cand_id"), col("adc"))
       .withColumn("ar", row_number().over(wAdc))
       .filter(col("ar") <= rr)
-      .select(col("probe_id"), col("vp"), col("np"), col("cand_id"))
+      .select(col("probe_id"), col("cand_id"))
+      .join(probes.select(col("probe_id"), col("vp"), col("np")), "probe_id")
     // stage 2: exact re-rank of the small shortlist only
     val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
     val w = Window.partitionBy(col("probe_id"))
@@ -1698,16 +1707,20 @@ object Similarity {
         dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("vp"), col("centroid")))
       .withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= np)
-      .select(col("probe_id"), col("vp"), col("pnrm"), col("up"), col("cell"))
-    // stage 2 — ADC over the probed cells only (cell-keyed join)
+      .select(col("probe_id"), col("up"), col("cell"))
+    // stage 2 — ADC over the probed cells only (cell-keyed join).
+    // Same narrow-window discipline as annPq: only (ids, adc) enter
+    // the rank sort; the probe floats re-join after the rr filter.
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("cand_id").asc)
     val shortlist = probeCells.join(codes, Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("adc", dot(col("up"), col("uhat")))
+      .select(col("probe_id"), col("cand_id"), col("adc"))
       .withColumn("ar", row_number().over(wAdc))
       .filter(col("ar") <= rr)
-      .select(col("probe_id"), col("vp"), col("pnrm"), col("cand_id"))
+      .select(col("probe_id"), col("cand_id"))
+      .join(probes.select(col("probe_id"), col("vp"), col("pnrm")), "probe_id")
     // stage 3 — exact re-rank of the small shortlist
     val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"),
       col("nrm").as("nc"))
