@@ -138,10 +138,14 @@ object Profile {
       val n = f
       println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    queries.foreach { name =>
+    val names =
+      if (queries == Seq("all")) graft.SparkEntry.queries.keys.toSeq
+      else queries
+    names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
-      time(name)(fn(spark, t.dir).count())
+      time(name)(try fn(spark, t.dir).count() catch { case e: Throwable =>
+        println(s"FAILED $name: ${e.getMessage.take(120)}"); -1L })
     }
   }
 
