@@ -72,7 +72,8 @@ object SparkEntry {
     // carry directions + integer-microsecond closer-side pick
     "asof_nearest"    -> q(graft.ops.AsOf.eventsAsOfNearest),
     // tolerance-bounded as-of (merge_asof's third knob): backward
-    // match discarded when staler than 30 days, integer-µs compare
+    // match discarded when staler than the calibrated 8400-day default
+    // window (AsOf.DefaultToleranceMicros), integer-µs compare
     "asof_tolerance"  -> q(graft.ops.AsOf.eventsAsOfTolerance(_)),
     "text_tfidf"      -> q(TextAnalysis.tfidf),
     "agg_typed_sum"   -> q(graft.functions.Aggs.typedSumQuery),

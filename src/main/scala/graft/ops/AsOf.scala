@@ -117,8 +117,16 @@ object AsOf {
     * gate genuinely partitions the matches instead of passing or
     * dropping everything.
     */
+  /** The calibrated default staleness window (8400 days in µs) —
+    * shared between [[eventsAsOfTolerance]]'s default parameter and
+    * [[eventsAsOfToleranceSql]]'s interpolated literal so the two
+    * cannot drift (a non-default `toleranceMicros` still diverges from
+    * the registered oracle by design: the oracle pins the default).
+    */
+  val DefaultToleranceMicros: Long = 8400L * 86400 * 1000000
+
   def eventsAsOfTolerance(t: Tables,
-                          toleranceMicros: Long = 8400L * 86400 * 1000000): DataFrame = {
+                          toleranceMicros: Long = DefaultToleranceMicros): DataFrame = {
     import t.spark.implicits._
     val dedup = Window.partitionBy($"o_custkey", $"o_orderdate")
       .orderBy($"o_orderkey".desc)
@@ -146,17 +154,18 @@ object AsOf {
   }
 
   /** Oracle: DuckDB's native ASOF JOIN plus the same integer-µs
-    * staleness filter (the literal is pre-multiplied — DuckDB folds
-    * small-int products in INT32, invariant 10). */
+    * staleness filter (the literal is pre-multiplied Scala-side from
+    * [[DefaultToleranceMicros]] — DuckDB folds small-int products in
+    * INT32, invariant 10). */
   val eventsAsOfToleranceSql: String =
-    """WITH ord AS (
+    s"""WITH ord AS (
       | SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
       |  SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
       |  FROM orders) WHERE rn = 1)
       |SELECT e.event_id, e.user_id, ord.o_orderkey, ord.o_totalprice
       |FROM events e ASOF JOIN ord
       | ON e.user_id = ord.o_custkey AND e.ts >= ord.o_orderdate
-      |WHERE epoch_us(e.ts) - epoch_us(ord.o_orderdate) <= 725760000000000""".stripMargin.replace("\n", " ")
+      |WHERE epoch_us(e.ts) - epoch_us(ord.o_orderdate) <= $DefaultToleranceMicros""".stripMargin.replace("\n", " ")
 
   /** Oracle: the naive per-event minimum over the customer's orders —
     * tiny per-user order lists make the quadratic form cheap at oracle

@@ -520,18 +520,20 @@ object Streams {
       .select(col("vec_id"), col("ts"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(GraftFunctions.graftDot(col("v"), col("v"))))
-      .filter(col("nrm") > 0)
       .withColumn("pc", explode(slice(rankedCells, 1, a)))
       .select(col("vec_id"), col("ts"), col("v"), col("nrm"),
         col("pc.cell").as("cell"))
     val idx = index.select(col("cell"), col("cand_id"), col("rep_id"),
       col("vc"), col("nc"))
     val scored = p.join(idx, Seq("cell"), "left_outer")
-      // self-matches and empty cells score the −1 sentinel (below any
-      // real cosine) instead of being filtered, so every arrival keeps
-      // >= 1 row into the aggregate and a no-match doc emits kept=1
+      // self-matches, empty cells, and zero-norm arrivals (cosine
+      // undefined — the batch side emits them kept=1, rep=self) score
+      // the −1 sentinel (below any real cosine) instead of being
+      // filtered, so every arrival keeps >= 1 row into the aggregate
+      // and a no-match doc emits kept=1
       .withColumn("score",
-        when(col("cand_id").isNull || col("cand_id") === col("vec_id"), lit(-1.0))
+        when(col("cand_id").isNull || col("cand_id") === col("vec_id") ||
+            col("nrm") <= 0, lit(-1.0))
           .otherwise(GraftFunctions.graftDot(col("v"), col("vc")) /
             (col("nrm") * col("nc"))))
       .withColumn("cand_rep", coalesce(col("rep_id"), lit(-1L)))

