@@ -42,6 +42,7 @@ object Similarity {
     normCache.clear()
     quantCache.clear()
     sizeCache.clear()
+    labelCache.clear()
     pqCache.clear()
     ivfPqCache.clear()
   }
@@ -61,6 +62,7 @@ object Similarity {
     }
     quantCache.filterInPlace { case ((_, d, _), _) => d != dir }
     sizeCache.filterInPlace { case ((_, d), _) => d != dir }
+    labelCache.filterInPlace { case ((_, d), _) => d != dir }
     pqCache.filterInPlace { case ((_, d, _, _), _) => d != dir }
     ivfPqCache.filterInPlace { case ((_, d, _, _, _), _) => d != dir }
   }
@@ -74,6 +76,48 @@ object Similarity {
 
   def corpusSize(t: Tables): Long =
     sizeCache.getOrElseUpdate((t.spark, t.dir), withNorm(t).count())
+
+  // Distinct label count per (session, dir): one pass over the
+  // persisted normalized projection, memoized like sizeCache — the
+  // filtered-search salt derivation reads it (a 100 TB store knows its
+  // partition-key cardinality from table metadata).
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Long]
+
+  def labelCount(t: Tables): Long =
+    labelCache.getOrElseUpdate((t.spark, t.dir),
+      withNorm(t).select("label").distinct().count())
+
+  /** Default candidate-side salt count for [[annLabelFiltered]]'s
+    * salted co-partitioned scoring join — the last scale knob to move
+    * from hand-pinned to derived (r17; was a fixed 64). Three forces:
+    *
+    *   - FILL: the join's parallelism is capped at nLabels·salts
+    *     combos, so salts ≥ 4·cores/nLabels keeps the compute-
+    *     amplified scoring stage over-subscribed (~4 waves) on any
+    *     cluster width — few labels (the r16 audit's 4-task stage) get
+    *     many salts, a 1000-label corpus needs almost none.
+    *   - SHARD FLOOR: salting below ~1 candidate per (label, salt)
+    *     combo buys nothing and pays replication, so salts ≤ the mean
+    *     label population nCands/nLabels.
+    *   - BOUNDS: floor 4 (headroom for intra-label skew even when
+    *     labels alone could fill the cluster) and cap 256 (probe
+    *     replication is probes·salts rows — with probes = N/13 the cap
+    *     bounds it at ~20·N, and the measured fixed cost of 64 salts
+    *     at sf0.1 was already only ~0.7 s).
+    *
+    * Gate anchor: nCands=2000, nLabels=10, cores=32 → 13 (vs the old
+    * 64: same hash-green output — every same-label pair still meets
+    * exactly once under the candidate's salt — at a fifth of the
+    * replication). A 2-label corpus on 32 cores derives 64; ScaleSpec
+    * pins the ladder and the monotonicity in both directions.
+    */
+  def saltsFor(nCands: Long, nLabels: Long, cores: Int): Int = {
+    val labels = math.max(1L, nLabels)
+    val fill = (4L * math.max(1, cores) + labels - 1) / labels
+    val shardFloor = math.max(4L, math.min(256L, nCands / labels))
+    math.max(4L, math.min(fill, shardFloor)).toInt
+  }
 
   /** Default nlist for the IVF family: √N scaling (SCALING.md's
     * prescription — cell population ∝ √N keeps both the per-cell join
@@ -143,6 +187,32 @@ object Similarity {
     else if (n <= 80000) 0.48
     else if (n <= 800000) 0.54
     else 0.60
+
+  /** Ceiling on probes×candidates for the flat Θ(Q·N) scans
+    * ([[annBruteForce]], [[annRange]], [[annPq]] without IVF). The
+    * r16 100× decade run demonstrated the failure mode past it: flat
+    * ann_pq at Q·N = 3.1e9 legitimately exceeds one node's disk
+    * through the shortlist exchange — a slow shuffle-spill death, not
+    * an error. Below 2e9 a 32-core node grinds through in minutes;
+    * above it the IVF twin is the only sane plan, so the flat call
+    * fails FAST with a pointer instead. Every gate/rehearsal workload
+    * is orders of magnitude under it (sf0.1: 3.1e5; 10× full sweep:
+    * 3.1e7; 100× subsampled decade probes: 3.1e7).
+    */
+  private[graft] val FlatScanMaxPairs: Double = 2e9
+
+  /** Fail-fast guard the flat scans call before building their plan;
+    * `allowFullScan = true` is the explicit operator override for a
+    * deliberate exact sweep on provisioned hardware. */
+  private[graft] def flatScanGuard(op: String, nProbes: Long, nCands: Long,
+      allowFullScan: Boolean, ivfTwin: String): Unit = {
+    val pairs = nProbes.toDouble * nCands.toDouble
+    require(allowFullScan || pairs <= FlatScanMaxPairs,
+      f"$op is a flat Theta(Q*N) scan and this call is $nProbes probes x " +
+        f"$nCands candidates = $pairs%.2g pairs (> ${FlatScanMaxPairs}%.2g): " +
+        f"it would die slowly in shuffle spill, not run. Use $ivfTwin (the " +
+        f"cell-pruned scale path) or pass allowFullScan = true deliberately.")
+  }
 
   /** Family-cache population counter (normCache entries built; quant
     * fits have their own [[quantizerFits]]), for the SweepCaches
@@ -419,7 +489,11 @@ object Similarity {
   /** Brute-force cosine top-k: the correctness baseline for ANN. Probe
     * set = vec_id % 13 == 0; k = 5; total-order tiebreak on cand_id.
     */
-  def annBruteForce(t: Tables, probeMod: Int = 13): DataFrame = {
+  def annBruteForce(t: Tables, probeMod: Int = 13,
+      allowFullScan: Boolean = false): DataFrame = {
+    val n = corpusSize(t)
+    flatScanGuard("annBruteForce", n / math.max(1, probeMod), n,
+      allowFullScan, "annIvf")
     val e = withNorm(t)
     val probes = e.filter(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
@@ -475,23 +549,28 @@ object Similarity {
     * (REPARTITION_BY_NUM — the q32_fuzzy_name discipline): each
     * same-label pair still meets exactly once (under the candidate's
     * salt), so the result — and the hash oracle — is unchanged, but
-    * scoring spreads over |labels|·salts combos. Replication cost is
-    * probe-side only (x64, the N/13 small side). A skewed mega-label
+    * scoring spreads over |labels|·salts combos. The salt count is
+    * DERIVED ([[saltsFor]] — fill the cluster, don't shard below one
+    * candidate per combo; 13 at the gate corpora) and replication cost
+    * is probe-side only (×salts on the N/13 small side). A skewed
+    * mega-label
     * stays the documented hand-off point to the IVF-within-partition
     * composition (cell-block inside the label partition,
     * [[embeddingNearDupIvf]]'s Σ|cell|² knob applying per-label). No
     * broadcast hint: probes grow with the corpus.
     */
-  def annLabelFiltered(t: Tables, salts: Int = 64): DataFrame = {
+  def annLabelFiltered(t: Tables, salts: Int = 0): DataFrame = {
     val e = withNorm(t)
     val width = t.spark.sparkContext.defaultParallelism
+    val s = if (salts > 0) salts
+      else saltsFor(corpusSize(t), labelCount(t), width)
     val probes = e.filter(col("vec_id") % 13 === 0)
       .select(col("vec_id").as("probe_id"), col("label"),
         col("v").as("vp"), col("nrm").as("np"))
-      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
     val cands = e.select(col("vec_id").as("cand_id"), col("label"),
       col("v").as("vc"), col("nrm").as("nc"))
-      .withColumn("salt", pmod(hash(col("cand_id")), lit(salts)))
+      .withColumn("salt", pmod(hash(col("cand_id")), lit(s)))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     probes.repartition(width, col("label"), col("salt"))
@@ -532,7 +611,10 @@ object Similarity {
     * pattern (the cosine is bitwise-identical in both engines, so the
     * compare is deterministic).
     */
-  def annRange(t: Tables, minCos: Double = 0.3): DataFrame = {
+  def annRange(t: Tables, minCos: Double = 0.3,
+      allowFullScan: Boolean = false): DataFrame = {
+    val n = corpusSize(t)
+    flatScanGuard("annRange", n / 13, n, allowFullScan, "annRangeIvf")
     val e = withNorm(t)
     val probes = e.filter(col("vec_id") % 13 === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
@@ -1493,7 +1575,10 @@ object Similarity {
     * re-rank recovers nearly everything the 8-byte codes blur).
     */
   def annPq(t: Tables, m: Int = 8, ks: Int = 256, rerank: Int = 0,
-      probeMod: Int = 13): DataFrame = {
+      probeMod: Int = 13, allowFullScan: Boolean = false): DataFrame = {
+    val nGuard = corpusSize(t)
+    flatScanGuard("annPq", nGuard / math.max(1, probeMod), nGuard,
+      allowFullScan, "annIvfPq")
     val rr = if (rerank > 0) rerank else rerankFor(corpusSize(t))
     val e = withNorm(t)
     val cb = fitPqCodebook(t, m, ks)

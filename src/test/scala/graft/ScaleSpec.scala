@@ -306,4 +306,46 @@ class ScaleSpec extends SparkSuite {
     assert(ns.map(rerankFor) == ns.map(rerankFor).sorted)
     assert(ns.map(semanticTauFor) == ns.map(semanticTauFor).sorted)
   }
+
+  test("flat-scan guard: oversized Theta(Q*N) calls fail fast pointing at the IVF twin") {
+    import graft.sim.Similarity.flatScanGuard
+    // the r16 100x failure shape: full %13 workload at N=200k
+    val ex = intercept[IllegalArgumentException] {
+      flatScanGuard("annPq", 15384, 200000, allowFullScan = false, "annIvfPq")
+    }
+    assert(ex.getMessage.contains("annIvfPq"))
+    assert(ex.getMessage.contains("allowFullScan"))
+    // the explicit override and every gate/rehearsal workload pass
+    flatScanGuard("annPq", 15384, 200000, allowFullScan = true, "annIvfPq")
+    flatScanGuard("annBruteForce", 154, 2000, allowFullScan = false, "annIvf")
+    flatScanGuard("annBruteForce", 1538, 20000, allowFullScan = false, "annIvf")
+    // the guarded operators still plan at gate scale
+    assert(graft.sim.Similarity.annBruteForce(t).columns.nonEmpty)
+  }
+
+  test("saltsFor: gate anchor, fill/shard-floor trade, monotone in both directions") {
+    import graft.sim.Similarity.saltsFor
+    // gate corpora: 10 labels on 32 cores fill at ceil(128/10) = 13
+    // (the old hand-pinned 64 paid 5x the replication for the same
+    // hash-green output)
+    assert(saltsFor(500, 10, 32) == 13)
+    assert(saltsFor(2000, 10, 32) == 13)
+    // few labels need many salts (the r16 audit's 4-task stage): a
+    // 2-label corpus on 32 cores derives the old 64
+    assert(saltsFor(2000, 2, 32) == 64)
+    // many labels already fill the cluster — floor 4 keeps only the
+    // intra-label-skew headroom
+    assert(saltsFor(100000, 1000, 32) == 4)
+    // shard floor: never salt below ~1 candidate per (label, salt)
+    assert(saltsFor(100, 2, 32) == 50)
+    // replication cap
+    assert(saltsFor(10000000, 1, 1024) == 256)
+    // more labels -> fewer-or-equal salts; more cores -> more-or-equal
+    val labels = Seq(1L, 2L, 10L, 100L, 1000L)
+    assert(labels.map(l => saltsFor(1000000, l, 32)) ==
+      labels.map(l => saltsFor(1000000, l, 32)).sorted.reverse)
+    val cores = Seq(8, 32, 128, 1024)
+    assert(cores.map(c => saltsFor(1000000, 10, c)) ==
+      cores.map(c => saltsFor(1000000, 10, c)).sorted)
+  }
 }
