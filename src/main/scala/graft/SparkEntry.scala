@@ -241,7 +241,7 @@ object SparkEntry {
     // keep/drop agreement + rep co-clustering vs dedup_semantic on the
     // arrival slice; StreamingSpec drives a real MemoryStream
     "stream_semantic" -> q((t: Tables) => {
-      val tau = Similarity.semanticTauFor(Similarity.corpusSize(t))
+      val tau = Similarity.semanticTauCalibrated(t)
       val (idx, cents) = Similarity.semanticIndex(t, tau)
       val arrivals = t.widen(t.embeddings).filter(col("vec_id") % 10 === 9)
         .select(col("vec_id"), col("embedding"),

@@ -43,6 +43,7 @@ object Similarity {
     quantCache.clear()
     sizeCache.clear()
     labelCache.clear()
+    tauCache.clear()
     pqCache.clear()
     ivfPqCache.clear()
   }
@@ -63,6 +64,7 @@ object Similarity {
     quantCache.filterInPlace { case ((_, d, _), _) => d != dir }
     sizeCache.filterInPlace { case ((_, d), _) => d != dir }
     labelCache.filterInPlace { case ((_, d), _) => d != dir }
+    tauCache.filterInPlace { case ((_, d), _) => d != dir }
     pqCache.filterInPlace { case ((_, d, _, _), _) => d != dir }
     ivfPqCache.filterInPlace { case ((_, d, _, _, _), _) => d != dir }
   }
@@ -168,8 +170,13 @@ object Similarity {
   def rerankFor(n: Long): Int =
     math.max(64, math.round(64.0 * math.sqrt(n / 500.0)).toInt)
 
-  /** Default SemDeDup threshold: a percolation ladder over corpus
-    * size. On these near-uniform synthetic embeddings pair cosine is
+  /** SemDeDup threshold ladder over corpus size — since r17 the
+    * FALLBACK and shape reference behind [[semanticTauCalibrated]]
+    * (which derives the same quantile from the corpus's measured
+    * cosine distribution and is what the operators default to); the
+    * ladder remains the documented percolation analysis and the
+    * degenerate-input fallback. On these near-uniform synthetic
+    * embeddings pair cosine is
     * ~N(0, 1/64), so the expected near-dup DEGREE at a fixed τ grows
     * linearly with N — past degree ≈ 1 the transitive closure
     * percolates and the whole corpus collapses into one cluster
@@ -187,6 +194,131 @@ object Similarity {
     else if (n <= 80000) 0.48
     else if (n <= 800000) 0.54
     else 0.60
+
+  /** Target expected near-dup degree for the data-derived τ
+    * ([[semanticTauCalibrated]]): τ sits at the pairwise-cosine
+    * quantile where N·Pr[cos ≥ τ] ≈ this constant, i.e. each vector
+    * expects ~1.3 above-threshold neighbors regardless of corpus
+    * size. Calibrated so the GATE corpus (n=500, the value every band
+    * was tuned against) derives exactly the ladder's 0.35; the same
+    * constant lands the 10x anchor (0.48 at n=20000) bitwise and is
+    * within one 0.01 grid step of the remaining ladder anchors
+    * (0.40 vs 0.42 at n=2000 — measured largest component 74/2000,
+    * healthy; percolation starts at 0.38 — and 0.55 vs 0.54 at
+    * n=200000, the safe side).
+    */
+  private[graft] val TauTargetDegree: Double = 1.28
+
+  /** Hash-draw sample budget for the τ calibration (vectors, not
+    * pairs — the driver computes all ~S²/2 pairwise cosines in fixed
+    * order, ~130k dots: trivial and bit-deterministic). */
+  private[graft] val TauSampleSize: Long = 512
+
+  // Calibrated τ per (session, dir) — one bounded collect each.
+  private val tauCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Double]
+
+  /** Data-derived SemDeDup threshold (r17, replacing the N-indexed
+    * ladder as the operators' default): estimate the corpus's OWN
+    * pairwise-cosine distribution from a deterministic hash-drawn
+    * sample and place τ at the Gaussian-tail quantile that keeps the
+    * expected near-dup degree at [[TauTargetDegree]] — the property
+    * the ladder hand-encoded for THIS synthetic corpus (σ ≈ 1/8,
+    * μ ≈ 0), now measured instead of assumed. On real sentence
+    * embeddings (μ, σ both much larger; τ ≈ 0.9 territory) the same
+    * rule transfers where the ladder's absolute anchors would need
+    * re-calibration by hand; SimilaritySpec shows a mean-shifted
+    * fixture deriving a correspondingly shifted τ.
+    *
+    * Determinism: the sample is a pure hash draw (xxhash64 of vec_id,
+    * no RNG), the μ̂/σ̂ pass runs driver-side in sorted-id order (no
+    * float reassociation across partitionings), the normal quantile
+    * is a fixed rational approximation ([[invNormCdf]]), and the
+    * result snaps to a 0.01 grid — so the derived τ, and every
+    * output that embeds it, is bit-stable across runs (the
+    * double-Verify determinism gate covers dedup_semantic).
+    * Degenerate inputs (< 2 sampled vectors, zero spread) fall back
+    * to the ladder, which stays as the documented shape reference
+    * and the ScaleSpec anchor.
+    */
+  def semanticTauCalibrated(t: Tables): Double =
+    tauCache.getOrElseUpdate((t.spark, t.dir),
+      semanticTauFromVectors(withNorm(t), corpusSize(t)))
+
+  /** The calibration itself, corpus-agnostic: `e` needs (vec_id, v,
+    * nrm). Sample ~[[TauSampleSize]] vectors by hash, μ̂/σ̂ over all
+    * sample pairs, τ = μ̂ + σ̂·z(1 − degree/n) snapped to the 0.01
+    * grid. Exposed package-private for the shifted-fixture spec. */
+  private[graft] def semanticTauFromVectors(e: DataFrame, n: Long): Double = {
+    val k = math.max(1L, (n + TauSampleSize - 1) / TauSampleSize)
+    val sample = e
+      .filter(pmod(xxhash64(col("vec_id"), lit("tauSample")), lit(k)) === 0 &&
+        col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val m = sample.length
+    var cnt = 0L
+    var sum = 0.0
+    var sumSq = 0.0
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val ua = sample(i)._2; val ub = sample(j)._2
+        var d = 0.0; var x = 0
+        while (x < ua.length) { d += ua(x) * ub(x); x += 1 }
+        cnt += 1; sum += d; sumSq += d * d
+        j += 1
+      }
+      i += 1
+    }
+    if (m < 2 || cnt < 2) semanticTauFor(n)
+    else {
+      val mu = sum / cnt
+      val variance = (sumSq - sum * sum / cnt) / (cnt - 1)
+      if (variance <= 0) semanticTauFor(n)
+      else {
+        val p = math.min(1 - 1e-12, math.max(0.5, 1.0 - TauTargetDegree / n))
+        val raw = mu + math.sqrt(variance) * invNormCdf(p)
+        math.min(0.99, math.round(raw * 100.0) / 100.0)
+      }
+    }
+  }
+
+  /** Inverse standard-normal CDF — Acklam's rational approximation
+    * (~1.15e-9 max abs error), pure fixed double arithmetic so the τ
+    * quantile is bit-stable everywhere the JVM is. */
+  private[graft] def invNormCdf(p: Double): Double = {
+    require(p > 0 && p < 1, s"quantile arg out of (0,1): $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val plow = 0.02425
+    if (p < plow) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - plow) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
 
   /** Ceiling on probes×candidates for the flat Θ(Q·N) scans
     * ([[annBruteForce]], [[annRange]], [[annPq]] without IVF). The
@@ -418,21 +550,24 @@ object Similarity {
     * kept) — `kept=1` rows are the deduplicated corpus, the rest map
     * to their replacement.
     *
-    * minCos defaults to [[semanticTauFor]](N) — the percolation
-    * ladder (0.35 at the gate corpus, stepping up per decade), scaled
-    * to THIS corpus's near-uniform synthetic embeddings (real sentence
-    * embeddings would gate at ~0.9): it yields a real cluster
+    * minCos defaults to [[semanticTauCalibrated]](t) — the
+    * data-derived constant-expected-degree quantile (r17; measured
+    * from the corpus's own pairwise-cosine distribution, so it
+    * transfers to real sentence embeddings where the old N-indexed
+    * ladder's absolute anchors would not). It yields a real cluster
     * structure to verify at EVERY scale rather than all-singletons at
     * one end or a single giant component at the other (the r16 10x
-    * rehearsal caught the fixed 0.35 collapsing 20000 vectors into one
+    * rehearsal caught a fixed 0.35 collapsing 20000 vectors into one
     * cluster). Rows-only (the
-    * KMeans fit); check.py bands co-clustering recall ≥ 0.9 against
-    * the hash-checked dedup_embedding baseline's ≥ minCos pairs —
+    * KMeans fit); the output embeds the operating τ in a `tau` column
+    * so check.py bands read it FROM the output (no mirrored ladder to
+    * drift) when checking co-clustering recall ≥ 0.9 against
+    * the hash-checked dedup_embedding baseline's ≥ tau pairs —
     * every baseline near-dup pair should land in one cluster (the
     * closure can only merge MORE than the direct pair list).
     */
   def semanticDedup(t: Tables, minCos: Double = 0.0): DataFrame = {
-    val tau = if (minCos > 0) minCos else semanticTauFor(corpusSize(t))
+    val tau = if (minCos > 0) minCos else semanticTauCalibrated(t)
     val pairs = embeddingNearDupIvf(t, minCos = tau)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val cc = graft.dedup.Dedup.connectedComponents(pairs)
@@ -443,6 +578,7 @@ object Similarity {
         coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
       .withColumn("kept",
         when(col("vec_id") === col("rep_id"), 1).otherwise(0).cast(IntegerType))
+      .withColumn("tau", lit(tau))
   }
 
   /** Static side of the streaming semantic-dedup twin
@@ -460,7 +596,7 @@ object Similarity {
     */
   def semanticIndex(t: Tables,
       minCos: Double = 0.0): (DataFrame, Seq[(Int, Seq[Double])]) = {
-    val tau = if (minCos > 0) minCos else semanticTauFor(corpusSize(t))
+    val tau = if (minCos > 0) minCos else semanticTauCalibrated(t)
     val nl = nlistFor(corpusSize(t))
     val a = assignFor(nl)
     val e = withNorm(t)

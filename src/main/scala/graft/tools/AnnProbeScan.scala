@@ -87,7 +87,8 @@ object AnnProbeScan {
     val nl = Similarity.nlistFor(n)
     println(s"ANNPROBE decade n=$n probeMod=$pm -> nlist=$nl " +
       s"nprobe=${Similarity.nprobeFor(nl)} assign=${Similarity.assignFor(nl)} " +
-      s"rerank=${Similarity.rerankFor(n)} tau=${Similarity.semanticTauFor(n)}")
+      s"rerank=${Similarity.rerankFor(n)} tau=${Similarity.semanticTauCalibrated(t)} " +
+      s"(ladder ${Similarity.semanticTauFor(n)})")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("probe_id", "cand_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -98,4 +98,59 @@ class SimilaritySpec extends SparkSuite {
     // the exact duplicate collides in every table → must be found
     assert(lsh.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
   }
+
+  test("calibrated tau: shifted cosine distribution derives a shifted threshold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic avalanche-mixed noise (splitmix64 finalizer —
+    // plain test scaffolding, no RNG object), ~uniform in [-1, 1]
+    def noise(id: Int, dim: Int): Double = {
+      var z = id.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      z.toDouble / Long.MaxValue
+    }
+    def mk(shift: Double): org.apache.spark.sql.DataFrame =
+      (0 until 200).map { i =>
+        val v = Array.tabulate(64)(d => noise(i, d) + (if (d == 0) shift else 0.0))
+        (i.toLong, v.toSeq)
+      }.toDF("vec_id", "v")
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    // no common component: pairwise cosines center near 0 → tau small
+    val tauPlain = Similarity.semanticTauFromVectors(mk(0.0), 200)
+    // strong shared dim-0 component: mean cosine ~ s^2/(s^2 + 21)
+    // (noise power ~ 64 * 1/3) — tau must follow the distribution up
+    val tauShifted = Similarity.semanticTauFromVectors(mk(16.0), 200)
+    assert(tauPlain < 0.5, s"plain corpus tau=$tauPlain")
+    assert(tauShifted > tauPlain + 0.3,
+      s"shifted corpus tau=$tauShifted vs plain $tauPlain")
+    // degenerate spread falls back to the ladder
+    val constDf = (0 until 10).map(i => (i.toLong, Seq.fill(64)(1.0)))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    assert(Similarity.semanticTauFromVectors(constDf, 10) ==
+      Similarity.semanticTauFor(10))
+  }
+
+  test("calibrated tau reproduces the gate anchor and is deterministic across calls") {
+    import org.apache.spark.sql.functions._
+    // the value every band was calibrated against: n=500 gate corpus
+    // derives the ladder's 0.35 (TauTargetDegree is tuned to make this
+    // exact; a formula change that shifts it re-runs the calibration
+    // knowingly)
+    val sf001 = graft.io.Tables(spark, "/root/testdata/sf0.001")
+    val tau1 = Similarity.semanticTauCalibrated(sf001)
+    val tau2 = Similarity.semanticTauFromVectors(
+      // recompute from scratch (cache bypass): bit-equal
+      {
+        import spark.implicits._
+        val e = sf001.widen(sf001.embeddings)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+        e
+      }, Similarity.corpusSize(sf001))
+    assert(tau1 == tau2)
+    assert(tau1 > 0.2 && tau1 < 0.7, s"sf0.001 tau=$tau1 out of sane range")
+  }
 }

@@ -235,23 +235,24 @@ def _band_range_recall(con, out_dir, name):
     return True
 
 
-def _semantic_tau(con):
-    """Mirror of Similarity.semanticTauFor: the percolation ladder over
-    the embedding count (0.35 at the gate corpus, stepping up per
-    decade so transitive closure never collapses the corpus into one
-    giant component — measured in SCALING.md's 10x rehearsal)."""
-    n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
-    for lim, tau in [(1000, 0.35), (8000, 0.42), (80000, 0.48),
-                     (800000, 0.54)]:
-        if n <= lim:
-            return tau
-    return 0.60
+def _semantic_tau(con, out_dir):
+    """The operator's ACTUAL threshold, read from dedup_semantic's own
+    `tau` column (r17: Similarity.semanticTauCalibrated derives it from
+    the corpus's pairwise-cosine distribution and the output
+    self-describes it, so this band has no mirrored ladder to drift
+    out of sync)."""
+    lo, hi = con.execute(
+        f"SELECT min(tau), max(tau) "
+        f"FROM read_parquet('{out_dir}/dedup_semantic/*.parquet')"
+    ).fetchone()
+    assert lo == hi, f"dedup_semantic tau column not constant: {lo}..{hi}"
+    return hi
 
 
 def _band_semantic(con, out_dir, name):
     """SemDeDup co-clustering recall vs the oracle-green label-blocked
     baseline: every dedup_embedding pair at cos >= tau (the operator's
-    derived semantic threshold, _semantic_tau) should land in one
+    self-described threshold, _semantic_tau) should land in one
     cluster — rep[id_a] == rep[id_b] for >= 0.9 of baseline pairs.
     Transitive closure can only merge MORE than the direct pair list,
     so missing co-clusters mean the IVF blocking lost the pair. Also
@@ -263,7 +264,7 @@ def _band_semantic(con, out_dir, name):
         return False
     pairs = con.execute(
         f"SELECT id_a, id_b FROM read_parquet('{base}/*.parquet') "
-        f"WHERE cos >= {_semantic_tau(con)}").fetchall()
+        f"WHERE cos >= {_semantic_tau(con, out_dir)}").fetchall()
     reps = dict(con.execute(
         f"SELECT vec_id, rep_id FROM read_parquet('{out_dir}/{name}/*.parquet')"
     ).fetchall())
@@ -271,7 +272,8 @@ def _band_semantic(con, out_dir, name):
         f"SELECT count(*) FILTER (kept = 1), count(*) "
         f"FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()
     if not pairs:
-        print(f"FAIL {name}[band]: baseline has no pairs at cos >= 0.35")
+        print(f"FAIL {name}[band]: baseline has no pairs at the "
+              f"operator's tau")
         return False
     if kept[0] >= kept[1]:
         print(f"FAIL {name}[band]: no clustering happened "
