@@ -1,0 +1,300 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Decade-scale pair-recall instrument for the DEDUP families — the
+  * dedup analogue of AnnProbeScan's `decade` mode (r17, verdict item 1).
+  *
+  * The dedup families' exact baselines are Θ(N²), so the 10× full-sweep
+  * rehearsal was their observation ceiling. This tool opens the next
+  * decade the same way the ANN instrument did: hash-subsample a probe
+  * DOC set, compute the exact truth only for probes×corpus (Θ(P·N),
+  * tractable at any N), run each FAMILY at full corpus scale with its
+  * derived knobs, and band the family's probe-restricted pair recall
+  * AND precision against the exact truth. For the provably-lossless
+  * families (edit distance, n-gram Jaccard, containment, simhash) both
+  * numbers must be exactly 1.0 — an empirical check of the written
+  * losslessness proofs at a corpus size nobody hand-verified. For the
+  * probabilistic families (minhash-vs-signature-agreement, embedding
+  * IVF, semantic co-clustering) the recall is the measured band.
+  *
+  * Run against a ScaleGen `neardup` corpus (planted MUTATED copies at
+  * id % 125 == 2 give a similarity spectrum straddling each family's
+  * threshold — without them the probe-restricted truth is a handful of
+  * exact copies that every family finds trivially):
+  *
+  *   sbt -batch "runMain graft.tools.ScaleGen /tmp/gen_sf10nd 100 neardup"
+  *   sbt -batch "runMain graft.tools.DedupProbeScan /tmp/gen_sf10nd [plantedMod] [randomMod] [embMod] [families]"
+  *
+  * Probe selection: a hash-sample of planted-pair MEMBERS (variance
+  * reduction — the families cannot see what is planted, so conditioning
+  * the probe set on planting does not bias P(found | true pair)) plus a
+  * hash-sample of the whole corpus (null behavior: random docs should
+  * contribute ~zero truth pairs). Every knob inside the families is
+  * DERIVED from corpus size (nlistFor/assignFor/semanticTauCalibrated);
+  * the point is to observe those ladders at an uncalibrated decade.
+  */
+object DedupProbeScan {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/gen_sf10nd")
+    val plantedMod = if (args.length > 1) args(1).toInt else 50
+    val randomMod = if (args.length > 2) args(2).toInt else 8192
+    val embMod = if (args.length > 3) args(3).toInt else 1536
+    val fams: Set[String] =
+      if (args.length > 4) args(4).split(",").map(_.trim).toSet
+      else Set("edit", "minhash", "jaccard", "containment", "simhash",
+        "embedding", "semantic")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Quiet.windowWarn()
+    val t = Tables(spark, dir)
+    run(t, plantedMod, randomMod, embMod, fams)
+    spark.stop()
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Canonicalized (lo, hi) pair set from two id columns. */
+  private def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(least(col(a), col(b)).as("x"), greatest(col(a), col(b)).as("y"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def report(tag: String, truth: Set[(Long, Long)],
+      found: Set[(Long, Long)], tTruth: Double, tFam: Double): Unit = {
+    val inter = truth & found
+    val recall = inter.size.toDouble / math.max(truth.size, 1)
+    val precision = inter.size.toDouble / math.max(found.size, 1)
+    println(f"DEDUPPROBE $tag%-12s recall=$recall%.4f precision=$precision%.4f " +
+      f"truth=${truth.size} found=${found.size} inter=${inter.size} " +
+      f"truth_scan=$tTruth%.1fs family=$tFam%.1fs")
+  }
+
+  def run(t: Tables, plantedMod: Int, randomMod: Int, embMod: Int,
+      fams: Set[String]): Unit = {
+    import t.spark.implicits._
+
+    val docs = t.widen(t.documents)
+    // Planted-pair members under the ScaleGen neardup layout: exact
+    // copies at id % 625 == 1 (members ≡ 0,1 mod 625), mutated copies
+    // at id % 125 == 2 (members ≡ 1,2 mod 125).
+    val planted = pmod($"doc_id", lit(625)).isin(0, 1) ||
+      pmod($"doc_id", lit(125)).isin(1, 2)
+    val probeIds: Array[Long] = docs
+      .filter((planted && pmod(xxhash64($"doc_id", lit("dpp")), lit(plantedMod)) === 0) ||
+        pmod(xxhash64($"doc_id", lit("dpr")), lit(randomMod)) === 0)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    val nDocs = docs.count()
+    println(s"DEDUPPROBE corpus n=$nDocs probes=${probeIds.length} " +
+      s"(plantedMod=$plantedMod randomMod=$randomMod)")
+    require(probeIds.nonEmpty, "empty probe set — wrong corpus layout?")
+    val isProbeA = col("doc_a").isin(probeIds.map(Long.box): _*)
+    val isProbeB = col("doc_b").isin(probeIds.map(Long.box): _*)
+
+    // ------------------------------------------------- edit distance
+    if (fams("edit")) {
+      // Exact truth: probes × corpus banded levenshtein on the 64-char
+      // key. The |len diff| <= 6 prune is exact (ed >= |len diff|); the
+      // probe side is bounded by construction, so the broadcast is the
+      // sanctioned kind. The corpus side is explicitly widened: the
+      // per-row cost is amplified ~|probes|×, the compute-amplified
+      // regime where byte-based sizing under-provisions (CLAUDE.md).
+      val keys = docs.select($"doc_id", substring($"text", 1, 64).as("k"))
+        .withColumn("l", length($"k"))
+      val probeKeys = keys.filter($"doc_id".isin(probeIds.map(Long.box): _*))
+        .select($"doc_id".as("doc_a"), $"k".as("ka"), $"l".as("la"))
+      val (truth, tT) = timed(pairSet(
+        keys.repartition(256).select($"doc_id".as("doc_b"), $"k".as("kb"), $"l".as("lb"))
+          .join(broadcast(probeKeys),
+            col("doc_a") =!= col("doc_b") &&
+              abs(col("la") - col("lb")) <= 6 &&
+              levenshtein(col("ka"), col("kb"), 6).between(0, 6)),
+        "doc_a", "doc_b"))
+      val (found, tF) = timed(pairSet(
+        Dedup.editDistance(t).filter(isProbeA || isProbeB), "doc_a", "doc_b"))
+      report("edit", truth, found, tT, tF)
+    }
+
+    // ------------------------------------------------------- minhash
+    if (fams("minhash")) {
+      // Truth = the family's own CONTRACT: signature agreement >= 8 of
+      // 16 minhashes, computed brute-force probes × corpus. The band-
+      // bucket join is NOT lossless against this (a pair can agree on
+      // 8 signatures spread 2-per-band with no complete band match) —
+      // the gate oracle mirrors the banded form in SQL, so this recall
+      // is a genuinely unobserved quantity before this instrument.
+      val sig = Dedup.signatureTable(t)
+      val k = Dedup.kPerms
+      val pSig = sig.filter($"doc_id".isin(probeIds.map(Long.box): _*))
+        .toDF("doc_a" +: (0 until k).map(i => s"pa$i"): _*)
+      val cSig = sig.toDF("doc_b" +: (0 until k).map(i => s"pb$i"): _*)
+      val agree = (0 until k)
+        .map(i => when(col(s"pa$i") === col(s"pb$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      // Truth carries the agreement count: the band join is pigeonhole-
+      // LOSSLESS for agreement >= K - ROWS + 1 = 13 (<= 3 mismatches
+      // cannot break all 4 bands), so recall there must be exactly 1.0;
+      // below 13 the S-curve applies (at agreement exactly 8 the
+      // analytic band-hit probability is ~0.144) and the measured
+      // number is the band.
+      val ((truthAll, truthHi), tT) = timed {
+        val rows = cSig.repartition(64).join(broadcast(pSig),
+          col("doc_a") =!= col("doc_b"))
+          .withColumn("agree", agree)
+          .filter(col("agree") >= Dedup.minMatches)
+          .select(least(col("doc_a"), col("doc_b")).as("x"),
+            greatest(col("doc_a"), col("doc_b")).as("y"), col("agree"))
+          .groupBy($"x", $"y").agg(max($"agree").as("agree"))
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+        (rows.map(_._1).toSet,
+          rows.filter(_._2 >= k - k / 4 + 1).map(_._1).toSet)
+      }
+      val (found, tF) = timed(pairSet(
+        Dedup.minhashLsh(t).filter(isProbeA || isProbeB), "doc_a", "doc_b"))
+      report("minhash", truthAll, found, tT, tF)
+      val hiRecall = (truthHi & found).size.toDouble / math.max(truthHi.size, 1)
+      println(f"DEDUPPROBE minhash>=13  recall=$hiRecall%.4f " +
+        f"truth=${truthHi.size} (pigeonhole-lossless stratum: must be 1.0)")
+    }
+
+    // ------------------------- word-5-gram Jaccard + containment truth
+    if (fams("jaccard") || fams("containment")) {
+      // Shared probe-restricted gram-join truth: distinct word-5-grams
+      // (the families' own gram expression), probe grams equi-joined to
+      // the corpus gram table. Word grams have long-tail df on this
+      // corpus (31^5 space), so the posting lists stay short.
+      val grams = docs.select($"doc_id", explode(expr(
+        "transform(sequence(1, least(greatest(size(split(text, ' '))-4, 1), 8191)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+      )).as("gram")).distinct().persist()
+      val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n")).persist()
+      val pG = grams.filter($"doc_id".isin(probeIds.map(Long.box): _*))
+        .toDF("doc_a", "gram")
+      val common = pG.join(grams.toDF("doc_b", "gram"), "gram")
+        .filter($"doc_a" =!= $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+        .join(sz.toDF("doc_a", "na"), "doc_a")
+        .join(sz.toDF("doc_b", "nb"), "doc_b")
+        .persist()
+
+      if (fams("jaccard")) {
+        val (truth, tT) = timed(pairSet(
+          common.filter($"common" * 10 >= $"na" + $"nb" - $"common"),
+          "doc_a", "doc_b"))
+        val (found, tF) = timed(pairSet(
+          Dedup.ngramJaccard(t).filter(isProbeA || isProbeB), "doc_a", "doc_b"))
+        report("jaccard", truth, found, tT, tF)
+      }
+      if (fams("containment")) {
+        // C = common / min(na, nb) >= 1/2, integer arithmetic like the
+        // family; orientation is irrelevant to the canonicalized pair set.
+        val (truth, tT) = timed(pairSet(
+          common.filter($"common" * 2 >= least($"na", $"nb")), "doc_a", "doc_b"))
+        val (found, tF) = timed(pairSet(
+          Dedup.containment(t).filter(isProbeA || isProbeB), "doc_a", "doc_b"))
+        report("containment", truth, found, tT, tF)
+      }
+      common.unpersist(); sz.unpersist(); grams.unpersist()
+    }
+
+    // ------------------------------------------------------- simhash
+    if (fams("simhash")) {
+      val fp = Dedup.simhash(t).persist()
+      // Candidate-volume audit BEFORE running the family: the blocked
+      // join's cost is exactly Σ|bucket|² over (block, key) buckets,
+      // computable from bucket counts alone. This is the number that
+      // decides whether the block scheme survives the decade.
+      val candVol = fp.select(posexplode(expr(
+        "transform(sequence(0, 3), i -> shiftright(simhash, i * 8) & 255)"
+      )).as(Seq("blk", "key")))
+        .groupBy($"blk", $"key").agg(count(lit(1)).as("c"))
+        .agg(sum($"c" * $"c")).head().getLong(0)
+      println(s"DEDUPPROBE simhash 4x8-block candidate volume ~ $candVol")
+      val pFp = fp.filter($"doc_id".isin(probeIds.map(Long.box): _*))
+        .toDF("doc_a", "fa")
+      val (truth, tT) = timed(pairSet(
+        fp.toDF("doc_b", "fb").repartition(64).join(broadcast(pFp),
+          col("doc_a") =!= col("doc_b"))
+          .filter(expr("bit_count(fa ^ fb)") <= 2),
+        "doc_a", "doc_b"))
+      val (found, tF) = timed(pairSet(
+        Dedup.simhashHamming(t).filter(isProbeA || isProbeB), "doc_a", "doc_b"))
+      report("simhash", truth, found, tT, tF)
+      fp.unpersist()
+    }
+
+    // ----------------------------------------- embedding IVF + semantic
+    if (fams("embedding") || fams("semantic")) {
+      val e = t.widen(t.embeddings)
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)))
+        .persist()
+      val probeVecs = e.filter(
+        pmod(xxhash64($"vec_id", lit("dpe")), lit(embMod)) === 0)
+        .toDF("id_a", "label", "va", "na").persist()
+      val nProbeVecs = probeVecs.count()
+      println(s"DEDUPPROBE embeddings n=${e.count()} probes=$nProbeVecs (embMod=$embMod)")
+      val cosCol = aggregate(zip_with($"va", $"vb", _ * _), lit(0.0), _ + _) /
+        ($"na" * $"nb")
+      // Exact UNRESTRICTED truth — the IVF family is cell-blocked over
+      // the full corpus (not label-blocked like dedup_embedding), so
+      // its honest baseline is every probe×corpus pair above the
+      // threshold; the gate band's label-blocked comparison is a
+      // subset of this. One Θ(P·N) pass serves both thresholds.
+      val exact = e.toDF("id_b", "label_b", "vb", "nb")
+        .repartition(64)
+        .crossJoin(broadcast(probeVecs.drop("label")))
+        .filter($"id_a" =!= $"id_b")
+        .withColumn("cos", cosCol)
+        .persist()
+
+      val probeVecIds = probeVecs.select($"id_a").collect().map(_.getLong(0))
+      if (fams("embedding")) {
+        val (truth, tT) = timed(pairSet(exact.filter($"cos" >= 0.3), "id_a", "id_b"))
+        val (found, tF) = timed(pairSet(
+          Similarity.embeddingNearDupIvf(t)
+            .filter(col("id_a").isin(probeVecIds.map(Long.box): _*) ||
+              col("id_b").isin(probeVecIds.map(Long.box): _*)),
+          "id_a", "id_b"))
+        report("embedding_ivf", truth, found, tT, tF)
+      }
+      if (fams("semantic")) {
+        // Co-clustering agreement at the CALIBRATED τ: every exact
+        // ≥ τ probe pair should land in one semantic cluster (directly
+        // or through a chain). Precision is not meaningful here — the
+        // clustering legitimately co-clusters below-τ pairs via chains
+        // — so only the agreement fraction is banded.
+        val tau = Similarity.semanticTauCalibrated(t)
+        val (truthPairs, tT) = timed(
+          exact.filter($"cos" >= tau).select($"id_a", $"id_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1))))
+        val (reps, tF) = timed(
+          Similarity.semanticDedup(t)
+            .select($"vec_id", $"rep_id").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        val agree = truthPairs.count { case (a, b) =>
+          reps.get(a).exists(ra => reps.get(b).contains(ra))
+        }
+        val frac = agree.toDouble / math.max(truthPairs.length, 1)
+        println(f"DEDUPPROBE semantic     coclust=$frac%.4f tau=$tau%.4f " +
+          f"truth=${truthPairs.length} agree=$agree truth_scan=$tT%.1fs family=$tF%.1fs")
+      }
+      exact.unpersist(); probeVecs.unpersist(); e.unpersist()
+    }
+  }
+}

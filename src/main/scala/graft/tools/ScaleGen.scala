@@ -41,11 +41,13 @@ object ScaleGen {
       cos(lit(2.0 * math.Pi) * u(tag + ":u2"))
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult] [table ...]")
+    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult] [neardup] [table ...]")
     val out = args(0)
     require(!out.startsWith("/root/testdata"), "refusing to write into /root/testdata")
     val mult = if (args.length > 1) args(1).toInt else 10
-    val only = args.drop(2).toSet // empty = all tables
+    val rest = args.drop(2)
+    val nearDup = rest.contains("neardup")
+    val only = rest.filterNot(_ == "neardup").toSet // empty = all tables
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -53,13 +55,14 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, out, mult, only = only)
+    generate(spark, out, mult, only = only, nearDup = nearDup)
     spark.stop()
   }
 
   def generate(spark: SparkSession, out: String, mult: Int,
                refDims: String = "/root/testdata/sf0.1",
-               only: Set[String] = Set.empty): Unit = {
+               only: Set[String] = Set.empty,
+               nearDup: Boolean = false): Unit = {
     val nCust = 15000L * mult
     val nSupp = 1000L * mult
     val nPart = 20000L * mult
@@ -155,19 +158,34 @@ object ScaleGen {
             .cast("int")).cast("timestamp").as("l_shipdate")), "lineitem")
 
     // documents: the measured 31-word soup; ~1/625 adjacent dup pairs
-    // (sid = text seed; id % 625 == 1 reuses the previous id's text)
+    // (sid = text seed; id % 625 == 1 reuses the previous id's text).
+    // nearDup additionally plants MUTATED copies at id % 125 == 2
+    // (disjoint from the exact-dup ids): the doc reuses the previous
+    // id's text but ~1/17 of word positions are hash-substituted, so
+    // planted pairs span a similarity SPECTRUM around each dedup
+    // family's threshold (levenshtein 0-12 on the 64-char key, word-
+    // 5-gram Jaccard/containment straddling 0.1/0.5) instead of the
+    // degenerate jaccard=1/dist=0 of exact copies. DedupProbeScan's
+    // decade recall bands need such boundary pairs: on the default
+    // corpus a probe sample would catch only a handful of exact-copy
+    // truth pairs, which every family finds trivially. Off by default
+    // so default output stays byte-identical across rounds.
     val vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data",
       "dup", "fast", "filter", "group", "hash", "join", "key", "line",
       "merge", "order", "part", "query", "row", "scan", "slow", "small",
       "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+    val mutated = col("id") % 125 === 2 && lit(nearDup)
     save(rng(nDoc)
       .withColumn("sid",
-        when(col("id") % 625 === 1, col("id") - 1).otherwise(col("id")))
+        when(col("id") % 625 === 1 || mutated, col("id") - 1).otherwise(col("id")))
       .withColumn("nw", (abs(xxhash64(col("sid"), lit("dnw"))) % 91 + 10).cast("int"))
       .withColumn("text", concat_ws(" ", transform(
         sequence(lit(1), col("nw")),
-        i => element_at(typedLit(vocab),
-          (abs(xxhash64(col("sid"), i, lit("dw"))) % vocab.size + 1).cast("int")))))
+        i => when(mutated && abs(xxhash64(col("id"), i, lit("mut"))) % 17 === 0,
+          element_at(typedLit(vocab),
+            (abs(xxhash64(col("id"), i, lit("mw"))) % vocab.size + 1).cast("int")))
+          .otherwise(element_at(typedLit(vocab),
+            (abs(xxhash64(col("sid"), i, lit("dw"))) % vocab.size + 1).cast("int"))))))
       .select(
         col("id").as("doc_id"),
         col("text"),
