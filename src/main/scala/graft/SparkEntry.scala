@@ -301,6 +301,13 @@ object SparkEntry {
     // 8-bit-block bucketing (provably lossless at Hamming <= 7),
     // never all-pairs — Dedup.simhashHamming's shape on the 64-bit word
     "dedup_image_ahash" -> q(Multimodal.imageNearDup),
+    // aHash through a REAL lossy JPEG round trip (encode at fixed
+    // quality -> ImageIO decode -> hash). Rows-only: JPEG decode is
+    // not bit-portable across decoder implementations, so the gate is
+    // a check.py band — ahash_exact must equal the hash-checked
+    // mm_image_ahash word, and the lossy Hamming gap must stay within
+    // the re-encode budget imageNearDup's <=7 pairing relies on
+    "mm_image_jpeg_ahash" -> q(Multimodal.jpegAHash),
     "text_repetition" -> q(graft.pipeline.CorpusOps.repetition),
     // bigram novelty vs the reference half of the corpus — the
     // integer-exact analog of an LM-perplexity filter (occurrence-level

@@ -674,24 +674,33 @@ object Multimodal {
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
         if (img == null) sys.error(s"media ${r.media_id}: synthesized ${r.kind} failed to decode")
-        val w = img.getWidth; val h = img.getHeight
-        var total = 0L
-        val blk = new Array[Long](64)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = (img.getRGB(x, y) & 0xff).toLong
-            total += v; blk((y / 2) * 8 + x / 2) += v; x += 1
-          }
-          y += 1
-        }
-        var word = 0L; var i = 0
-        while (i < 64) { if (blk(i) * 64 > total) word |= (1L << i); i += 1 }
-        (r.media_id, r.kind, w.toLong, h.toLong, word,
+        val word = rasterAHash(img.getWidth, img.getHeight, (x, y) => img.getRGB(x, y) & 0xff)
+        (r.media_id, r.kind, img.getWidth.toLong, img.getHeight.toLong, word,
           java.lang.Long.bitCount(word).toLong)
       }
     }.toDF("media_id", "container", "width", "height", "ahash", "nbits")
+  }
+
+  /** The aHash word from any pixel accessor: 2x2 block sums vs the
+    * cross-multiplied global mean, one bit per 8x8 grid cell. Shared by
+    * the decoded-raster paths ([[imageAHash]], [[jpegAHash]]) and the
+    * formula path, so "same hash function" is true by construction.
+    */
+  private def rasterAHash(w: Int, h: Int, px: (Int, Int) => Int): Long = {
+    var total = 0L
+    val blk = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (px(x, y) & 0xff).toLong
+        total += v; blk((y / 2) * 8 + x / 2) += v; x += 1
+      }
+      y += 1
+    }
+    var word = 0L; var i = 0
+    while (i < 64) { if (blk(i) * 64 > total) word |= (1L << i); i += 1 }
+    word
   }
 
   /** Shared oracle CTE ending in `ah(doc_id, ahash)`: pixels from the
@@ -756,6 +765,87 @@ object Multimodal {
        | FROM b a JOIN b c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(fa, fb)) <= 7""".stripMargin.replace("\n", " ")
+
+  // ----------------------------------------- JPEG perceptual hash
+
+  /** Fixed JPEG quality for [[jpegAHash]] — high enough that the DCT
+    * quantization error stays within a few gray levels per pixel, low
+    * enough that the payload actually goes through lossy compression
+    * (DCT quantization at 0.9 is real — ~2% of the sf0.01 hashes flip
+    * one bit; at tiny 16x16 rasters the byte size is header-dominated,
+    * so size is not the evidence of lossiness, the hash flips are).
+    */
+  val JpegQuality: Float = 0.9f
+
+  /** JPEG-encode the synthesized raster at [[JpegQuality]] through the
+    * JDK's ImageIO JPEG writer — the lossy container real crawls are
+    * dominated by. Unlike [[buildPng]], the round trip is NOT
+    * pixel-exact (RGB→YCbCr, 8x8 DCT, quantization), and JPEG decode
+    * output is not specified bit-exactly across decoder
+    * implementations — so the JPEG path can never share the
+    * formula-derived hash oracle. [[jpegAHash]] instead emits the
+    * lossy-decode hash NEXT TO the exact-formula hash and is banded on
+    * their Hamming gap (tools/check.py), the honest gate for a
+    * perceptual hash whose whole job is surviving lossy re-encodes.
+    */
+  def buildJpeg(width: Int, height: Int, pix: (Int, Int) => Int,
+      quality: Float = JpegQuality): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, (pix(x, y) & 0xff) * 0x010101); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Perceptual hash through a REAL lossy JPEG round trip: synthesize
+    * the same [[imagePixel]] raster, encode it as a quality-0.9 JPEG,
+    * decode the lossy bytes back with ImageIO, and aHash the decoded
+    * raster — next to the exact-formula aHash of the same image and
+    * the Hamming distance between the two. Rows-only by necessity
+    * (JPEG decode is not bit-portable across decoder implementations,
+    * so no SQL oracle can re-derive the lossy pixels); gated instead by
+    * a tools/check.py band: `ahash_exact` must equal the hash-checked
+    * mm_image_ahash word per media_id (pinning the formula side to the
+    * oracle-backed query), and the `hamming` gap must stay within the
+    * re-encode budget — which is exactly the property
+    * [[imageNearDup]]'s Hamming-<=7 pairing relies on when one copy of
+    * an image arrives JPEG-compressed.
+    *
+    * 100 TB shape: identical to [[imageAHash]] — per-partition encoder
+    * and decoder contexts, one 8-byte hash (plus the diagnostic
+    * columns) per image out, binary payloads never shuffle. The
+    * encode step stands in for the crawl's stored JPEG bytes; in
+    * production only the decode+hash half runs.
+    */
+  def jpegAHash(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.widen(t.documents).select($"doc_id").as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val payload = buildJpeg(16, 16, (x, y) => imagePixel(id, x, y))
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) sys.error(s"media $id: synthesized JPEG failed to decode")
+        val jpegWord = rasterAHash(img.getWidth, img.getHeight,
+          (x, y) => img.getRGB(x, y) & 0xff)
+        val exactWord = rasterAHash(16, 16, (x, y) => imagePixel(id, x, y))
+        (id, payload.length.toLong, jpegWord, exactWord,
+          java.lang.Long.bitCount(jpegWord ^ exactWord).toLong)
+      }
+    }.toDF("media_id", "jpeg_bytes", "ahash_jpeg", "ahash_exact", "hamming")
+  }
 
   // ----------------------------------------- real raster downscale
 

@@ -256,11 +256,17 @@ object DedupProbeScan {
       // its honest baseline is every probe×corpus pair above the
       // threshold; the gate band's label-blocked comparison is a
       // subset of this. One Θ(P·N) pass serves both thresholds.
+      // Project to (id_a, id_b, cos) BEFORE the persist: the join output
+      // carries both 64-dim vectors per row, and at the 500k decade the
+      // probe×corpus product is ~10^8 rows — persisting the vectors
+      // would be ~100 GB where the projected triple is ~3 GB (same
+      // narrow-exchange lesson as the PQ shortlist projection, r16).
       val exact = e.toDF("id_b", "label_b", "vb", "nb")
         .repartition(64)
         .crossJoin(broadcast(probeVecs.drop("label")))
         .filter($"id_a" =!= $"id_b")
         .withColumn("cos", cosCol)
+        .select($"id_a", $"id_b", $"cos")
         .persist()
 
       val probeVecIds = probeVecs.select($"id_a").collect().map(_.getLong(0))

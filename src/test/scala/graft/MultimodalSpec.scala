@@ -125,6 +125,41 @@ class MultimodalSpec extends SparkSuite {
     assert(brute.nonEmpty, "expected batch-mate near-dup pairs to exist")
   }
 
+  test("JPEG aHash: real lossy round trip stays within the re-encode budget") {
+    System.setProperty("java.awt.headless", "true")
+    // encode is deterministic: the band/determinism gates rely on it
+    val id = 42L
+    val b1 = Multimodal.buildJpeg(16, 16, (x, y) => Multimodal.imagePixel(id, x, y))
+    val b2 = Multimodal.buildJpeg(16, 16, (x, y) => Multimodal.imagePixel(id, x, y))
+    assert(b1.sameElements(b2), "JPEG encode is not deterministic")
+    // the round trip is REALLY lossy at the pixel level (else the query
+    // tests nothing), but bounded — a few gray levels, not a new image
+    val deltas = (0L until 8L).flatMap { d =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.buildJpeg(16, 16, (x, y) => Multimodal.imagePixel(d, x, y))))
+      for (y <- 0 until 16; x <- 0 until 16)
+        yield math.abs((img.getRGB(x, y) & 0xff) - Multimodal.imagePixel(d, x, y))
+    }
+    assert(deltas.exists(_ > 0), "JPEG round trip was pixel-exact — not lossy")
+    assert(deltas.max <= 32, s"DCT error beyond a few gray levels: ${deltas.max}")
+
+    val rows = Multimodal.jpegAHash(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.size == t.documents.count())
+    val exactWords = Multimodal.imageAHash(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    rows.foreach { case (docId, (nBytes, jpegWord, exactWord, ham)) =>
+      assert(nBytes > 0)
+      // the formula half is pinned to the oracle-backed query bitwise
+      assert(exactWord == exactWords(docId), s"doc $docId exact-word drift")
+      assert(ham == java.lang.Long.bitCount(jpegWord ^ exactWord))
+      // the property imageNearDup's <=7 pairing relies on: a JPEG
+      // re-encode of the same image must collide within budget
+      assert(ham <= 3, s"doc $docId lossy hamming $ham beyond re-encode budget")
+    }
+  }
+
   test("audio fingerprint equals a direct energy-contour recompute from the text bytes") {
     import org.apache.spark.sql.functions.col
     val texts = t.documents.select(col("doc_id"), col("text")).collect()

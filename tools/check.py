@@ -365,6 +365,43 @@ def _band_index_append(con, out_dir, name):
     return True
 
 
+def _band_jpeg_ahash(con, out_dir, name):
+    """aHash through a REAL lossy JPEG round trip (Multimodal.jpegAHash).
+
+    JPEG decode is not bit-portable across decoder implementations, so
+    the query is rows-only; this band is its gate. Three properties:
+    (1) the exact-formula companion word (ahash_exact) must BITWISE
+    match the hash-checked mm_image_ahash word per media_id with the
+    same row domain — pinning the formula half to the oracle-backed
+    query; (2) the lossy Hamming gap stays within the re-encode budget
+    (max <= 3, mean <= 0.5 — measured 491/500 at hamming 0, max 1, at
+    sf0.01 with JpegQuality=0.9), which is the property imageNearDup's
+    Hamming-<=7 pairing relies on when one copy arrives
+    JPEG-compressed; (3) the payload really was encoded (jpeg_bytes >
+    0)."""
+    base = f"{out_dir}/mm_image_ahash"
+    if not glob.glob(f"{base}/*.parquet"):
+        print(f"FAIL {name}[band]: baseline mm_image_ahash output missing")
+        return False
+    bad = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet') a "
+        f"FULL JOIN read_parquet('{base}/*.parquet') b USING (media_id) "
+        f"WHERE a.ahash_exact IS DISTINCT FROM b.ahash "
+        f" OR a.jpeg_bytes IS NULL OR a.jpeg_bytes <= 0").fetchone()[0]
+    n, hmax, hmean = con.execute(
+        f"SELECT count(*), max(hamming), avg(hamming) "
+        f"FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()
+    if bad or n == 0 or hmax > 3 or hmean > 0.5:
+        print(f"FAIL {name}[band]: {bad} rows disagree with mm_image_ahash "
+              f"(n={n}, lossy hamming max={hmax} mean={hmean} vs "
+              f"budget max<=3 mean<=0.5)")
+        return False
+    print(f"PASS {name}[band] (all {n} exact words bitwise-match "
+          f"mm_image_ahash; lossy hamming max={hmax} mean={hmean:.3f} "
+          f"within re-encode budget)")
+    return True
+
+
 def _band_stream_semantic(con, out_dir, name):
     """Ingest-side SemDeDup vs the batch dedup_semantic on the arrival
     slice (vec_id % 10 == 9):
@@ -468,6 +505,7 @@ BAND_CHECKS = {
     "ann_ivf_pq": _band_ann_recall,
     "text_rolling_hash": _band_rolling_hash,
     "stream_index_append": _band_index_append,
+    "mm_image_jpeg_ahash": _band_jpeg_ahash,
     "stream_semantic": _band_stream_semantic,
     "ann_recall_probe": _band_recall_probe,
 }

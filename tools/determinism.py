@@ -11,7 +11,10 @@ ROWS_ONLY = ["ann_ivf", "ann_ivf_int8", "stream_ann_ivf_int8", "ann_range_ivf",
              "dedup_embedding_ivf", "ann_pq", "ann_ivf_pq", "dedup_semantic",
              "stream_semantic", "ann_recall_probe",
              "q27_approx_distinct", "q40_approx_quantile",
-             "text_rolling_hash"]
+             "text_rolling_hash",
+             # deterministic on ONE decoder build; rows-only because JPEG
+             # decode is not bit-portable ACROSS decoder implementations
+             "mm_image_jpeg_ahash"]
 
 def main():
     a, b = sys.argv[1], sys.argv[2]
