@@ -696,13 +696,19 @@ object Dedup {
     * 64-bit ham ≤ 3 is ~95% bit agreement, which for our 32-bit
     * fingerprint is ham ≤ 2): split the fingerprint into 4 byte
     * blocks — any pair within distance 2 must agree on at least one
-    * block (pigeonhole: 3 flipped bits < 4 blocks, with margin), so
-    * candidates come from 4 equi-join buckets over (block index,
-    * block value), never an all-pairs scan.
+    * block (pigeonhole: 3 flipped bits < 4 blocks, with margin) — and
+    * in fact on at least TWO of the four (≤ 2 flips damage ≤ 2
+    * blocks), which is what the candidate join keys on: pairs of
+    * intact blocks (see [[blockedHammingPairs]] — the single-block
+    * form's 4·256 total buckets saturate to ~N²/64 candidates at
+    * corpus scale, measured across three decades by the r17 dedup
+    * probe scan), never an all-pairs scan.
     * Verification is one codegen'd bit_count(xor) per candidate. At
     * 100 TB this is the standard simhash dedup shape: fingerprints are
     * one long per doc, the bucket join is Σ|bucket|² like LSH, and a
     * mega-bucket (boilerplate fleets sharing a block) AQE-skew-splits.
+    * The oracle keeps the simpler single-block candidate CTE — both
+    * schemes are lossless, so the final pair set is identical.
     */
   def simhashHamming(t: Tables): DataFrame =
     blockedHammingPairs(simhash(t), "doc_id", "simhash", nBlocks = 4, maxHam = 2)
@@ -712,30 +718,70 @@ object Dedup {
     * blocks), the image aHash and the audio energy-contour pairs in
     * graft.mm (64-bit, 8 blocks). Lossless iff maxHam < nBlocks: a
     * pair within Hamming maxHam has ≤ maxHam differing bits spread
-    * over nBlocks disjoint 8-bit blocks, so some block matches
-    * exactly and the pair surfaces in that block's bucket. Candidate
-    * volume is Σ|bucket|² over (block, value) buckets — never
-    * all-pairs; mega-buckets are AQE-skew-split. The fingerprint table
-    * is persisted for the duration (it feeds nBlocks bucket keys plus
-    * both verification sides) and the verified pair list is
+    * over nBlocks disjoint 8-bit blocks, so nBlocks − maxHam blocks
+    * match exactly. When that slack is ≥ 2, candidates key on PAIRS
+    * of intact blocks (C(nBlocks,2) combos, 16-bit combined keys)
+    * instead of single 8-bit blocks — still lossless (≥ 2 intact
+    * blocks ⇒ some intact PAIR matches) and the decisive scale fix
+    * the r17 dedup decade scan forced: single 8-bit blocks give only
+    * nBlocks·256 buckets TOTAL, so Σ|bucket|² saturates to
+    * ~N²·nBlocks/256 — measured 1.6e7 → 1.6e9 → (projected) 1.6e11
+    * candidates across the 5k/50k/500k decades, i.e. asymptotically
+    * all-pairs. Pair keys multiply the bucket space by 256/nBlocks·
+    * (nBlocks−1)/2 (6·65536 for simhash's 4 blocks: ~170× fewer
+    * random collisions). Candidate volume is Σ|bucket|² over the
+    * combo buckets — mega-buckets are AQE-skew-split. The fingerprint
+    * table is persisted for the duration (it feeds the bucket keys
+    * plus both verification sides) and the verified pair list is
     * localCheckpoint'd before the unpersist so callers never re-run
     * the upstream pipeline.
     */
+  /** @param leftOnly when set, restricts the LEFT join side to rows
+    *   matching the predicate (over `doc_id`) — the probe-restricted
+    *   Θ(P·N) form tools.DedupProbeScan uses to observe the SHIPPED
+    *   join shape at corpus decades where the full pair output is
+    *   itself near-quadratic (the soup corpus has ~6% of all pairs
+    *   within the threshold). Output = every qualifying pair with at
+    *   least one probe member, canonicalized. Shipped query callers
+    *   leave it None. */
   private[graft] def blockedHammingPairs(fp0: DataFrame, idCol: String,
-      wCol: String, nBlocks: Int, maxHam: Int): DataFrame = {
+      wCol: String, nBlocks: Int, maxHam: Int,
+      leftOnly: Option[Column] = None): DataFrame = {
     require(maxHam < nBlocks,
       s"pigeonhole guarantee needs maxHam < nBlocks (got $maxHam >= $nBlocks)")
     val fp = fp0.select(col(idCol).as("doc_id"), col(wCol).as("w")).persist()
-    val blocks = fp.select(col("doc_id"), col("w"), explode(expr(
-      s"transform(sequence(0, ${nBlocks - 1}), i -> " +
-        "named_struct('blk', i, 'key', shiftright(w, i * 8) & 255))"
-    )).as("b"))
+    val comboExpr =
+      if (nBlocks - maxHam >= 2) {
+        // pair-of-intact-blocks keys: combo id + 16-bit combined value
+        val combos = for { i <- 0 until nBlocks; j <- i + 1 until nBlocks }
+          yield (i, j)
+        combos.zipWithIndex.map { case ((i, j), idx) =>
+          s"named_struct('blk', $idx, 'key', " +
+            s"shiftleft(shiftright(w, ${i * 8}) & 255, 8) | " +
+            s"(shiftright(w, ${j * 8}) & 255))"
+        }.mkString("array(", ", ", ")")
+      } else
+        s"transform(sequence(0, ${nBlocks - 1}), i -> " +
+          "named_struct('blk', i, 'key', shiftright(w, i * 8) & 255))"
+    val blocks = fp.select(col("doc_id"), col("w"),
+      explode(expr(comboExpr)).as("b"))
       .select(col("doc_id"), col("w"),
         col("b.blk").as("blk"), col("b.key").as("key"))
-    val out = blocks.toDF("doc_a", "fa", "blk", "key")
+    val left = leftOnly.fold(blocks)(p => blocks.filter(p))
+    val joined = left.toDF("doc_a", "fa", "blk", "key")
       .join(blocks.toDF("doc_b", "fb", "blk", "key"), Seq("blk", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("fa"), col("fb"))
+    val canon = leftOnly match {
+      // symmetric self-join: doc_a < doc_b already canonical
+      case None => joined.filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("fa"), col("fb"))
+      // probe-restricted: both orders can surface; canonicalize
+      case Some(_) => joined.filter(col("doc_a") =!= col("doc_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+          when(col("doc_a") < col("doc_b"), col("fa")).otherwise(col("fb")).as("fa"),
+          when(col("doc_a") < col("doc_b"), col("fb")).otherwise(col("fa")).as("fb"))
+    }
+    val out = canon
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(fa ^ fb) AS INT)"))
       .filter(col("hamming") <= maxHam)
@@ -918,24 +964,61 @@ object Dedup {
     * empirically at sf0.01, and pins the per-bucket candidate bound on
     * a majority-short fixture).
     */
-  /** (doc_id, k = 64-char key, l = length) — shared key projection for
-    * the edit-distance family. */
+  /** (doc_id, k = 64-char key, l = length, h1/h2 = packed character
+    * histogram) — shared key projection for the edit-distance family.
+    *
+    * h1/h2 pack a 32-bucket saturating character histogram of the key,
+    * 16 4-bit counters per long (bucket = codepoint mod 32 — the
+    * identity map on lowercase ASCII + space, a merge on anything
+    * else; counts saturate at 15). For bucketed saturating histograms
+    * L1/2 lower-bounds edit distance (an indel moves one bucket by 1,
+    * a substitution two buckets by 1 each; merging buckets and
+    * saturating counters only SHRINK L1), so `NibbleL1(h) > 2d`
+    * rejects a block-join candidate without the banded levenshtein.
+    * Why it exists: the PassJoin block buckets saturate on an
+    * adversarial small-vocabulary corpus (the nd100 decade scan
+    * measured Σ|bucket|² = 8.0e8 at N=500k with 97% of keys at l=64),
+    * and this content filter is what keeps the candidate DISTINCT
+    * tractable there — measured 99.93% candidate kill on the hottest
+    * nd100 bucket (73 820 pairs → 53) at zero loss. */
   private[graft] def edKeys(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), substring(col("text"), 1, 64).as("k"))
       .withColumn("l", length(col("k")))
+      .withColumn("h1", edHistWord(col("k"), 0))
+      .withColumn("h2", edHistWord(col("k"), 1))
+
+  /** One packed word of the [[edKeys]] histogram: buckets
+    * [word*16, word*16+16), counter b at bits [4b, 4b+4). shiftleft +
+    * bitwiseOR, never `*`/`+` — the top counter occupies bits 60-63
+    * and 15·2^60 overflows an ANSI-checked multiply. */
+  private[graft] def edHistWord(k: Column, word: Int): Column =
+    (0 until 16).map { b =>
+      shiftleft(least(size(filter(split(k, ""),
+        c => ascii(c) % 32 === lit(word * 16 + b))), lit(15)).cast("long"),
+        4 * b)
+    }.reduce(_ bitwiseOR _)
+
+  /** The [[edKeys]] histogram L1 between two docs' packed words, as a
+    * Column (registers the codegen'd NibbleL1 on the session). */
+  private[graft] def edHistL1(spark: org.apache.spark.sql.SparkSession,
+      a1: Column, a2: Column, b1: Column, b2: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.nibbleL1(a1, b1) +
+      graft.functions.GraftFunctions.nibbleL1(a2, b2)
+  }
 
   /** INDEX side of the PassJoin scheme: the d+1 = 7 partition blocks of
     * each key as (doc_id, bl = key length, bj = block no, bc = content).
     * Callers pre-filter to l >= [[EdBlockMinLen]] (= 7, every block
     * non-empty). */
   private[graft] def edBlocks(longKeys: DataFrame): DataFrame =
-    longKeys.select(col("doc_id"), explode(expr(
+    longKeys.select(col("doc_id"), col("h1"), col("h2"), explode(expr(
       "transform(sequence(1, 7), j -> named_struct(" +
         "'bl', l, 'bj', j, " +
         "'bc', substring(k, ((j-1)*l) div 7 + 1, (j*l) div 7 - ((j-1)*l) div 7)))"
     )).as("e"))
-      .select(col("doc_id"), col("e.bl").as("bl"), col("e.bj").as("bj"),
-        col("e.bc").as("bc"))
+      .select(col("doc_id"), col("h1"), col("h2"),
+        col("e.bl").as("bl"), col("e.bj").as("bj"), col("e.bc").as("bc"))
 
   /** PROBE side: for every partner length within ±d and every block,
     * this key's windows at the block's start ± d (same block length) —
@@ -956,22 +1039,31 @@ object Dedup {
       "'bc', substring(k, p, (j*pl) div 7 - ((j-1)*pl) div 7)))))))"
 
   private[graft] def edProbes(longKeys: DataFrame): DataFrame =
-    longKeys.select(col("doc_id"), explode(expr(edProbeExpr)).as("e"))
-      .select(col("doc_id"), col("e.bl").as("bl"), col("e.bj").as("bj"),
-        col("e.bc").as("bc"))
+    longKeys.select(col("doc_id"), col("h1"), col("h2"),
+      explode(expr(edProbeExpr)).as("e"))
+      .select(col("doc_id"), col("h1"), col("h2"),
+        col("e.bl").as("bl"), col("e.bj").as("bj"), col("e.bc").as("bc"))
 
   /** Canonicalized distinct candidate pairs (doc_a < doc_b) from the
     * block pigeonhole (l >= [[EdBlockMinLen]]) plus the length-banded
     * sub-7-char residue — every true pair is here (lossless), every
     * candidate came from a per-(len, block, content) or per-length-band
-    * bucket (no global product). Split out so DedupSpec can pin the
-    * candidate COUNT (Σ|bucket|² shape) independently of the verify. */
+    * bucket (no global product). The histogram-L1 filter runs INSIDE
+    * the block join, before the pair distinct: on a saturating-block
+    * corpus the distinct is the blow-up (Σ|bucket|² rows through a
+    * shuffle), and the L1 bound kills the random-collision candidates
+    * while they are still join-local. Lossless: L1/2 ≤ ed (see
+    * [[edKeys]]), so nothing within [[EdMaxDist]] is dropped. Split
+    * out so DedupSpec can pin the candidate COUNT (Σ|bucket|² shape)
+    * independently of the verify. */
   private[graft] def edCandidatePairs(keys: DataFrame): DataFrame = {
     val longKeys = keys.filter(col("l") >= EdBlockMinLen)
-    val cand = edBlocks(longKeys).toDF("doc_a", "bl", "bj", "bc")
-      .join(edProbes(longKeys).toDF("doc_b", "bl", "bj", "bc"),
+    val cand = edBlocks(longKeys).toDF("doc_a", "ha1", "ha2", "bl", "bj", "bc")
+      .join(edProbes(longKeys).toDF("doc_b", "hb1", "hb2", "bl", "bj", "bc"),
         Seq("bl", "bj", "bc"))
       .filter(col("doc_a") =!= col("doc_b"))
+      .filter(edHistL1(keys.sparkSession, col("ha1"), col("ha2"),
+        col("hb1"), col("hb2")) <= lit(2 * EdMaxDist))
       // each unordered pair is probed from both sides; canonicalize
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
@@ -1032,9 +1124,11 @@ object Dedup {
     val corpus = keys.filter($"doc_id" % 10 =!= 9)
     val batch = keys.filter($"doc_id" % 10 === 9)
     val cand = edBlocks(corpus.filter($"l" >= EdBlockMinLen))
-      .toDF("match_id", "bl", "bj", "bc")
+      .toDF("match_id", "hc1", "hc2", "bl", "bj", "bc")
       .join(edProbes(batch.filter($"l" >= EdBlockMinLen))
-        .toDF("doc_id", "bl", "bj", "bc"), Seq("bl", "bj", "bc"))
+        .toDF("doc_id", "hb1", "hb2", "bl", "bj", "bc"), Seq("bl", "bj", "bc"))
+      .filter(edHistL1(t.spark, $"hb1", $"hb2", $"hc1", $"hc2") <=
+        lit(2 * EdMaxDist))
       .select($"doc_id", $"match_id")
     // residue covers the boundary from both orientations: the sub-7-char
     // side can be EITHER the batch doc or the corpus doc (pigeonhole

@@ -65,9 +65,16 @@ case class DotProduct(left: Expression, right: Expression)
 
 object GraftFunctions {
   /** Idempotent session registration of graft's native functions. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nibble_l1", exprs => NibbleL1(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Column accessor for [[NibbleL1]] (requires register() first). */
+  def nibbleL1(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_nibble_l1", a, b)
 
   /** Column-level accessor (requires register() on the session first). */
   def graftDot(a: Column, b: Column): Column = {

@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nibble_l1"),
+      new ExpressionInfo(classOf[NibbleL1].getName, "graft_nibble_l1"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NibbleL1(exprs(0), exprs(1))))
     // plan-level df rule: whole-partition COUNT windows become
     // aggregate + null-safe join (see CountWindowToJoin scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.CountWindowToJoin)

@@ -582,20 +582,28 @@ object Streams {
       .select(col("doc_id").as("match_id"), col("k").as("kc"), col("l").as("lc"))
     val cIndex = Dedup.edBlocks(
       corpusKeys0.filter(col("l") >= Dedup.EdBlockMinLen))
-      .toDF("match_id", "bl", "bj", "bc")
+      .toDF("match_id", "hc1", "hc2", "bl", "bj", "bc")
     val keyed = docs
       .withWatermark("ts", horizon)
       .withColumn("k", substring(col("text"), 1, 64))
       .withColumn("l", length(col("k")))
-    // ts/key/length ride THROUGH the probe explode (edProbeExpr is the
-    // shared generator) — re-attaching them after the block join would
-    // be a stream-stream self-join, which append mode cannot bound
+      .withColumn("h1", Dedup.edHistWord(col("k"), 0))
+      .withColumn("h2", Dedup.edHistWord(col("k"), 1))
+    // ts/key/length/histogram ride THROUGH the probe explode
+    // (edProbeExpr is the shared generator) — re-attaching them after
+    // the block join would be a stream-stream self-join, which append
+    // mode cannot bound. The histogram-L1 candidate filter (lossless,
+    // Dedup.edKeys) runs right after the stream-static block join,
+    // same placement as the batch family.
     val longCand = keyed.filter(col("l") >= Dedup.EdBlockMinLen)
       .select(col("doc_id"), col("ts"), col("k").as("kb"), col("l").as("lb"),
-        explode(expr(Dedup.edProbeExpr)).as("e"))
+        col("h1"), col("h2"), explode(expr(Dedup.edProbeExpr)).as("e"))
       .select(col("doc_id"), col("ts"), col("kb"), col("lb"),
+        col("h1"), col("h2"),
         col("e.bl").as("bl"), col("e.bj").as("bj"), col("e.bc").as("bc"))
       .join(cIndex, Seq("bl", "bj", "bc")) // stream-static
+      .filter(Dedup.edHistL1(docs.sparkSession, col("h1"), col("h2"),
+        col("hc1"), col("hc2")) <= lit(2 * Dedup.EdMaxDist))
       .select(col("doc_id"), col("ts"), col("kb"), col("lb"), col("match_id"))
     // residue covers sub-7-char keys from both orientations (pigeonhole
     // needs min(lb, lc) >= 7; partner <= 12 by the length bound) as

@@ -125,6 +125,15 @@ object DedupProbeScan {
               abs(col("la") - col("lb")) <= 6 &&
               levenshtein(col("ka"), col("kb"), 6).between(0, 6)),
         "doc_a", "doc_b"))
+      // Bucket-volume audit: Σ|bucket|² over the PassJoin index-side
+      // (len, block, content) buckets — the number the histogram-L1
+      // candidate filter (Dedup.edKeys) has to tame. 8.0e8 at nd100
+      // pre-filter is what made this family the decade's grind.
+      val edVol = Dedup.edBlocks(
+        Dedup.edKeys(docs).filter($"l" >= Dedup.EdBlockMinLen))
+        .groupBy($"bl", $"bj", $"bc").agg(count(lit(1)).as("c"))
+        .agg(sum($"c" * $"c")).head().getLong(0)
+      println(s"DEDUPPROBE edit index-side block bucket volume ~ $edVol")
       val (found, tF) = timed(pairSet(
         Dedup.editDistance(t).filter(isProbeA || isProbeB), "doc_a", "doc_b"))
       report("edit", truth, found, tT, tF)
@@ -216,15 +225,20 @@ object DedupProbeScan {
     if (fams("simhash")) {
       val fp = Dedup.simhash(t).persist()
       // Candidate-volume audit BEFORE running the family: the blocked
-      // join's cost is exactly Σ|bucket|² over (block, key) buckets,
+      // join's cost is exactly Σ|bucket|² over (combo, key) buckets,
       // computable from bucket counts alone. This is the number that
-      // decides whether the block scheme survives the decade.
-      val candVol = fp.select(posexplode(expr(
-        "transform(sequence(0, 3), i -> shiftright(simhash, i * 8) & 255)"
-      )).as(Seq("blk", "key")))
+      // decides whether the block scheme survives the decade — the
+      // single-8-bit-block form it replaced measured 1.6e7 / 1.6e9 /
+      // 1.6e11 across the three decades (N²·4/1024, saturated), which
+      // is what forced blockedHammingPairs' pair-of-intact-blocks keys.
+      val comboKeys = (for { i <- 0 until 4; j <- i + 1 until 4 }
+        yield s"shiftleft(shiftright(simhash, ${i * 8}) & 255, 8) | " +
+          s"(shiftright(simhash, ${j * 8}) & 255)").mkString(", ")
+      val candVol = fp.select(posexplode(expr(s"array($comboKeys)"))
+        .as(Seq("blk", "key")))
         .groupBy($"blk", $"key").agg(count(lit(1)).as("c"))
         .agg(sum($"c" * $"c")).head().getLong(0)
-      println(s"DEDUPPROBE simhash 4x8-block candidate volume ~ $candVol")
+      println(s"DEDUPPROBE simhash 6x16-bit-combo candidate volume ~ $candVol")
       val pFp = fp.filter($"doc_id".isin(probeIds.map(Long.box): _*))
         .toDF("doc_a", "fa")
       val (truth, tT) = timed(pairSet(
@@ -232,8 +246,16 @@ object DedupProbeScan {
           col("doc_a") =!= col("doc_b"))
           .filter(expr("bit_count(fa ^ fb)") <= 2),
         "doc_a", "doc_b"))
+      // the SHIPPED generator in its probe-restricted Θ(P·N) form: on
+      // this corpus ~6% of ALL pairs are within the threshold, so the
+      // full family's output is itself near-quadratic at the decade —
+      // the mechanism under test (combo buckets at full corpus size +
+      // verify) is unchanged, only the left side is probe-filtered
       val (found, tF) = timed(pairSet(
-        Dedup.simhashHamming(t).filter(isProbeA || isProbeB), "doc_a", "doc_b"))
+        Dedup.blockedHammingPairs(fp, "doc_id", "simhash", nBlocks = 4,
+          maxHam = 2,
+          leftOnly = Some(col("doc_id").isin(probeIds.map(Long.box): _*))),
+        "doc_a", "doc_b"))
       report("simhash", truth, found, tT, tF)
       fp.unpersist()
     }

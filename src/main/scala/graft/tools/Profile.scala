@@ -101,9 +101,12 @@ object Profile {
     time("edq-blocks")(blocksE.count())
     val probesE = graft.dedup.Dedup.edProbes(longKeys)
     time("edq-probes")(probesE.count())
-    val candE = blocksE.toDF("doc_a", "bl", "bj", "bc")
-      .join(probesE.toDF("doc_b", "bl", "bj", "bc"), Seq("bl", "bj", "bc"))
+    val candE = blocksE.toDF("doc_a", "ha1", "ha2", "bl", "bj", "bc")
+      .join(probesE.toDF("doc_b", "hb1", "hb2", "bl", "bj", "bc"),
+        Seq("bl", "bj", "bc"))
       .filter($"doc_a" =!= $"doc_b")
+      .filter(graft.dedup.Dedup.edHistL1(spark, $"ha1", $"ha2",
+        $"hb1", $"hb2") <= lit(12))
       .select(least($"doc_a", $"doc_b").as("doc_a"),
         greatest($"doc_a", $"doc_b").as("doc_b"))
     time("edq-cand-join")(candE.count())

@@ -220,6 +220,22 @@ class DedupSpec extends SparkSuite {
     assert(self.get((1L, 2L)).contains(0))
   }
 
+  test("probe-restricted hamming pairs equal the full family filtered to probe members") {
+    import org.apache.spark.sql.functions.col
+    val t01 = graft.io.Tables(spark, "/root/testdata/sf0.001")
+    val full = Dedup.simhashHamming(t01).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val probes = full.keys.flatMap(p => Seq(p._1, p._2)).toSeq.distinct
+      .sorted.take(3) ++ Seq(9999999L) // incl. a probe with no pairs
+    val got = Dedup.blockedHammingPairs(Dedup.simhash(t01), "doc_id",
+      "simhash", nBlocks = 4, maxHam = 2,
+      leftOnly = Some(col("doc_id").isin(probes.map(Long.box): _*)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val want = full.filter { case ((a, b), _) =>
+      probes.contains(a) || probes.contains(b) }
+    assert(got == want && want.nonEmpty)
+  }
+
   test("connected components: alternating star == min-label on a random pair graph") {
     import spark.implicits._
     // 60 nodes, md5-derived pseudo-random edges — several multi-node
@@ -399,8 +415,8 @@ class DedupSpec extends SparkSuite {
     // 40 docs would be C(40,2) = 780
     assert(nCand <= 255, s"candidate count $nCand not per-bucket bounded")
     // and the pruning is lossless: output == the quadratic truth
-    val naive = keys.toDF("doc_a", "ka", "la")
-      .crossJoin(keys.toDF("doc_b", "kb", "lb"))
+    val naive = keys.select("doc_id", "k", "l").toDF("doc_a", "ka", "la")
+      .crossJoin(keys.select("doc_id", "k", "l").toDF("doc_b", "kb", "lb"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("dist", levenshtein(col("ka"), col("kb")))
       .filter(col("dist") <= 6)

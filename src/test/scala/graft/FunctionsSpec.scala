@@ -32,6 +32,59 @@ class FunctionsSpec extends SparkSuite {
   // fresh JVM builds the session with spark.sql.extensions); inside this
   // shared-session test JVM getOrCreate would silently ignore extensions.
 
+  test("graft_nibble_l1: codegen path equals the reference loop on random words") {
+    import spark.implicits._
+    withLogLevel {
+      GraftFunctions.register(spark)
+      val rng = new scala.util.Random(11)
+      val rows = Seq.fill(200)((rng.nextLong(), rng.nextLong())) :+
+        ((0L, -1L)) :+ ((-1L, -1L)) :+ ((0L, 0L)) // all-15s / equal edges
+      val got = rows.toDF("a", "b")
+        .select($"a", $"b", expr("graft_nibble_l1(a, b)").as("l1"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getInt(2) == graft.functions.NibbleL1.l1(r.getLong(0), r.getLong(1)))
+      }
+      // extremes: 16 nibbles all |15-0| apart
+      assert(graft.functions.NibbleL1.l1(0L, -1L) == 240)
+    }
+  }
+
+  test("edit histogram: packing matches a direct recompute and L1/2 lower-bounds levenshtein") {
+    import spark.implicits._
+    withLogLevel {
+      val rng = new scala.util.Random(13)
+      val alpha = "abcdefghijklmnopqrstuvwxyz "
+      def word(n: Int) = Seq.fill(n)(alpha(rng.nextInt(alpha.length))).mkString
+      val docs = (1L to 60L).map(i => (i, word(4 + rng.nextInt(60))))
+      // reference: saturating 32-bucket counts packed 16 per long
+      def histRef(s: String): (Long, Long) = {
+        val c = new Array[Int](32)
+        s.foreach { ch => val b = ch.toInt % 32; c(b) = math.min(c(b) + 1, 15) }
+        def pack(off: Int) = (0 until 16).map(b => c(off + b).toLong << (4 * b))
+          .reduce(_ | _)
+        (pack(0), pack(16))
+      }
+      val got = docs.toDF("doc_id", "k")
+        .select($"doc_id", $"k",
+          graft.dedup.Dedup.edHistWord($"k", 0).as("h1"),
+          graft.dedup.Dedup.edHistWord($"k", 1).as("h2"))
+        .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3))))
+      got.foreach { case (k, hs) => assert(hs == histRef(k), s"packing for '$k'") }
+      // the candidate-filter bound: L1(hist)/2 <= edit distance, so the
+      // <= 2d filter can never drop a true pair
+      val hs = got.toSeq
+      for (i <- hs.indices; j <- i + 1 until hs.size) {
+        val ((ka, (a1, a2)), (kb, (b1, b2))) = (hs(i), hs(j))
+        val l1 = graft.functions.NibbleL1.l1(a1, b1) +
+          graft.functions.NibbleL1.l1(a2, b2)
+        val ed = org.apache.commons.text.similarity.LevenshteinDistance
+          .getDefaultInstance.apply(ka, kb)
+        assert(l1 <= 2 * ed, s"bound violated: l1=$l1 ed=$ed for '$ka' vs '$kb'")
+      }
+    }
+  }
+
   test("bounded-buffer top-k agrees with the row_number window, independent of partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
