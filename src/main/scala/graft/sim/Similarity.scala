@@ -132,6 +132,44 @@ object Similarity {
   def nlistFor(n: Long): Int =
     math.max(16, math.round(16.0 * math.sqrt(n / 500.0)).toInt)
 
+  /** Candidate-row budget for the IVF PAIR-GENERATION users
+    * ([[embeddingNearDupIvf]], [[semanticDedup]]): 1e9 rows ≈ 16 GB of
+    * pre-distinct shuffle — safely inside one beefy node, proportional
+    * work on a cluster. */
+  val IvfPairBudget: Double = 1e9
+
+  /** Derived (nlist, assign) for IVF pair generation — the r17 100×
+    * dedup decade scan's catch: the retrieval ladder
+    * (nlist = [[nlistFor]] ∝ √N, assign = [[assignFor]] = √nlist) has
+    * per-vector candidate work assign²·N/nlist = N, i.e. the pair join
+    * is ALL-PAIRS at every scale by construction. Invisible at the
+    * gate (N=500: 2.5e5 candidates) and the 10× rehearsal (4.8e8),
+    * it filled the local disk at N=200k (4.05e10 rows ≈ 650 GB of
+    * shuffle). Above [[IvfPairBudget]] expected candidates this
+    * derivation switches to the bounded regime: assign pinned at 8
+    * (double the gate's measured 0.96-recall multiplicity, headroom
+    * for the smaller cells) and nlist = assign²·N²/budget — cells
+    * ∝ N², per-vector work ≤ budget/N. Every operating point at or
+    * below the 10× rehearsal derives EXACTLY the retrieval ladder's
+    * values, so gate outputs, bands, and the 10× numbers are
+    * unchanged; the regime switch lands between N=20 000 and
+    * N=200 000 where only the decade instrument observes — and it
+    * measures the recall cost of the smaller cells directly
+    * (SCALING.md §"Dedup decade scan"). ScaleSpec pins both regimes
+    * and the crossover.
+    */
+  def ivfPairKnobsFor(n: Long): (Int, Int) = {
+    val nl0 = nlistFor(n)
+    val a0 = assignFor(nl0)
+    val est = a0.toDouble * a0 * n / nl0 * n // expected Σ|cell|² rows
+    if (est <= IvfPairBudget) (nl0, a0)
+    else {
+      val a = 8
+      val nl = math.max(nl0, math.ceil(a.toDouble * a * n / IvfPairBudget * n).toInt)
+      (nl, a)
+    }
+  }
+
   /** Default nprobe for a derived nlist: holds the measured 5/8 cell
     * fraction of the nlist=16/nprobe=10 operating point (recall@5
     * ~0.89 on this corpus). The fraction is a property of the DATA'S
@@ -489,15 +527,30 @@ object Similarity {
     * sweep at sf0.01: assign 2/3/4 at nlist=16 → recall
     * 0.53/0.80/0.96 — recall is bought with assignments the way
     * annLsh buys it with tables; floor pinned at 0.9).
-    * Defaults derive from corpus size (r15): nlist = [[nlistFor]](N),
-    * assign = [[assignFor]](nlist) — at sf0.1 that is (32, 6),
-    * measured pair recall 0.961 (vs 0.790 had assign stayed 4; see
-    * assignFor's sweep). Explicit (> 0) args override.
+    * Defaults derive from corpus size (r15): (nlist, assign) =
+    * [[ivfPairKnobsFor]](N) — the retrieval ladder's (nlistFor,
+    * assignFor) values at every observed point up to the 10×
+    * rehearsal (at sf0.1 that is (32, 6), measured pair recall 0.961
+    * vs 0.790 had assign stayed 4; see assignFor's sweep), switching
+    * to the candidate-budget-bounded regime above it (see
+    * ivfPairKnobsFor — the r17 decade catch). Explicit (> 0) args
+    * override.
+    *
+    * @param leftOnly optional predicate over `id_a` restricting the
+    *   candidate join's left side — the probe-restricted Θ(P·N) form
+    *   tools.DedupProbeScan uses at corpus decades where even the
+    *   bounded full pair output is instrument-hostile (the synthetic
+    *   corpus has ~0.8% of ALL pairs above minCos=0.3, so the true
+    *   output itself is ~N²/125). Output = every qualifying pair
+    *   with at least one member matching, canonicalized. Shipped
+    *   query callers leave it None.
     */
   def embeddingNearDupIvf(t: Tables, nlist: Int = 0, assign: Int = 0,
-      minCos: Double = 0.3): DataFrame = {
-    val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
-    val a = if (assign > 0) assign else assignFor(nl)
+      minCos: Double = 0.3,
+      leftOnly: Option[Column] = None): DataFrame = {
+    val derived = ivfPairKnobsFor(corpusSize(t))
+    val nl = if (nlist > 0) nlist else derived._1
+    val a = if (assign > 0) assign else if (nlist > 0) assignFor(nlist) else derived._2
     val e = withNorm(t)
     val model = coarseQuantizer(t, nl)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -518,11 +571,18 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
       .persist() // read twice (both sides of the pair join)
 
-    val cand = cells.toDF("id_a", "cell")
+    val leftCells = cells.toDF("id_a", "cell")
+    val cand0 = leftOnly.fold(leftCells)(p => leftCells.filter(p))
       .join(cells.toDF("id_b", "cell"), Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct() // a pair may share both assigned cells
+    val cand = (leftOnly match {
+      // symmetric self-join: id_a < id_b is already canonical
+      case None => cand0.filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      // probe-restricted: both orders surface; canonicalize
+      case Some(_) => cand0.filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+    }).distinct() // a pair may share several assigned cells
     val va = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val vb = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     // materialize the (small) verified pair list, then drop the cell cache

@@ -307,6 +307,30 @@ class ScaleSpec extends SparkSuite {
     assert(ns.map(semanticTauFor) == ns.map(semanticTauFor).sorted)
   }
 
+  test("ivfPairKnobsFor: retrieval ladder at observed points, budget-bounded above") {
+    import graft.sim.Similarity._
+    // every operating point at or below the 10x rehearsal derives the
+    // retrieval ladder EXACTLY — gate outputs / bands / 10x unchanged
+    assert(ivfPairKnobsFor(500) == ((16, 4)))      // gate
+    assert(ivfPairKnobsFor(2000) == ((32, 6)))     // sf0.1
+    assert(ivfPairKnobsFor(20000) == ((101, 11)))  // 10x rehearsal
+    // the 100x decade's operating point is the bounded regime: the
+    // retrieval ladder there is all-pairs by construction
+    // (assign²·N/nlist = N → 4.05e10 candidates, the measured disk
+    // filler), so assign pins at 8 and nlist grows to hold Σ|cell|²
+    // at IvfPairBudget
+    val (nl100, a100) = ivfPairKnobsFor(200000)
+    assert(a100 == 8 && nl100 == 2560)
+    val perVec = a100.toDouble * a100 * 200000 / nl100
+    assert(perVec * 200000 <= IvfPairBudget * 1.001)
+    // candidate volume stays within budget for another two decades
+    Seq(2000000L, 20000000L).foreach { n =>
+      val (nl, a) = ivfPairKnobsFor(n)
+      assert(a.toDouble * a * n / nl * n <= IvfPairBudget * 1.001, s"n=$n")
+      assert(nl >= nlistFor(n))
+    }
+  }
+
   test("flat-scan guard: oversized Theta(Q*N) calls fail fast pointing at the IVF twin") {
     import graft.sim.Similarity.flatScanGuard
     // the r16 100x failure shape: full %13 workload at N=200k
