@@ -551,6 +551,27 @@ object Similarity {
     val derived = ivfPairKnobsFor(corpusSize(t))
     val nl = if (nlist > 0) nlist else derived._1
     val a = if (assign > 0) assign else if (nlist > 0) assignFor(nlist) else derived._2
+    // Fail fast where the bounded regime measurably cannot deliver:
+    // below the corpus's calibrated near-dup quantile the true pair
+    // set is a dense fraction of all pairs (cos 0.3 ≈ 72° on this
+    // corpus — far wider than budget-bounded cells), and the nd100
+    // decade scan measured recall collapsing to 0.22 there. At or
+    // above the calibrated τ the same knobs hold the band (that is
+    // the SemDeDup regime semanticDedup runs in). Explicit knob args
+    // are the sanctioned override — same contract as flatScanGuard.
+    if (nlist <= 0 && assign <= 0 && derived != ((nlistFor(corpusSize(t)),
+        assignFor(nlistFor(corpusSize(t)))))) {
+      val tauCal = semanticTauCalibrated(t)
+      require(minCos >= tauCal,
+        s"embeddingNearDupIvf at N=${corpusSize(t)}: the candidate-budget-" +
+          s"bounded IVF blocking (nlist=$nl, assign=$a) cannot hold recall " +
+          f"at minCos=$minCos%.2f below the corpus's calibrated near-dup " +
+          f"threshold $tauCal%.2f (measured 0.22 recall at the 100x " +
+          "decade); the true pair output at this threshold is a dense " +
+          "fraction of all pairs. Raise minCos, pass explicit (nlist, " +
+          "assign) to accept reduced recall, or run the exact range scan " +
+          "(annRange with allowFullScan).")
+    }
     val e = withNorm(t)
     val model = coarseQuantizer(t, nl)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>

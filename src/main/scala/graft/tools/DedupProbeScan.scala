@@ -301,12 +301,25 @@ object DedupProbeScan {
         // corpus's ~0.8%-of-all-pairs density above cos 0.3, even the
         // budget-bounded full output is ~N²/125 rows — the mechanism
         // (derived knobs, full-corpus cell structure, verify) is
-        // unchanged, only the candidate join's left side is filtered
+        // unchanged, only the candidate join's left side is filtered.
+        // Knobs passed EXPLICITLY (= the derived values) because in the
+        // bounded regime the default rightly refuses minCos=0.3 below
+        // the calibrated τ — the scan is here to measure exactly that
+        // refused operating point.
         val (found, tF) = timed(pairSet(
-          Similarity.embeddingNearDupIvf(t,
+          Similarity.embeddingNearDupIvf(t, nlist = nlK, assign = aK,
             leftOnly = Some(col("id_a").isin(probeVecIds.map(Long.box): _*))),
           "id_a", "id_b"))
         report("embedding_ivf", truth, found, tT, tF)
+        // the stratum semanticDedup consumes: pairs at/above the
+        // calibrated τ — cell-adjacent near-identicals, where bounded
+        // cells must hold recall even when the low-τ total collapses
+        val tauCal = Similarity.semanticTauCalibrated(t)
+        val truthHi = pairSet(exact.filter($"cos" >= tauCal), "id_a", "id_b")
+        val hiRec = (truthHi & found).size.toDouble / math.max(truthHi.size, 1)
+        println(f"DEDUPPROBE embedding_ivf>=tau recall=$hiRec%.4f " +
+          f"tau=$tauCal%.4f truth=${truthHi.size} " +
+          "(the SemDeDup stratum: must hold >= 0.9)")
       }
       if (fams("semantic")) {
         // Co-clustering agreement at the CALIBRATED τ: every exact
