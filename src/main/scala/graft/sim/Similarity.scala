@@ -647,9 +647,11 @@ object Similarity {
     * every baseline near-dup pair should land in one cluster (the
     * closure can only merge MORE than the direct pair list).
     */
-  def semanticDedup(t: Tables, minCos: Double = 0.0): DataFrame = {
+  def semanticDedup(t: Tables, minCos: Double = 0.0,
+      nlist: Int = 0, assign: Int = 0): DataFrame = {
     val tau = if (minCos > 0) minCos else semanticTauCalibrated(t)
-    val pairs = embeddingNearDupIvf(t, minCos = tau)
+    val pairs = embeddingNearDupIvf(t, nlist = nlist, assign = assign,
+      minCos = tau)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val cc = graft.dedup.Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))

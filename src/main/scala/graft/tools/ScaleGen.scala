@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic scale-rehearsal data generator (r16, verdict item 2):
@@ -196,15 +196,32 @@ object ScaleGen {
         format_string("src%d", h("dsrc", 20)).as("source"),
         length(col("text")).cast("long").as("n_chars")), "documents")
 
-    // embeddings: 64-dim unit-norm gaussians, labels 0-9
+    // embeddings: 64-dim unit-norm gaussians, labels 0-9. In neardup
+    // mode the doc planting is mirrored in embedding space: exact
+    // copies at id % 625 == 1 (cos 1.0 with id-1) and MUTATED copies
+    // at id % 125 == 2 — the source gaussian plus 0.15-relative noise,
+    // cos ≈ 1/√(1+0.15²) ≈ 0.989 — i.e. the tight re-encode/paraphrase
+    // clusters real SemDeDup corpora dedup (τ ≈ 0.9). Without them the
+    // embedding truth at ANY threshold is pure random extremes (the
+    // uniform corpus's pairwise cosines are ~N(0, 1/8)), which is the
+    // worst case for a geometric blocker and the only regime the r17
+    // decade scan could observe before this change.
+    val mutatedE = col("id") % 125 === 2 && lit(nearDup)
+    def gauss(idCol: Column) = transform(sequence(lit(0), lit(63)),
+      i => sqrt(lit(-2.0) * log(greatest(
+        (abs(xxhash64(idCol, i, lit("eu1"))) % 1000000007L).cast("double")
+          / 1000000007.0, lit(1e-12)))) *
+        cos(lit(2.0 * math.Pi) *
+          (abs(xxhash64(idCol, i, lit("eu2"))) % 1000000007L).cast("double")
+            / 1000000007.0))
     save(rng(nEmb)
-      .withColumn("g", transform(sequence(lit(0), lit(63)),
-        i => sqrt(lit(-2.0) * log(greatest(
-          (abs(xxhash64(col("id"), i, lit("eu1"))) % 1000000007L).cast("double")
-            / 1000000007.0, lit(1e-12)))) *
-          cos(lit(2.0 * math.Pi) *
-            (abs(xxhash64(col("id"), i, lit("eu2"))) % 1000000007L).cast("double")
-              / 1000000007.0)))
+      .withColumn("esid",
+        when((col("id") % 625 === 1 && lit(nearDup)) || mutatedE,
+          col("id") - 1).otherwise(col("id")))
+      .withColumn("g0", gauss(col("esid")))
+      .withColumn("g",
+        when(mutatedE, zip_with(col("g0"), gauss(col("id")),
+          (s, n) => s + lit(0.15) * n)).otherwise(col("g0")))
       .withColumn("nrm", sqrt(aggregate(col("g"), lit(0.0), (a, x) => a + x * x)))
       .select(
         col("id").as("vec_id"),
