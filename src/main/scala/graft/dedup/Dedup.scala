@@ -981,22 +981,23 @@ object Dedup {
     * and this content filter is what keeps the candidate DISTINCT
     * tractable there — measured 99.93% candidate kill on the hottest
     * nd100 bucket (73 820 pairs → 53) at zero loss. */
-  private[graft] def edKeys(docs: DataFrame): DataFrame =
+  private[graft] def edKeys(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), substring(col("text"), 1, 64).as("k"))
       .withColumn("l", length(col("k")))
       .withColumn("h1", edHistWord(col("k"), 0))
       .withColumn("h2", edHistWord(col("k"), 1))
+  }
 
   /** One packed word of the [[edKeys]] histogram: buckets
-    * [word*16, word*16+16), counter b at bits [4b, 4b+4). shiftleft +
-    * bitwiseOR, never `*`/`+` — the top counter occupies bits 60-63
-    * and 15·2^60 overflows an ANSI-checked multiply. */
+    * [word*16, word*16+16), counter b at bits [4b, 4b+4) — the
+    * codegen'd graft.functions.CharHistWord (one pass over the
+    * string; the composed-HOF form it replaced cost 32 interpreted
+    * array traversals per row, a measured 2-3x floor move on the
+    * edit family at sf0.1). Callers must have GraftFunctions
+    * registered on the session ([[edKeys]] does it). */
   private[graft] def edHistWord(k: Column, word: Int): Column =
-    (0 until 16).map { b =>
-      shiftleft(least(size(filter(split(k, ""),
-        c => ascii(c) % 32 === lit(word * 16 + b))), lit(15)).cast("long"),
-        4 * b)
-    }.reduce(_ bitwiseOR _)
+    graft.functions.GraftFunctions.charHist(k, word)
 
   /** The [[edKeys]] histogram L1 between two docs' packed words, as a
     * Column (registers the codegen'd NibbleL1 on the session). */

@@ -70,11 +70,18 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nibble_l1", exprs => NibbleL1(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_hist", exprs => CharHistWord(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column accessor for [[NibbleL1]] (requires register() first). */
   def nibbleL1(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_nibble_l1", a, b)
+
+  /** Column accessor for [[CharHistWord]] (requires register() first). */
+  def charHist(s: Column, word: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_char_hist", s,
+      org.apache.spark.sql.functions.lit(word))
 
   /** Column-level accessor (requires register() on the session first). */
   def graftDot(a: Column, b: Column): Column = {

@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NibbleL1].getName, "graft_nibble_l1"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NibbleL1(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_hist"),
+      new ExpressionInfo(classOf[CharHistWord].getName, "graft_char_hist"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharHistWord(exprs(0), exprs(1))))
     // plan-level df rule: whole-partition COUNT windows become
     // aggregate + null-safe join (see CountWindowToJoin scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.CountWindowToJoin)

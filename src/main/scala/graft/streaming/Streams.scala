@@ -578,6 +578,7 @@ object Streams {
   def editDedupStream(docs: DataFrame, corpusKeys0: DataFrame,
                       horizon: String = "1 hour"): DataFrame = {
     import graft.dedup.Dedup
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val corpusKeys = corpusKeys0
       .select(col("doc_id").as("match_id"), col("k").as("kc"), col("l").as("lc"))
     val cIndex = Dedup.edBlocks(

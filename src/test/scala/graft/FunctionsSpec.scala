@@ -53,6 +53,7 @@ class FunctionsSpec extends SparkSuite {
   test("edit histogram: packing matches a direct recompute and L1/2 lower-bounds levenshtein") {
     import spark.implicits._
     withLogLevel {
+      GraftFunctions.register(spark) // edHistWord = graft_char_hist
       val rng = new scala.util.Random(13)
       val alpha = "abcdefghijklmnopqrstuvwxyz "
       def word(n: Int) = Seq.fill(n)(alpha(rng.nextInt(alpha.length))).mkString
