@@ -72,6 +72,8 @@ object GraftFunctions {
       "graft_nibble_l1", exprs => NibbleL1(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_char_hist", exprs => CharHistWord(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp_words", exprs => SrpWords(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column accessor for [[NibbleL1]] (requires register() first). */
@@ -82,6 +84,11 @@ object GraftFunctions {
   def charHist(s: Column, word: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_char_hist", s,
       org.apache.spark.sql.functions.lit(word))
+
+  /** Column accessor for [[SrpWords]] (requires register() first). */
+  def srpWords(v: Column, nWords: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_srp_words", v,
+      org.apache.spark.sql.functions.lit(nWords))
 
   /** Column-level accessor (requires register() on the session first). */
   def graftDot(a: Column, b: Column): Column = {

@@ -145,29 +145,101 @@ object Similarity {
     * is ALL-PAIRS at every scale by construction. Invisible at the
     * gate (N=500: 2.5e5 candidates) and the 10× rehearsal (4.8e8),
     * it filled the local disk at N=200k (4.05e10 rows ≈ 650 GB of
-    * shuffle). Above [[IvfPairBudget]] expected candidates this
-    * derivation switches to the bounded regime: assign pinned at 8
-    * (double the gate's measured 0.96-recall multiplicity, headroom
-    * for the smaller cells) and nlist = assign²·N²/budget — cells
-    * ∝ N², per-vector work ≤ budget/N. Every operating point at or
-    * below the 10× rehearsal derives EXACTLY the retrieval ladder's
-    * values, so gate outputs, bands, and the 10× numbers are
-    * unchanged; the regime switch lands between N=20 000 and
-    * N=200 000 where only the decade instrument observes — and it
-    * measures the recall cost of the smaller cells directly
-    * (SCALING.md §"Dedup decade scan"). ScaleSpec pins both regimes
-    * and the crossover.
+    * shuffle). Above [[IvfPairBudget]] expected ladder candidates
+    * ([[ivfPairBanded]]) the derivation switches to the BANDED regime
+    * (r18, replacing r17's nlist ∝ N² candidate-budget regime whose
+    * KMeans fit — K = nlist, 256·nlist fit rows — was itself
+    * infeasible past N ≈ 10⁷): nlist STAYS the retrieval ladder's √N
+    * (the coarse fit is feasible at every corpus size; ~71k centroids
+    * at N = 10¹⁰, the usual IVF range), assign pins at 8, and the
+    * in-cell join is additionally keyed on [[pairBandKnobsFor]]'s SRP
+    * sign-word bands, which is what bounds the per-cell pair work.
+    * Every operating point at or below the 10× rehearsal derives
+    * EXACTLY the retrieval ladder's values, so gate outputs, bands,
+    * and the 10× numbers are unchanged; the regime switch lands
+    * between N=20 000 and N=200 000 where only the decade instrument
+    * observes (SCALING.md §"Dedup decade scan"). ScaleSpec pins both
+    * regimes, the crossover, and that nlist never exceeds N/assign.
     */
   def ivfPairKnobsFor(n: Long): (Int, Int) = {
     val nl0 = nlistFor(n)
-    val a0 = assignFor(nl0)
-    val est = a0.toDouble * a0 * n / nl0 * n // expected Σ|cell|² rows
-    if (est <= IvfPairBudget) (nl0, a0)
+    if (!ivfPairBanded(n)) (nl0, assignFor(nl0))
     else {
       val a = 8
-      val nl = math.max(nl0, math.ceil(a.toDouble * a * n / IvfPairBudget * n).toInt)
-      (nl, a)
+      // clamp for degenerate tiny-n calls: never more cells than
+      // vectors-per-assignment (K ≤ fit rows for the KMeans)
+      (math.min(nl0.toLong, math.max(1L, n / a)).toInt, a)
     }
+  }
+
+  /** True where IVF pair generation runs the banded regime: the
+    * retrieval ladder's expected Σ|cell|² exceeds [[IvfPairBudget]].
+    * The boundary is IDENTICAL to r17's bounded-regime switch, so
+    * every recorded operating point through the 10× rehearsal is
+    * bit-unchanged. */
+  def ivfPairBanded(n: Long): Boolean = {
+    val nl0 = nlistFor(n)
+    val a0 = assignFor(nl0)
+    a0.toDouble * a0 * n / nl0 * n > IvfPairBudget
+  }
+
+  /** Per-band expected in-cell collision budget per vector for the
+    * banded regime's bit-width derivation: bandBits is the smallest b
+    * with assign²·(N/nlist)/2^b at or under this. 256 ≈ the r17
+    * bounded regime's proven cell population at its measured
+    * operating points. */
+  private[graft] val BandTargetPerBand: Double = 256.0
+
+  /** Per-band OR-composition recall target at the operating τ for the
+    * banded regime's band-count derivation (the standard LSH
+    * amplification identity: nBands = ln(1−r)/ln(1−p₁^b)). */
+  private[graft] val BandRecallTarget: Double = 0.8
+
+  /** Hard cap on derived band count (keys per vector = assign·nBands;
+    * the cap bounds the explode at 256·assign rows/vector). */
+  private[graft] val MaxBands: Int = 256
+
+  /** Derived (bandBits, nBands) for the banded regime's in-cell SRP
+    * sign-word pruning ([[embeddingNearDupIvf]]): candidate pairs must
+    * share an IVF cell AND one b-bit band of the hash-derived
+    * Rademacher sign words (graft.functions.SrpWords) — hyperplane
+    * LSH (Charikar'02) composed INSIDE the coarse cells.
+    *
+    * Derivation, both knobs from first principles at the operating
+    * threshold τ = minCos:
+    *   - b = ⌈log₂(assign²·(N/nlist) / [[BandTargetPerBand]])⌉,
+    *     clamped to [4, 16]: smallest width that holds the expected
+    *     per-band in-cell collisions per vector at the constant the
+    *     r17 bounded regime proved workable — so per-vector work per
+    *     band is scale-invariant and total candidates grow ∝ N·nBands.
+    *   - per-bit collision probability p₁ = 1 − arccos(τ)/π (the
+    *     hyperplane-LSH identity), so a band survives with p₁^b and
+    *     nBands = ⌈ln(1−[[BandRecallTarget]])/ln(1−p₁^b)⌉ OR-composed
+    *     bands hold the band-stage recall at the target, capped at
+    *     [[MaxBands]].
+    *
+    * The τ-dependence makes the cost model honest and explicit: at
+    * real SemDeDup thresholds (τ ≈ 0.9, p₁ ≈ 0.856) a handful of
+    * bands suffice and candidates stay ∝ N — effectively proportional
+    * to output; at this synthetic corpus's calibrated τ (~0.55, 57°,
+    * p₁ ≈ 0.685) nBands grows into the tens and total work follows
+    * the provable hyperplane-LSH exponent (per-probe work ∝
+    * N^ρ, ρ = ln(1/p₁)/ln 2 ≈ 0.54 at 57°) — SCALING.md's "the wall
+    * is geometry" analysis, now carried by the derivation instead of
+    * a flat refusal. Tight-stratum pairs (cos ≥ 0.9) survive the
+    * bands with probability ≈ 1 at every derived operating point.
+    */
+  def pairBandKnobsFor(n: Long, nlist: Int, assign: Int,
+      minCos: Double): (Int, Int) = {
+    val perCell = assign.toDouble * assign * n / nlist
+    val b = math.min(16, math.max(4,
+      math.ceil(math.log(perCell / BandTargetPerBand) / math.log(2.0)).toInt))
+    val p1 = 1.0 - math.acos(math.min(1.0, math.max(-1.0, minCos))) / math.Pi
+    val hit = math.pow(p1, b)
+    val k =
+      if (hit >= 1.0) 1
+      else math.ceil(math.log(1.0 - BandRecallTarget) / math.log1p(-hit)).toInt
+    (b, math.min(MaxBands, math.max(1, k)))
   }
 
   /** Default nprobe for a derived nlist: holds the measured 5/8 cell
@@ -532,9 +604,13 @@ object Similarity {
     * assignFor) values at every observed point up to the 10×
     * rehearsal (at sf0.1 that is (32, 6), measured pair recall 0.961
     * vs 0.790 had assign stayed 4; see assignFor's sweep), switching
-    * to the candidate-budget-bounded regime above it (see
-    * ivfPairKnobsFor — the r17 decade catch). Explicit (> 0) args
-    * override.
+    * to the BANDED regime above it (r18): ladder nlist + assign=8 +
+    * in-cell SRP sign-word band keys with [[pairBandKnobsFor]]'s
+    * derived (bandBits, nBands) at the operating minCos — see
+    * ivfPairKnobsFor for the regime history (the r17 decade catch and
+    * why its nlist ∝ N² successor had to go). Explicit (> 0) args
+    * override knobs; `bandKnobs` overrides the banding (Some((0,0))
+    * forces it off — the instrument's ladder-shape measurement).
     *
     * @param leftOnly optional predicate over `id_a` restricting the
     *   candidate join's left side — the probe-restricted Θ(P·N) form
@@ -547,30 +623,40 @@ object Similarity {
     */
   def embeddingNearDupIvf(t: Tables, nlist: Int = 0, assign: Int = 0,
       minCos: Double = 0.3,
-      leftOnly: Option[Column] = None): DataFrame = {
-    val derived = ivfPairKnobsFor(corpusSize(t))
+      leftOnly: Option[Column] = None,
+      bandKnobs: Option[(Int, Int)] = None): DataFrame = {
+    val n = corpusSize(t)
+    val derived = ivfPairKnobsFor(n)
     val nl = if (nlist > 0) nlist else derived._1
     val a = if (assign > 0) assign else if (nlist > 0) assignFor(nlist) else derived._2
-    // Fail fast where the bounded regime measurably cannot deliver:
+    // (bandBits, nBands) for the in-cell SRP band keys: derived with
+    // the regime (r18 — bands replace r17's nlist ∝ N² cell shrink;
+    // see ivfPairKnobsFor/pairBandKnobsFor), overridable for
+    // instruments and specs; (0, _) or (_, 0) forces bands off.
+    val (bb, nBands0) = bandKnobs.getOrElse(
+      if (ivfPairBanded(n)) pairBandKnobsFor(n, nl, a, minCos) else (0, 0))
+    val nBands = if (bb <= 0) 0 else nBands0
+    // Fail fast where the banded regime measurably cannot deliver:
     // below the corpus's calibrated near-dup quantile the true pair
     // set is a dense fraction of all pairs (cos 0.3 ≈ 72° on this
-    // corpus — far wider than budget-bounded cells), and the nd100
-    // decade scan measured recall collapsing to 0.22 there. At or
-    // above the calibrated τ the same knobs hold the band (that is
-    // the SemDeDup regime semanticDedup runs in). Explicit knob args
-    // are the sanctioned override — same contract as flatScanGuard.
-    if (nlist <= 0 && assign <= 0 && derived != ((nlistFor(corpusSize(t)),
-        assignFor(nlistFor(corpusSize(t)))))) {
+    // corpus — the r17 nd100 scan measured recall collapsing to 0.22
+    // there, and the hyperplane-LSH exponent says any sign-hash
+    // blocker needs near-linear per-probe work at such angles). At or
+    // above the calibrated τ the derived bands hold the recall band
+    // (that is the SemDeDup regime semanticDedup runs in). Explicit
+    // knob args are the sanctioned override — same contract as
+    // flatScanGuard.
+    if (nlist <= 0 && assign <= 0 && bandKnobs.isEmpty && ivfPairBanded(n)) {
       val tauCal = semanticTauCalibrated(t)
       require(minCos >= tauCal,
-        s"embeddingNearDupIvf at N=${corpusSize(t)}: the candidate-budget-" +
-          s"bounded IVF blocking (nlist=$nl, assign=$a) cannot hold recall " +
-          f"at minCos=$minCos%.2f below the corpus's calibrated near-dup " +
-          f"threshold $tauCal%.2f (measured 0.22 recall at the 100x " +
-          "decade); the true pair output at this threshold is a dense " +
-          "fraction of all pairs. Raise minCos, pass explicit (nlist, " +
-          "assign) to accept reduced recall, or run the exact range scan " +
-          "(annRange with allowFullScan).")
+        s"embeddingNearDupIvf at N=$n: the banded IVF blocking " +
+          s"(nlist=$nl, assign=$a, bands=$nBands x ${bb}b) cannot hold " +
+          f"recall at minCos=$minCos%.2f below the corpus's calibrated " +
+          f"near-dup threshold $tauCal%.2f (measured 0.22 recall at the " +
+          "100x decade); the true pair output at this threshold is a " +
+          "dense fraction of all pairs. Raise minCos, pass explicit " +
+          "(nlist, assign)/bandKnobs to accept reduced recall, or run " +
+          "the exact range scan (annRange with allowFullScan).")
     }
     val e = withNorm(t)
     val model = coarseQuantizer(t, nl)
@@ -590,11 +676,34 @@ object Similarity {
       .withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= a)
       .select(col("vec_id"), col("cell"))
-      .persist() // read twice (both sides of the pair join)
 
-    val leftCells = cells.toDF("id_a", "cell")
-    val cand0 = leftOnly.fold(leftCells)(p => leftCells.filter(p))
-      .join(cells.toDF("id_b", "cell"), Seq("cell"))
+    // Banded regime: candidate keys are (cell, band, band value) —
+    // a pair must share a coarse cell AND one SRP sign-word band.
+    // The explode is assign·nBands rows/vector of 4 ints; the key
+    // table (not the raw cells) is what both join sides read.
+    val keys = (if (nBands > 0) {
+      val slots = 64 / bb
+      val nWords = (nBands + slots - 1) / slots
+      graft.functions.GraftFunctions.register(t.spark)
+      val words = e.select(col("vec_id"),
+        graft.functions.GraftFunctions.srpWords(col("v"), nWords).as("ws"))
+      val bandsExpr = (0 until nBands).map { j =>
+        val w = j / slots
+        val s = j % slots
+        s"named_struct('band', $j, 'bv', " +
+          s"shiftrightunsigned(ws[$w], ${s * bb}) & ${(1L << bb) - 1}L)"
+      }.mkString("array(", ", ", ")")
+      cells.join(words, "vec_id")
+        .select(col("vec_id"), col("cell"), explode(expr(bandsExpr)).as("b"))
+        .select(col("vec_id"), col("cell"),
+          col("b.band").as("band"), col("b.bv").as("bv"))
+    } else cells)
+      .persist() // read twice (both sides of the pair join)
+    val joinCols = if (nBands > 0) Seq("cell", "band", "bv") else Seq("cell")
+
+    val leftKeys = keys.withColumnRenamed("vec_id", "id_a")
+    val cand0 = leftOnly.fold(leftKeys)(p => leftKeys.filter(p))
+      .join(keys.withColumnRenamed("vec_id", "id_b"), joinCols)
     val cand = (leftOnly match {
       // symmetric self-join: id_a < id_b is already canonical
       case None => cand0.filter(col("id_a") < col("id_b"))
@@ -603,16 +712,16 @@ object Similarity {
       case Some(_) => cand0.filter(col("id_a") =!= col("id_b"))
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
-    }).distinct() // a pair may share several assigned cells
+    }).distinct() // a pair may share several assigned cells/bands
     val va = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val vb = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    // materialize the (small) verified pair list, then drop the cell cache
+    // materialize the (small) verified pair list, then drop the key cache
     val out = cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
       .localCheckpoint()
-    cells.unpersist()
+    keys.unpersist()
     out
   }
 

@@ -299,9 +299,15 @@ object DedupProbeScan {
 
       val probeVecIds = probeVecs.select($"id_a").collect().map(_.getLong(0))
       if (fams("embedding")) {
-        val (nlK, aK) = Similarity.ivfPairKnobsFor(e.count())
+        val nEmb = e.count()
+        val (nlK, aK) = Similarity.ivfPairKnobsFor(nEmb)
+        val bandedK = Similarity.ivfPairBanded(nEmb)
         println(s"DEDUPPROBE embedding_ivf knobs nlist=$nlK assign=$aK " +
-          s"(bounded=${nlK > Similarity.nlistFor(e.count())})")
+          s"(banded=$bandedK" +
+          (if (bandedK) {
+            val (bb, nb) = Similarity.pairBandKnobsFor(nEmb, nlK, aK, 0.3)
+            s", bands=$nb x ${bb}b at minCos=0.3"
+          } else "") + ")")
         val (truth, tT) = timed(pairSet(exact.filter($"cos" >= 0.3), "id_a", "id_b"))
         // probe-restricted Θ(P·N) form of the SHIPPED family: at this
         // corpus's ~0.8%-of-all-pairs density above cos 0.3, even the
@@ -309,9 +315,11 @@ object DedupProbeScan {
         // (derived knobs, full-corpus cell structure, verify) is
         // unchanged, only the candidate join's left side is filtered.
         // Knobs passed EXPLICITLY (= the derived values) because in the
-        // bounded regime the default rightly refuses minCos=0.3 below
+        // banded regime the default rightly refuses minCos=0.3 below
         // the calibrated τ — the scan is here to measure exactly that
-        // refused operating point.
+        // refused operating point (the SRP band keys still derive, at
+        // minCos=0.3, from inside embeddingNearDupIvf: the shipped
+        // geometry, only the fail-fast is bypassed).
         val (found, tF) = timed(pairSet(
           Similarity.embeddingNearDupIvf(t, nlist = nlK, assign = aK,
             leftOnly = Some(col("id_a").isin(probeVecIds.map(Long.box): _*))),
@@ -346,15 +354,18 @@ object DedupProbeScan {
             .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
         val truthPairs = truthAllP.map(p => (p._1, p._2))
         val tightPairs = truthAllP.filter(_._3 >= 0.9).map(p => (p._1, p._2))
-        // In the budget-bounded regime the shipped default (assign=8,
-        // 1e9 expected candidates) is proportional work on a cluster
+        // In the banded regime the shipped default (assign=8, ~1e9
+        // expected pre-distinct candidates at this synthetic corpus's
+        // wide-angle calibrated τ) is proportional work on a cluster
         // but exceeds this single node's spill scratch (measured 85 GB
-        // peak at N=200k) — the instrument runs a documented
-        // quarter-volume point (assign=4, same nlist); fewer assigned
+        // peak at N=200k under the r17 bounded regime at the same
+        // volume) — the instrument runs a documented half-volume point
+        // (assign=4, same ladder nlist; bands re-derive for the
+        // effective assign inside embeddingNearDupIvf); fewer assigned
         // cells can only LOWER co-clustering, so the shipped default's
         // number is at least what is measured here.
-        val (nlS, aS) = Similarity.ivfPairKnobsFor(e.count())
-        val aRun = if (nlS > Similarity.nlistFor(e.count())) {
+        val (nlS, _) = Similarity.ivfPairKnobsFor(e.count())
+        val aRun = if (Similarity.ivfPairBanded(e.count())) {
           println(s"DEDUPPROBE semantic instrument knobs nlist=$nlS assign=4 " +
             "(shipped default assign=8 exceeds single-node spill scratch)")
           4

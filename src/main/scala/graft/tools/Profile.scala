@@ -106,7 +106,7 @@ object Profile {
         Seq("bl", "bj", "bc"))
       .filter($"doc_a" =!= $"doc_b")
       .filter(graft.dedup.Dedup.edHistL1(spark, $"ha1", $"ha2",
-        $"hb1", $"hb2") <= lit(12))
+        $"hb1", $"hb2") <= lit(2 * graft.dedup.Dedup.EdMaxDist))
       .select(least($"doc_a", $"doc_b").as("doc_a"),
         greatest($"doc_a", $"doc_b").as("doc_b"))
     time("edq-cand-join")(candE.count())

@@ -170,6 +170,13 @@ object ScaleGen {
     // corpus a probe sample would catch only a handful of exact-copy
     // truth pairs, which every family finds trivially. Off by default
     // so default output stays byte-identical across rounds.
+    // Mutation seeds from the partner's EFFECTIVE sid (r18): a doc at
+    // id = 2 (mod 625) mutates doc id-1, but id-1 = 1 (mod 625) was
+    // itself rewritten to reuse id-2's text — seeding that case from
+    // id-2 makes every planted pair a REAL near-dup (the old id-1
+    // seed produced an unrelated text ~1 in 5 plants, diluting the
+    // probe set; truth is exact either way, so no recorded number was
+    // wrong — just noisier).
     val vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data",
       "dup", "fast", "filter", "group", "hash", "join", "key", "line",
       "merge", "order", "part", "query", "row", "scan", "slow", "small",
@@ -177,7 +184,10 @@ object ScaleGen {
     val mutated = col("id") % 125 === 2 && lit(nearDup)
     save(rng(nDoc)
       .withColumn("sid",
-        when(col("id") % 625 === 1 || mutated, col("id") - 1).otherwise(col("id")))
+        when(col("id") % 625 === 1 || mutated,
+          when((col("id") - 1) % 625 === 1, col("id") - 2)
+            .otherwise(col("id") - 1))
+          .otherwise(col("id")))
       .withColumn("nw", (abs(xxhash64(col("sid"), lit("dnw"))) % 91 + 10).cast("int"))
       .withColumn("text", concat_ws(" ", transform(
         sequence(lit(1), col("nw")),
@@ -217,7 +227,9 @@ object ScaleGen {
     save(rng(nEmb)
       .withColumn("esid",
         when((col("id") % 625 === 1 && lit(nearDup)) || mutatedE,
-          col("id") - 1).otherwise(col("id")))
+          when((col("id") - 1) % 625 === 1, col("id") - 2)
+            .otherwise(col("id") - 1))
+          .otherwise(col("id")))
       .withColumn("g0", gauss(col("esid")))
       .withColumn("g",
         when(mutatedE, zip_with(col("g0"), gauss(col("id")),

@@ -50,6 +50,60 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("graft_srp_words: codegen equals reference pack; frozen masks; sign geometry") {
+    import spark.implicits._
+    withLogLevel {
+      GraftFunctions.register(spark)
+      // frozen-hyperplane regression pin: mask(0,0) under the FROZEN
+      // seed — a seed change silently re-keys every banded pair family
+      assert(graft.functions.SrpWords.masks(1)(0) == -2152535657050944081L)
+      val rng = new scala.util.Random(13)
+      val rows = Seq.fill(40)(Array.fill(64)(rng.nextDouble() * 2 - 1))
+      val df = rows.toDF("v")
+      val got = df.select($"v", expr("graft_srp_words(v, 3)").as("w")).collect()
+      got.foreach { r =>
+        val v = r.getSeq[Double](0).toArray
+        val ref = graft.functions.SrpWords.pack(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(v), 3)
+        assert(r.getSeq[Long](1) == ref.toSeq)
+      }
+      // negation complements every sign bit (acc != 0 a.s. on random data)
+      df.select(expr("graft_srp_words(v, 2)").as("w"),
+        expr("graft_srp_words(transform(v, x -> -x), 2)").as("wn")).collect()
+        .foreach { r =>
+          r.getSeq[Long](0).zip(r.getSeq[Long](1)).foreach { case (a, b) =>
+            assert((a ^ b) == -1L)
+          }
+        }
+      // hyperplane-LSH identity: per-bit collision fraction for pairs
+      // at a controlled angle θ ≈ 1 − θ/π (the p₁ pairBandKnobsFor
+      // consumes). 60° pairs → expect ≈ 2/3; 40 pairs × 512 bits.
+      val theta = math.Pi / 3
+      val pairs = Seq.fill(40) {
+        val u = Array.fill(64)(rng.nextGaussian())
+        val r0 = Array.fill(64)(rng.nextGaussian())
+        val un = math.sqrt(u.map(x => x * x).sum)
+        val uu = u.map(_ / un)
+        val proj = r0.zip(uu).map { case (x, e) => x * e }.sum
+        val perp0 = r0.zip(uu).map { case (x, e) => x - proj * e }
+        val pn = math.sqrt(perp0.map(x => x * x).sum)
+        val w = uu.zip(perp0).map { case (a, p) =>
+          math.cos(theta) * a + math.sin(theta) * p / pn }
+        (uu, w)
+      }
+      val coll = pairs.toDF("a", "b")
+        .select(expr("graft_srp_words(a, 8)").as("wa"),
+          expr("graft_srp_words(b, 8)").as("wb"))
+        .collect().map { r =>
+          r.getSeq[Long](0).zip(r.getSeq[Long](1))
+            .map { case (x, y) => 64 - java.lang.Long.bitCount(x ^ y) }.sum
+        }.sum.toDouble / (40.0 * 512.0)
+      val expected = 1.0 - theta / math.Pi
+      assert(math.abs(coll - expected) < 0.05,
+        f"measured $coll%.4f vs 1-θ/π = $expected%.4f")
+    }
+  }
+
   test("edit histogram: packing matches a direct recompute and L1/2 lower-bounds levenshtein") {
     import spark.implicits._
     withLogLevel {

@@ -55,6 +55,26 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.keys.forall { case (a, b) => a < b })
   }
 
+  test("banded IVF pairs: SRP band keys only prune — subset of unbanded, dups survive") {
+    // the r18 banded regime's join geometry, forced on at gate scale
+    // via the bandKnobs override (the derived switch stays above the
+    // 10x rehearsal): a pair must share a cell AND one 8-bit SRP band
+    val unbanded = Similarity.embeddingNearDupIvf(t, nlist = 2, assign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = Similarity.embeddingNearDupIvf(t, nlist = 2, assign = 2,
+      bandKnobs = Some((8, 40)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // band keys can only PRUNE candidates; verified cosines are identical
+    assert(banded.keySet.subsetOf(unbanded.keySet))
+    banded.foreach { case (k, c) => assert(c == unbanded(k)) }
+    // identical vectors share every sign word → exact dup always survives
+    assert(banded.contains((0L, 1L)) && banded((0L, 1L)) > 0.9999999)
+    // cos≈0.99 pair: per-band hit p₁⁸ ≈ 0.69, 40 OR bands → miss < 1e-20
+    // (deterministic under the frozen hyperplanes)
+    assert(banded.contains((0L, 2L)))
+    assert(banded.keys.forall { case (a, b) => a < b })
+  }
+
   test("coarse quantizer fits ONCE per (session, dir, nlist) across ann_ivf + embedding dedup") {
     // the r8 verdict's one perf-weak item: both IVF operators fitting
     // identical quantizers. Pin the shared fit so it can't regress.

@@ -17,7 +17,7 @@ the round-close gate from .claude/skills/verify/SKILL.md step 14.
 Writes the current totals next to the 10x input as
 <bench_10x>.family_totals.json for the NEXT round's --prev.
 """
-import sys, json, math
+import argparse, sys, json, math
 
 MULTIMODAL_EXTRAS = {"dedup_image_ahash", "dedup_audio_fp"}
 EMBEDDING_DEDUP = {"dedup_embedding", "dedup_embedding_ivf", "dedup_semantic"}
@@ -52,12 +52,15 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--prev")]
-    prev_path = None
-    for i, a in enumerate(sys.argv):
-        if a == "--prev":
-            prev_path = sys.argv[i + 1]
-    q1, q10 = load(args[0]), load(args[1])
+    ap = argparse.ArgumentParser(
+        description="Per-family scaling exponents from two Bench JSONs")
+    ap.add_argument("bench_1x")
+    ap.add_argument("bench_10x")
+    ap.add_argument("--prev", metavar="prev_totals.json", default=None,
+                    help="gate family 10x totals at 1.5x vs this dict")
+    ns = ap.parse_args()
+    prev_path = ns.prev
+    q1, q10 = load(ns.bench_1x), load(ns.bench_10x)
     common = sorted(set(q1) & set(q10))
     only = set(q1) ^ set(q10)
     if only:
@@ -83,7 +86,7 @@ def main():
           f"{math.log10(tot10 / tot1):.2f} | — |")
 
     totals = {fam: round(t10, 2) for fam, n, t1, t10, e, w in rows}
-    out = args[1] + ".family_totals.json"
+    out = ns.bench_10x + ".family_totals.json"
     with open(out, "w") as f:
         json.dump(totals, f, indent=1)
     print(f"\nwrote {out}")
