@@ -139,11 +139,11 @@ object SparkEntry {
     // the fuzzy kept corpus: anti-join against the non-representative
     // cluster members — the actual output of a MinHash dedup pipeline
     "dedup_near_kept" -> q(Dedup.nearKeptCorpus),
-    "dedup_minhash_lsh" -> q(Dedup.minhashLsh),
+    "dedup_minhash_lsh" -> q(Dedup.minhashLsh(_)),
     "dedup_simhash"   -> q(Dedup.simhash),
     "dedup_substring" -> q(Dedup.substringDup),
     "dedup_simhash_hamming" -> q(Dedup.simhashHamming),
-    "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard),
+    "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard(_)),
     // PassJoin block-pigeonhole Levenshtein pairs over 64-char keys;
     // the oracle is the unfiltered quadratic form (lossless blocking)
     "dedup_edit_distance" -> q(Dedup.editDistance(_)),
@@ -308,6 +308,13 @@ object SparkEntry {
     // mm_image_ahash word, and the lossy Hamming gap must stay within
     // the re-encode budget imageNearDup's <=7 pairing relies on
     "mm_image_jpeg_ahash" -> q(Multimodal.jpegAHash),
+    // REAL video frame decode (r18, closes the last decode stub): an
+    // MJPEG-in-AVI container per doc, RIFF chunk walk -> every-2nd
+    // frame sample -> ImageIO JPEG decode -> aHash next to the source
+    // image's exact-formula word. Rows-only like mm_image_jpeg_ahash;
+    // check.py bands ahash_exact bitwise vs mm_image_ahash via
+    // src_media_id plus the lossy Hamming budget and frame structure
+    "mm_avi_frame_ahash" -> q(Multimodal.aviFrameAHash),
     "text_repetition" -> q(graft.pipeline.CorpusOps.repetition),
     // bigram novelty vs the reference half of the corpus — the
     // integer-exact analog of an LM-perplexity filter (occurrence-level

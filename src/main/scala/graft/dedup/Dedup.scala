@@ -270,11 +270,19 @@ object Dedup {
     sigCache.clear()
   }
 
-  def minhashLsh(t: Tables): DataFrame =
-    lshCache.getOrElseUpdate((t.spark, t.dir), {
-      cacheBuilds.incrementAndGet()
-      minhashLshUncached(t)
-    })
+  /** @param probeOnly decade-instrument restriction (DedupProbeScan):
+    *   predicate over `doc_id` limiting ONE side of the band-bucket
+    *   self-join (band equality is symmetric, so probe ⋈ all covers
+    *   every pair with a probe member). Bypasses the memo — the
+    *   restricted pair table is not the shipped family's. */
+  def minhashLsh(t: Tables, probeOnly: Option[Column] = None): DataFrame =
+    probeOnly match {
+      case None => lshCache.getOrElseUpdate((t.spark, t.dir), {
+        cacheBuilds.incrementAndGet()
+        minhashLshUncached(t)
+      })
+      case some => minhashLshUncached(t, some)
+    }
 
   /** (doc_id, band, key) bucket table from a signature table — the
     * classic LSH band index: one exploded row per band, keyed so a
@@ -284,7 +292,8 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(bandStructs("m"): _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
 
-  private def minhashLshUncached(t: Tables): DataFrame = {
+  private def minhashLshUncached(t: Tables,
+      probeOnly: Option[Column] = None): DataFrame = {
     // The signature table feeds the band join twice per band plus both
     // sides of the agreement count — without an explicit persist Spark
     // recomputes the whole shingle+md5+agg pipeline per branch (10 times
@@ -300,10 +309,16 @@ object Dedup {
 
     val x = buckets.toDF("doc_a", "band", "key")
     val y = buckets.toDF("doc_b", "band", "key")
-    val cand = x.join(y, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val cand = (probeOnly match {
+      case None => x.join(y, Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      case Some(p) => buckets.filter(p).toDF("doc_a", "band", "key")
+        .join(y, Seq("band", "key"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    }).distinct()
 
     val sa = sig.toDF("doc_a" +: (0 until K).map(i => s"ma$i"): _*)
     val sb = sig.toDF("doc_b" +: (0 until K).map(i => s"mb$i"): _*)
@@ -823,7 +838,15 @@ object Dedup {
     * join suffers never forms. Exact common counts are then computed
     * only for surviving candidate pairs.
     */
-  def ngramJaccard(t: Tables): DataFrame = {
+  /** @param probeOnly decade-instrument restriction (DedupProbeScan):
+    *   predicate over `doc_id` limiting ONE side of the prefix
+    *   self-join. Lossless for pairs with a probe member: the prefix
+    *   theorem above is symmetric (J ≥ θ forces the two PREFIXES to
+    *   intersect), so probe-prefix ⋈ all-prefix finds every such pair.
+    *   None (default, every shipped query) = full family, plan
+    *   unchanged. */
+  def ngramJaccard(t: Tables,
+      probeOnly: Option[Column] = None): DataFrame = {
     import t.spark.implicits._
     val grams = t.widen(t.documents)
       .select($"doc_id", explode(expr(
@@ -857,11 +880,17 @@ object Dedup {
       .select($"doc_id", $"e.gram".as("gram"))
       .persist() // BOTH sides of the candidate self-join read it: without
                  // this the df-join + per-doc sort pipeline runs twice
-    val cand = prefix.toDF("doc_a", "gram")
-      .join(prefix.toDF("doc_b", "gram"), "gram")
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b")
-      .distinct()
+    val cand = (probeOnly match {
+      case None => prefix.toDF("doc_a", "gram")
+        .join(prefix.toDF("doc_b", "gram"), "gram")
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b")
+      case Some(p) => prefix.filter(p).toDF("doc_a", "gram")
+        .join(prefix.toDF("doc_b", "gram"), "gram")
+        .filter($"doc_a" =!= $"doc_b") // both orders surface; canonicalize
+        .select(least($"doc_a", $"doc_b").as("doc_a"),
+          greatest($"doc_a", $"doc_b").as("doc_b"))
+    }).distinct()
       .persist() // feeds the doc-id semi-joins and the verification join
     // exact |A∩B| only for docs that survived candidate generation:
     // ONE semi-join against the union of candidate doc ids cuts the
@@ -1057,10 +1086,19 @@ object Dedup {
     * [[edKeys]]), so nothing within [[EdMaxDist]] is dropped. Split
     * out so DedupSpec can pin the candidate COUNT (Σ|bucket|² shape)
     * independently of the verify. */
-  private[graft] def edCandidatePairs(keys: DataFrame): DataFrame = {
+  private[graft] def edCandidatePairs(keys: DataFrame,
+      probeOnly: Option[Column] = None): DataFrame = {
     val longKeys = keys.filter(col("l") >= EdBlockMinLen)
+    // probeOnly (decade instrument): restrict the PROBE-WINDOW side to
+    // the probe docs — the PassJoin pigeonhole is one-directional
+    // (blocks(a) ⋈ probes(b) finds every qualifying (a, b): some block
+    // of a is edit-free and b's ±d windows cover its aligned content —
+    // the same asymmetry incrementalEdit's index form relies on), so
+    // index(full) ⋈ probes(restricted) is lossless for every pair with
+    // a probe member, at Θ(P·buckets) cost instead of Σ|bucket|².
+    val probeKeys = probeOnly.fold(longKeys)(p => longKeys.filter(p))
     val cand = edBlocks(longKeys).toDF("doc_a", "ha1", "ha2", "bl", "bj", "bc")
-      .join(edProbes(longKeys).toDF("doc_b", "hb1", "hb2", "bl", "bj", "bc"),
+      .join(edProbes(probeKeys).toDF("doc_b", "hb1", "hb2", "bl", "bj", "bc"),
         Seq("bl", "bj", "bc"))
       .filter(col("doc_a") =!= col("doc_b"))
       .filter(edHistL1(keys.sparkSession, col("ha1"), col("ha2"),
@@ -1084,11 +1122,18 @@ object Dedup {
     cand.union(shortPairs).distinct()
   }
 
-  def editDistance(t: Tables, checkpoint: Boolean = true): DataFrame = {
+  /** @param probeOnly decade-instrument restriction (DedupProbeScan):
+    *   predicate over `doc_id` limiting the probe-window side of the
+    *   candidate join — output then covers every pair with a probe
+    *   member (plus the cheap unrestricted short-key residue) at
+    *   Θ(P·N) cost. None (the default, every shipped query) is the
+    *   full family, plan unchanged. */
+  def editDistance(t: Tables, checkpoint: Boolean = true,
+      probeOnly: Option[Column] = None): DataFrame = {
     import t.spark.implicits._
     val keys = edKeys(t.widen(t.documents))
       .persist() // feeds blocks, probes, the short block, both verify joins
-    val out = edCandidatePairs(keys)
+    val out = edCandidatePairs(keys, probeOnly)
       .join(keys.select($"doc_id".as("doc_a"), $"k".as("ka"), $"l".as("la")), "doc_a")
       .join(keys.select($"doc_id".as("doc_b"), $"k".as("kb"), $"l".as("lb")), "doc_b")
       .filter(abs($"la" - $"lb") <= EdMaxDist) // ed ≥ |len diff|: free prune
@@ -1227,7 +1272,16 @@ object Dedup {
     * semi-join pattern: exact |A∩B| is computed only over docs that
     * survived candidate generation.
     */
-  def containment(t: Tables, checkpoint: Boolean = true): DataFrame = {
+  /** @param probeOnly decade-instrument restriction (DedupProbeScan):
+    *   predicate over `doc_id`. The asymmetric prefix join needs BOTH
+    *   orientations covered (the probe can be the small OR the large
+    *   side), so the restricted form is the union
+    *   prefix[probes] ⋈ grams[all]  ∪  prefix[all] ⋈ grams[probes] —
+    *   each Θ(P·postings), together lossless for every pair with a
+    *   probe member. None (default, every shipped query) = full
+    *   family, plan unchanged. */
+  def containment(t: Tables, checkpoint: Boolean = true,
+      probeOnly: Option[Column] = None): DataFrame = {
     import t.spark.implicits._
     val grams = t.widen(t.documents)
       .select($"doc_id", explode(expr(
@@ -1248,11 +1302,21 @@ object Dedup {
       .select($"doc_id", $"e.gram".as("gram"))
     // (n, doc_id) is the total order that picks the "smaller" side, so
     // ties break deterministically and each unordered pair appears once
-    val cand = prefix.join(sz, "doc_id").toDF("doc_a", "gram", "na")
-      .join(grams.join(sz, "doc_id").toDF("doc_b", "gram", "nb"), "gram")
-      .filter($"na" < $"nb" || ($"na" === $"nb" && $"doc_a" < $"doc_b"))
-      .select($"doc_a", $"doc_b")
-      .distinct()
+    val pSz = prefix.join(sz, "doc_id")
+    val gSz = grams.join(sz, "doc_id")
+    def orient(small: DataFrame, large: DataFrame) =
+      small.toDF("doc_a", "gram", "na")
+        .join(large.toDF("doc_b", "gram", "nb"), "gram")
+        .filter($"na" < $"nb" || ($"na" === $"nb" && $"doc_a" < $"doc_b"))
+        .select($"doc_a", $"doc_b")
+    val cand = (probeOnly match {
+      case None => orient(pSz, gSz)
+      // probe as the small side ∪ probe as the large side — each join
+      // is probe-bounded on one input, together covering every
+      // orientation a probe pair can take
+      case Some(p) => orient(pSz.filter(p), gSz)
+        .union(orient(pSz, gSz.filter(p)))
+    }).distinct()
       .persist() // feeds the doc-id semi-join and the verification join
     val candDocs = cand
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))

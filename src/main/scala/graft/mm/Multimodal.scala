@@ -9,11 +9,14 @@ import graft.io.Tables
 /** Multimodal columns: media as opaque `binary` payloads with typed
   * metadata alongside. IMAGE decode is REAL: `decodeImage` reads
   * PNG/JPEG/GIF/BMP headers via the JDK's `javax.imageio` (ships with
-  * the JRE — no external libs). Payloads no installed reader
-  * recognizes (audio/video/plain text — those codecs are not in this
-  * container) fall back to `decodeStub`, a deterministic fake; the
-  * Spark-side plumbing — schema, per-partition batch processing,
-  * partition sizing — is real and tested either way.
+  * the JRE — no external libs), and VIDEO frame decode is real for
+  * MJPEG-in-AVI ([[Multimodal.aviFrameAHash]] — every frame an
+  * independent baseline JPEG, the one mainstream video codec the JDK
+  * decodes). Payloads no installed reader recognizes (H.264/AAC and
+  * friends — those codecs are not in this container) fall back to
+  * `decodeStub`, a deterministic fake; the Spark-side plumbing —
+  * schema, per-partition batch processing, partition sizing — is real
+  * and tested either way.
   *
   * At 100 TB the shape matters: payloads stay columnar-binary in
   * parquet, decode runs per-partition (one library context per task,
@@ -218,9 +221,9 @@ object Multimodal {
     *
     * Kept metadata is what a 100 TB video-corpus pipeline filters on
     * BEFORE paying for a decoder: duration, resolution, payload size.
-    * Pixel/sample decode itself still needs the codecs this container
-    * lacks — that single step remains [[decodeStub]], now the only
-    * stubbed decode in the module.
+    * Pixel/sample decode for the codecs this container lacks
+    * (H.264 etc.) remains [[decodeStub]]; MJPEG-in-AVI frame decode
+    * is REAL ([[aviFrameAHash]], r18).
     */
   def parseMp4(p: Array[Byte]): Option[Mp4Meta] = {
     def u32(o: Int): Long = ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
@@ -845,6 +848,186 @@ object Multimodal {
           java.lang.Long.bitCount(jpegWord ^ exactWord).toLong)
       }
     }.toDF("media_id", "jpeg_bytes", "ahash_jpeg", "ahash_exact", "hamming")
+  }
+
+  // ----------------------------------- MJPEG-in-AVI video frame decode
+
+  /** Parsed AVI main-header metadata ([[parseAvi]]). */
+  final case class AviMeta(width: Int, height: Int, nFrames: Int,
+                           usPerFrame: Long)
+
+  /** One RIFF chunk as bytes: 4cc id, u32-LE size, body, odd-size pad
+    * (the WAV/[[buildWav]] little-endian discipline, factored out for
+    * the nested AVI structure). */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 9)
+    out.write(id.getBytes("US-ASCII"))
+    var i = 0
+    while (i < 4) { out.write(((body.length >> (8 * i)) & 0xff)); i += 1 }
+    out.write(body)
+    if ((body.length & 1) == 1) out.write(0) // RIFF pads odd chunks
+    out.toByteArray
+  }
+
+  /** `LIST(listType, children...)` as bytes. */
+  private def riffList(listType: String, children: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", children.foldLeft(listType.getBytes("US-ASCII"))(_ ++ _))
+
+  /** Values packed as little-endian u32s (4cc strings pass through). */
+  private def u32s(xs: Any*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(xs.length * 4)
+    xs.foreach {
+      case s: String => out.write(s.getBytes("US-ASCII"))
+      case n: Long => var i = 0; while (i < 4) { out.write(((n >> (8 * i)) & 0xff).toInt); i += 1 }
+      case n: Int => var i = 0; while (i < 4) { out.write((n >> (8 * i)) & 0xff); i += 1 }
+      case x => sys.error(s"u32s: $x")
+    }
+    out.toByteArray
+  }
+
+  /** Builds a VALID RIFF/AVI container holding an MJPEG video stream —
+    * each frame a complete JPEG in its own `00dc` movi chunk, the
+    * layout every AVI tool and FFmpeg's MJPEG demuxer reads:
+    * `RIFF('AVI ' LIST(hdrl avih LIST(strl strh strf)) LIST(movi
+    * 00dc...))`. MJPEG is the one mainstream VIDEO codec the JDK can
+    * decode (every frame is an independent baseline JPEG — ImageIO's
+    * reader applies), which is what lets frame sampling run a REAL
+    * container walk + REAL pixel decode with zero native codec deps.
+    * Structure per the public AVI RIFF form (msdn AVIMAINHEADER /
+    * AVISTREAMHEADER / BITMAPINFOHEADER): all integers little-endian,
+    * strh carries 'vids'/'MJPG' with rate/scale = 1e6/usPerFrame fps,
+    * strf is a BITMAPINFOHEADER with biCompression 'MJPG'. No idx1
+    * index — optional per spec, and the parser walks chunks, not
+    * offsets.
+    */
+  def buildAvi(width: Int, height: Int, usPerFrame: Long,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val maxFrame = frames.foldLeft(0)((m, f) => math.max(m, f.length))
+    val avih = riffChunk("avih", u32s(
+      usPerFrame, 0, 0, 0, frames.length, 0, 1, maxFrame, width, height,
+      0, 0, 0, 0))
+    val strh = riffChunk("strh", u32s(
+      "vids", "MJPG", 0, 0 /* prio+lang u16s */, 0,
+      usPerFrame /* scale */, 1000000 /* rate */, 0, frames.length,
+      maxFrame, -1 /* default quality */, 0,
+      0 /* rcFrame l,t */, (height << 16) | (width & 0xffff) /* r,b */))
+    val strf = riffChunk("strf", u32s(
+      40, width, height, (24 << 16) | 1 /* planes 1, bitcount 24 */,
+      "MJPG", width * height * 3, 0, 0, 0, 0))
+    val movi = riffList("movi", frames.map(riffChunk("00dc", _)): _*)
+    val body = riffList("hdrl", avih, riffList("strl", strh, strf)) ++ movi
+    riffChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ body)
+  }
+
+  /** REAL RIFF/AVI walk — the video twin of [[parseWav]]: verify the
+    * `RIFF`/`AVI ` magic, then walk the chunk list, descending into
+    * `LIST(hdrl)` for the `avih` main header (frame duration, frame
+    * count, dimensions) and `LIST(movi)` for the frame chunks (`00dc`
+    * compressed / `00db` uncompressed video of stream 0), skipping
+    * everything else by size (idx1, INFO, JUNK — offset arithmetic
+    * would misread any real-world file, a chunk walker doesn't).
+    * Returns the header metadata plus each frame's payload bytes —
+    * for MJPEG streams every payload is a standalone JPEG.
+    */
+  def parseAvi(p: Array[Byte]): Option[(AviMeta, Vector[Array[Byte]])] = {
+    def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var meta: Option[AviMeta] = None
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val id = tag(off)
+        val size = u32(off + 4).toInt
+        val body = off + 8
+        if (body + size > p.length) return // truncated chunk: stop
+        id match {
+          case "LIST" if size >= 4 =>
+            val lt = tag(body)
+            if (lt == "hdrl" || lt == "movi") walk(body + 4, body + size)
+          case "avih" if size >= 40 =>
+            meta = Some(AviMeta(u32(body + 32).toInt, u32(body + 36).toInt,
+              u32(body + 16).toInt, u32(body)))
+          case "00dc" | "00db" =>
+            frames += java.util.Arrays.copyOfRange(p, body, body + size)
+          case _ => // strl internals reached only via hdrl; idx1/JUNK skip
+        }
+        off = body + size + (size & 1)
+      }
+    }
+    walk(12, p.length)
+    meta.map((_, frames.result()))
+  }
+
+  /** Synthesized MJPEG-in-AVI media table: doc `id` becomes an AVI of
+    * 4–12 frames (`4 + (id mod 5)·2` — varying counts exercise the
+    * header/walk agreement), where frame `f` is the JPEG-encoded
+    * raster of corpus image `(id + f) mod nDocs`. Sourcing frames from
+    * OTHER docs' rasters is what makes the decode verifiable with zero
+    * formula duplication: every sampled frame's exact-raster hash must
+    * equal the oracle-backed mm_image_ahash word of its source row.
+    */
+  def aviFromDocuments(t: Tables): Dataset[MediaRow] = {
+    import t.spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[MediaRow] =
+      Encoders.product[MediaRow]
+    val nDocs = t.documents.count()
+    t.widen(t.documents).select($"doc_id").as[Long].map { id =>
+      val nf = 4 + (id % 5).toInt * 2
+      val frames = (0 until nf).map { f =>
+        buildJpeg(16, 16, (x, y) => imagePixel((id + f) % nDocs, x, y))
+      }
+      MediaRow(id, "avi", buildAvi(16, 16, 33333L, frames))
+    }
+  }
+
+  /** Sampled REAL video-frame decode (closes the module's last decode
+    * stub — codec-bearing video frame extraction): walk each AVI
+    * ([[parseAvi]]), keep every 2nd frame (the frame-sampling access
+    * pattern [[frameSample]] models on raw bytes), JPEG-decode the
+    * sampled `00dc` payloads with ImageIO, and aHash the decoded
+    * raster next to the exact-formula aHash of the frame's SOURCE
+    * image. Rows-only (JPEG decode is not bit-portable); gated by a
+    * tools/check.py band exactly like [[jpegAHash]]: `ahash_exact`
+    * must bitwise-match the hash-checked mm_image_ahash word of
+    * `src_media_id`, the lossy `hamming` gap stays within the
+    * re-encode budget, and the sampled frame structure (indices
+    * 0,2,4,…; `n_frames = 4 + (id mod 5)·2`) must hold per media row.
+    *
+    * 100 TB shape: identical to [[jpegAHash]] — per-partition
+    * demux+decoder contexts, a few typed columns per sampled frame
+    * out, the video payload bytes never shuffle. The synth step
+    * stands in for stored crawl bytes; production runs only
+    * walk+decode+hash.
+    */
+  def aviFrameAHash(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val nDocs = t.documents.count()
+    aviFromDocuments(t).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (meta, frames) = parseAvi(r.payload).getOrElse(
+          sys.error(s"media ${r.media_id}: synthesized AVI failed to parse"))
+        if (meta.nFrames != frames.length)
+          sys.error(s"media ${r.media_id}: avih says ${meta.nFrames} " +
+            s"frames, movi has ${frames.length}")
+        frames.zipWithIndex.collect { case (jpeg, f) if f % 2 == 0 =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpeg))
+          if (img == null)
+            sys.error(s"media ${r.media_id} frame $f: JPEG failed to decode")
+          val jpegWord = rasterAHash(img.getWidth, img.getHeight,
+            (x, y) => img.getRGB(x, y) & 0xff)
+          val src = (r.media_id + f) % nDocs
+          val exactWord = rasterAHash(16, 16, (x, y) => imagePixel(src, x, y))
+          (r.media_id, f.toLong, src, meta.nFrames.toLong,
+            jpeg.length.toLong, jpegWord, exactWord,
+            java.lang.Long.bitCount(jpegWord ^ exactWord).toLong)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "src_media_id", "n_frames",
+      "frame_bytes", "ahash_jpeg", "ahash_exact", "hamming")
   }
 
   // ----------------------------------------- real raster downscale

@@ -544,12 +544,26 @@ object Relational {
     // 32 combos collide badly into 32 partitions). Replication cost is
     // on the SMALL side only (probes ×64, ~30 MB shuffled at 10x).
     val salts = 64
+    // Content prefilter (r18, the edit-dedup family's mechanism applied
+    // verbatim to name pairs): a 32-bucket saturating char histogram
+    // packed into two longs PER ROW (codegen'd CharHistWord, computed
+    // once before the exchange — 16 extra bytes of shuffle width), and
+    // an L1 lower bound INSIDE the join stage. One levenshtein edit
+    // moves at most one code point between buckets, so L1/2 ≤ dist and
+    // `L1 > 2·4` rejects a candidate WITHOUT the O(len²) DP — lossless
+    // (merging buckets / saturating counters only shrink L1; see
+    // Dedup.edKeys). At the 10x rehearsal the DP was ~100x the 1x pair
+    // volume; this bounds the DP calls by the surviving candidates.
+    graft.functions.GraftFunctions.register(t.spark)
+    def hist(c: Column, w: Int) = graft.functions.GraftFunctions.charHist(c, w)
     val probes = t.widen(t.part).filter($"p_partkey" % 50 === 0)
-      .select($"p_partkey".as("probe_key"), $"p_name".as("probe_name"))
+      .select($"p_partkey".as("probe_key"), $"p_name".as("probe_name"),
+        hist($"p_name", 0).as("ph1"), hist($"p_name", 1).as("ph2"))
       .withColumn("blk", explode(array(bkt - 1, bkt, bkt + 1)))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     val cands = t.widen(t.part)
-      .select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"))
+      .select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"),
+        hist($"p_name", 0).as("ch1"), hist($"p_name", 1).as("ch2"))
       .withColumn("blk", floor(length($"cand_name") / lit(5)))
       .withColumn("salt", pmod(hash($"cand_key"), lit(salts)))
     // length-difference lower bound: |len(a)-len(b)| > k ⇒ dist > k.
@@ -560,6 +574,8 @@ object Relational {
       .join(cands.repartition(width, $"blk", $"salt"), Seq("blk", "salt"))
       .filter($"probe_key" =!= $"cand_key" &&
         abs(length($"probe_name") - length($"cand_name")) <= 4)
+      .filter(graft.functions.GraftFunctions.nibbleL1($"ph1", $"ch1") +
+        graft.functions.GraftFunctions.nibbleL1($"ph2", $"ch2") <= lit(8))
       // thresholded variant early-exits the DP (returns -1 above 4);
       // kept rows carry the exact distance, same values as the oracle
       .withColumn("dist", levenshtein($"probe_name", $"cand_name", 4))

@@ -52,7 +52,12 @@ object DedupProbeScan {
         "embedding", "semantic")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // 256, not the suite's 32: decade corpora push ~5e8-row candidate
+      // distincts through single stages; 32 fat partitions at ~1 GB
+      // execution memory each is exactly the UNABLE_TO_ACQUIRE_MEMORY
+      // shape (observed at the nd100 banded semantic run, r18) — the
+      // instrument wants many small tasks, AQE coalesces the tiny ones
+      .config("spark.sql.shuffle.partitions", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

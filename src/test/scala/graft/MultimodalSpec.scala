@@ -163,6 +163,59 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.values.count(_._4 == 0L) * 10 >= rows.size * 9)
   }
 
+  test("AVI: buildAvi round-trips through parseAvi; walker skips junk, rejects garbage") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7),
+      Array[Byte](8)) // odd sizes exercise RIFF padding
+    val avi = Multimodal.buildAvi(16, 12, 33333L, frames)
+    val (meta, got) = Multimodal.parseAvi(avi).get
+    assert(meta == Multimodal.AviMeta(16, 12, 3, 33333L))
+    assert(got.size == 3 && got.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // a real-world file has chunks the walker must skip by size (idx1,
+    // JUNK): append one and re-parse — chunk walk, not offset math
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      Array[Byte](9, 9, 9, 9)
+    val withJunk = java.util.Arrays.copyOf(avi, avi.length + junk.length)
+    System.arraycopy(junk, 0, withJunk, avi.length, junk.length)
+    // fix up the RIFF size field (u32 LE at offset 4)
+    val newSize = withJunk.length - 8
+    for (i <- 0 until 4) withJunk(4 + i) = ((newSize >> (8 * i)) & 0xff).toByte
+    assert(Multimodal.parseAvi(withJunk).get._2.size == 3)
+    // non-AVI payloads: None, never a crash
+    assert(Multimodal.parseAvi("not an avi at all".getBytes).isEmpty)
+    assert(Multimodal.parseAvi(Multimodal.buildWav(44100, 2, 16,
+      Array[Byte](1, 2, 3, 4))).isEmpty)
+    // truncated mid-chunk: the walker stops instead of reading past end
+    assert(Multimodal.parseAvi(java.util.Arrays.copyOf(avi, avi.length - 2))
+      .forall(_._2.size <= 3))
+  }
+
+  test("AVI frame sample: real MJPEG decode, exact words pin to source images") {
+    System.setProperty("java.awt.headless", "true")
+    val nDocs = t.documents.count()
+    val rows = Multimodal.aviFrameAHash(t).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    val exactWords = Multimodal.imageAHash(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(rows.map(_._1).distinct.length == nDocs)
+    rows.foreach { case (id, f, src, nf, bytes, jw, ew, ham) =>
+      assert(f % 2 == 0 && f < nf, s"doc $id frame $f not an even sample")
+      assert(nf == 4 + (id % 5) * 2, s"doc $id header frame count $nf")
+      assert(src == (id + f) % nDocs)
+      assert(bytes > 0)
+      // the decoded frame's exact companion IS the source image's
+      // oracle-backed aHash word — zero formula duplication
+      assert(ew == exactWords(src), s"doc $id frame $f source-word drift")
+      assert(ham == java.lang.Long.bitCount(jw ^ ew) && ham <= 16)
+    }
+    // per-media sample count = ceil(n_frames / 2)
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.length == (rs.head._4 + 1) / 2, s"doc $id sample count")
+    }
+    // the lossy decode really happened AND is typically exact
+    assert(rows.count(_._8 == 0L) * 10 >= rows.length * 9)
+  }
+
   test("audio fingerprint equals a direct energy-contour recompute from the text bytes") {
     import org.apache.spark.sql.functions.col
     val texts = t.documents.select(col("doc_id"), col("text")).collect()

@@ -100,6 +100,54 @@ class RelationalSpec extends SparkSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
 
+  test("q32 histogram prefilter: lossless vs brute force, kills length-band candidates") {
+    import spark.implicits._
+    // exact brute-force truth over the small corpus
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = t.part.select($"p_partkey", $"p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (pk, pn) <- parts if pk % 50 == 0
+      (ck, cn) <- parts if ck != pk
+      d = lev(pn, cn) if d <= 4
+    } yield (pk, ck, d)).toSet
+    val got = Relational.q32FuzzyName(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, "histogram L1 prefilter must be lossless")
+    // candidate-kill pin (r18): of the pairs surviving the length band,
+    // the packed-histogram L1 bound must reject a real fraction before
+    // the DP — the r17 verdict's q32 item (DP volume ∝ band pairs)
+    def l1(a: String, b: String): Int =
+      graft.functions.NibbleL1.l1(graft.functions.CharHistWord.pack(a, 0),
+        graft.functions.CharHistWord.pack(b, 0)) +
+        graft.functions.NibbleL1.l1(graft.functions.CharHistWord.pack(a, 1),
+          graft.functions.CharHistWord.pack(b, 1))
+    val band = for {
+      (pk, pn) <- parts if pk % 50 == 0
+      (ck, cn) <- parts
+      if ck != pk && math.abs(pn.length - cn.length) <= 4 &&
+        math.abs(pn.length / 5 - cn.length / 5) <= 1
+    } yield (pn, cn)
+    val survivors = band.count { case (a, b) => l1(a, b) <= 8 }
+    assert(band.nonEmpty && survivors < band.size,
+      s"L1 filter killed nothing: $survivors of ${band.size} band pairs")
+    // losslessness the direct way: every true pair passes the L1 bound
+    brute.foreach { case (pk, ck, _) =>
+      val pn = parts.find(_._1 == pk).get._2
+      val cn = parts.find(_._1 == ck).get._2
+      assert(l1(pn, cn) <= 8)
+    }
+    info(s"band pairs ${band.size} -> L1 survivors $survivors " +
+      f"(${100.0 * (band.size - survivors) / band.size}%.1f%% killed)")
+  }
+
   test("q36 interval join: gaps in [0, 10min), cross-band pairs found exactly once") {
     import spark.implicits._
     val rows = Relational.q36IntervalJoin(t).collect()

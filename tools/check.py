@@ -407,6 +407,54 @@ def _band_jpeg_ahash(con, out_dir, name):
     return True
 
 
+def _band_avi_frame_ahash(con, out_dir, name):
+    """Sampled REAL video-frame decode (Multimodal.aviFrameAHash):
+    MJPEG-in-AVI chunk walk -> every-2nd-frame JPEG decode -> aHash.
+
+    Same gate pattern as mm_image_jpeg_ahash, plus structure checks on
+    the container walk itself:
+    (1) every sampled frame's exact-formula word must BITWISE match the
+        hash-checked mm_image_ahash word of its SOURCE image
+        (src_media_id = (media_id + frame_idx) mod nDocs — the frames
+        are re-encodes of other corpus images, so the formula is never
+        duplicated here);
+    (2) the lossy Hamming gap obeys the same re-encode budget
+        (mean <= 0.5, P(>3) <= 1%, max <= 16);
+    (3) the walk found the header-declared frame count
+        (n_frames = 4 + (media_id mod 5)*2), sampled exactly the even
+        indices, and every decoded payload was non-empty."""
+    base = f"{out_dir}/mm_image_ahash"
+    if not glob.glob(f"{base}/*.parquet"):
+        print(f"FAIL {name}[band]: baseline mm_image_ahash output missing")
+        return False
+    n_docs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{base}/*.parquet')").fetchone()[0]
+    bad = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet') a "
+        f"JOIN read_parquet('{base}/*.parquet') b "
+        f"ON a.src_media_id = b.media_id "
+        f"WHERE a.ahash_exact IS DISTINCT FROM b.ahash "
+        f" OR a.frame_bytes <= 0 OR a.frame_idx % 2 != 0 "
+        f" OR a.n_frames != 4 + (a.media_id % 5) * 2 "
+        f" OR a.src_media_id != (a.media_id + a.frame_idx) % {n_docs}").fetchone()[0]
+    n, nm, hmax, hmean, ntail = con.execute(
+        f"SELECT count(*), count(DISTINCT media_id), max(hamming), "
+        f"avg(hamming), sum(CASE WHEN hamming > 3 THEN 1 ELSE 0 END) "
+        f"FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()
+    # every doc yields ceil(n_frames/2) sampled rows: 2..6 per media
+    if (bad or n == 0 or nm != n_docs or hmean > 0.5 or ntail > n * 0.01
+            or hmax > 16):
+        print(f"FAIL {name}[band]: {bad} rows violate source-hash/frame "
+              f"structure (n={n}, media={nm}/{n_docs}, lossy hamming "
+              f"mean={hmean} tail>3={ntail} max={hmax})")
+        return False
+    print(f"PASS {name}[band] (all {n} sampled frames from {nm} AVIs "
+          f"bitwise-match their source mm_image_ahash word; lossy "
+          f"hamming mean={hmean:.3f}, {ntail}/{n} beyond 3 bits, "
+          f"max={hmax})")
+    return True
+
+
 def _band_stream_semantic(con, out_dir, name):
     """Ingest-side SemDeDup vs the batch dedup_semantic on the arrival
     slice (vec_id % 10 == 9):
@@ -511,6 +559,7 @@ BAND_CHECKS = {
     "text_rolling_hash": _band_rolling_hash,
     "stream_index_append": _band_index_append,
     "mm_image_jpeg_ahash": _band_jpeg_ahash,
+    "mm_avi_frame_ahash": _band_avi_frame_ahash,
     "stream_semantic": _band_stream_semantic,
     "ann_recall_probe": _band_recall_probe,
 }

@@ -14,7 +14,7 @@ ROWS_ONLY = ["ann_ivf", "ann_ivf_int8", "stream_ann_ivf_int8", "ann_range_ivf",
              "text_rolling_hash",
              # deterministic on ONE decoder build; rows-only because JPEG
              # decode is not bit-portable ACROSS decoder implementations
-             "mm_image_jpeg_ahash"]
+             "mm_image_jpeg_ahash", "mm_avi_frame_ahash"]
 
 def main():
     a, b = sys.argv[1], sys.argv[2]
