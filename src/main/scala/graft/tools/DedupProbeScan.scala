@@ -46,10 +46,17 @@ object DedupProbeScan {
     val plantedMod = if (args.length > 1) args(1).toInt else 50
     val randomMod = if (args.length > 2) args(2).toInt else 8192
     val embMod = if (args.length > 3) args(3).toInt else 1536
-    val fams: Set[String] =
+    // "restricted" in the families list switches the DOC families to
+    // their probeOnly Θ(P·N) forms (same shipped index + verify, only
+    // the candidate join's probe side filtered — the simhash family's
+    // standing mode) for decades where the FULL families' bucket
+    // quadratics exceed one node (nd1000, N=5M on the saturating soup)
+    val fams0: Set[String] =
       if (args.length > 4) args(4).split(",").map(_.trim).toSet
       else Set("edit", "minhash", "jaccard", "containment", "simhash",
         "embedding", "semantic")
+    val restricted = fams0.contains("restricted")
+    val fams = fams0 - "restricted"
     val spark = SparkSession.builder()
       .master("local[32]")
       // 256, not the suite's 32: decade corpora push ~5e8-row candidate
@@ -65,7 +72,7 @@ object DedupProbeScan {
     spark.sparkContext.setLogLevel("WARN")
     Quiet.windowWarn()
     val t = Tables(spark, dir)
-    run(t, plantedMod, randomMod, embMod, fams)
+    run(t, plantedMod, randomMod, embMod, fams, restricted)
     spark.stop()
   }
 
@@ -91,7 +98,7 @@ object DedupProbeScan {
   }
 
   def run(t: Tables, plantedMod: Int, randomMod: Int, embMod: Int,
-      fams: Set[String]): Unit = {
+      fams: Set[String], restricted: Boolean = false): Unit = {
     import t.spark.implicits._
 
     val docs = t.widen(t.documents)
@@ -140,7 +147,9 @@ object DedupProbeScan {
         .agg(sum($"c" * $"c")).head().getLong(0)
       println(s"DEDUPPROBE edit index-side block bucket volume ~ $edVol")
       val (found, tF) = timed(pairSet(
-        Dedup.editDistance(t).filter(isProbeA || isProbeB), "doc_a", "doc_b"))
+        Dedup.editDistance(t, probeOnly =
+          if (restricted) Some(col("doc_id").isin(probeIds.map(Long.box): _*)) else None)
+          .filter(isProbeA || isProbeB), "doc_a", "doc_b"))
       report("edit", truth, found, tT, tF)
     }
 
@@ -179,7 +188,9 @@ object DedupProbeScan {
           rows.filter(_._2 >= k - k / 4 + 1).map(_._1).toSet)
       }
       val (found, tF) = timed(pairSet(
-        Dedup.minhashLsh(t).filter(isProbeA || isProbeB), "doc_a", "doc_b"))
+        Dedup.minhashLsh(t,
+          if (restricted) Some(col("doc_id").isin(probeIds.map(Long.box): _*)) else None)
+          .filter(isProbeA || isProbeB), "doc_a", "doc_b"))
       report("minhash", truthAll, found, tT, tF)
       val hiRecall = (truthHi & found).size.toDouble / math.max(truthHi.size, 1)
       println(f"DEDUPPROBE minhash>=13  recall=$hiRecall%.4f " +
@@ -211,7 +222,9 @@ object DedupProbeScan {
           common.filter($"common" * 10 >= $"na" + $"nb" - $"common"),
           "doc_a", "doc_b"))
         val (found, tF) = timed(pairSet(
-          Dedup.ngramJaccard(t).filter(isProbeA || isProbeB), "doc_a", "doc_b"))
+          Dedup.ngramJaccard(t, probeOnly =
+            if (restricted) Some(col("doc_id").isin(probeIds.map(Long.box): _*)) else None)
+            .filter(isProbeA || isProbeB), "doc_a", "doc_b"))
         report("jaccard", truth, found, tT, tF)
       }
       if (fams("containment")) {
@@ -220,7 +233,9 @@ object DedupProbeScan {
         val (truth, tT) = timed(pairSet(
           common.filter($"common" * 2 >= least($"na", $"nb")), "doc_a", "doc_b"))
         val (found, tF) = timed(pairSet(
-          Dedup.containment(t).filter(isProbeA || isProbeB), "doc_a", "doc_b"))
+          Dedup.containment(t, probeOnly =
+            if (restricted) Some(col("doc_id").isin(probeIds.map(Long.box): _*)) else None)
+            .filter(isProbeA || isProbeB), "doc_a", "doc_b"))
         report("containment", truth, found, tT, tF)
       }
       common.unpersist(); sz.unpersist(); grams.unpersist()
