@@ -33,6 +33,22 @@ object Dedup {
   private[graft] def sqlH32(x: String): String =
     s"('0x'||substr(md5($x),1,8))::BIGINT"
 
+  /** Overlapping word `width`-gram spans of `text` as a self-contained
+    * SQL expression, capped at 8191 starts (invariant 6 — mirrored by
+    * the oracles' range(1, 8192) tables). The single-element outer
+    * transform binds split(text) ONCE per row as a lambda variable:
+    * Catalyst does not hoist loop-invariant subexpressions out of
+    * higher-order-function lambdas, so the naive
+    * `i -> slice(split(text,' '), i, w)` re-splits the WHOLE document
+    * at every start — O(words·starts) per doc, measured as 173 s of
+    * summed stage CPU on the 10x corpus_scrub_spans span stage alone
+    * before the hoist (r18 Profile stages audit).
+    */
+  private[graft] def gramExpr(width: Int): String =
+    s"transform(array(split(text, ' ')), toks -> " +
+      s"transform(sequence(1, least(greatest(size(toks)-${width - 1}, 1), 8191)), " +
+      s"i -> concat_ws(' ', slice(toks, i, $width))))[0]"
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: hash-groupBy on content digest; keeps the smallest
@@ -654,10 +670,7 @@ object Dedup {
   def substringDup(t: Tables): DataFrame = {
     import t.spark.implicits._
     t.widen(t.documents)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, least(greatest(size(split(text, ' '))-15, 1), 8191)), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i, 16)))"
-      )).as("span"))
+      .select($"doc_id", explode(expr(gramExpr(16))).as("span"))
       .select($"doc_id", h32($"span").as("span_h"))
       .groupBy($"span_h")
       .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_spans"))
@@ -849,10 +862,7 @@ object Dedup {
       probeOnly: Option[Column] = None): DataFrame = {
     import t.spark.implicits._
     val grams = t.widen(t.documents)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, least(greatest(size(split(text, ' '))-4, 1), 8191)), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
-      )).as("gram"))
+      .select($"doc_id", explode(expr(gramExpr(5))).as("gram"))
       .distinct()
       .persist() // feeds df + size aggs + prefix + verification; avoid recompute
     val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -1284,10 +1294,7 @@ object Dedup {
       probeOnly: Option[Column] = None): DataFrame = {
     import t.spark.implicits._
     val grams = t.widen(t.documents)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, least(greatest(size(split(text, ' '))-4, 1), 8191)), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
-      )).as("gram"))
+      .select($"doc_id", explode(expr(gramExpr(5))).as("gram"))
       .distinct()
       .persist() // feeds sz + df + prefix + full join side + verification
     val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))

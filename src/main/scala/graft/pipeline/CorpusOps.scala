@@ -24,11 +24,11 @@ object CorpusOps {
   /** Word n-gram starting positions, capped like Dedup.shingles.
     * `private[graft]`: Streams.curatedStream evaluates the same
     * expression row-locally so its gate matches the batch pass's
-    * repetition counts gram for gram.
+    * repetition counts gram for gram. Delegates to [[Dedup.gramExpr]]
+    * (the split-hoisted form — see its scaladoc for why the naive
+    * lambda is O(words·starts) per doc).
     */
-  private[graft] def gramExpr(width: Int): String =
-    s"transform(sequence(1, least(greatest(size(split(text, ' '))-${width - 1}, 1), 8191)), " +
-      s"i -> concat_ws(' ', slice(split(text, ' '), i, $width)))"
+  private[graft] def gramExpr(width: Int): String = Dedup.gramExpr(width)
 
   private[graft] def gramSqlCte(width: Int): String =
     s"""SELECT doc_id, array_to_string(toks[CAST(r.range AS INT):CAST(r.range AS INT)+${width - 1}], ' ') AS gram
@@ -97,10 +97,12 @@ object CorpusOps {
   private val LineWidth = 8
   private val MaxLines = 1024
 
-  /** Non-overlapping LineWidth-word segments, 1-based slice starts. */
+  /** Non-overlapping LineWidth-word segments, 1-based slice starts
+    * (split-hoisted like [[Dedup.gramExpr]]). */
   private def lineExpr: String =
-    s"transform(sequence(1, least((size(split(text, ' ')) + ${LineWidth - 1}) div $LineWidth, $MaxLines)), " +
-      s"j -> concat_ws(' ', slice(split(text, ' '), (j-1)*$LineWidth+1, $LineWidth)))"
+    s"transform(array(split(text, ' ')), toks -> " +
+      s"transform(sequence(1, least((size(toks) + ${LineWidth - 1}) div $LineWidth, $MaxLines)), " +
+      s"j -> concat_ws(' ', slice(toks, (j-1)*$LineWidth+1, $LineWidth))))[0]"
 
   /** Cross-document boilerplate-line profile — the line-level df twin
     * of [[repetition]]: where repetition scores WITHIN-doc redundancy
@@ -322,15 +324,21 @@ object CorpusOps {
     val docs = t.widen(t.documents)
     val spans = docs
       .select($"doc_id", explode(expr(
-        "transform(sequence(1, least(greatest(size(split(text, ' '))-15, 1), 8191)), " +
-          "i -> named_struct('pos', i, 'span', concat_ws(' ', slice(split(text, ' '), i, 16))))"
+        // split-hoisted like Dedup.gramExpr (this variant also carries
+        // the start position for the scrub's covered-range test)
+        "transform(array(split(text, ' ')), toks -> " +
+          "transform(sequence(1, least(greatest(size(toks)-15, 1), 8191)), " +
+          "i -> named_struct('pos', i, 'span', concat_ws(' ', slice(toks, i, 16)))))[0]"
       )).as("e"))
       .select($"doc_id", $"e.pos".cast(LongType).as("pos"),
         Dedup.h32($"e.span").as("span_h"))
       .persist() // feeds the dup-span groupBy and the join back
+    // min(doc_id) != max(doc_id) <=> countDistinct(doc_id) >= 2, but
+    // plans as ONE map-side-combinable hash agg instead of the
+    // two-phase distinct rewrite (47 s of summed stage CPU at 10x)
     val dup = spans.groupBy($"span_h")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2)
+      .agg(min($"doc_id").as("d0"), max($"doc_id").as("d1"))
+      .filter($"d0" =!= $"d1")
       .select($"span_h")
     val starts = spans.join(dup, "span_h")
       .groupBy($"doc_id")

@@ -203,10 +203,9 @@ object DedupProbeScan {
       // (the families' own gram expression), probe grams equi-joined to
       // the corpus gram table. Word grams have long-tail df on this
       // corpus (31^5 space), so the posting lists stay short.
-      val grams = docs.select($"doc_id", explode(expr(
-        "transform(sequence(1, least(greatest(size(split(text, ' '))-4, 1), 8191)), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
-      )).as("gram")).distinct().persist()
+      val grams = docs.select($"doc_id",
+        explode(expr(graft.dedup.Dedup.gramExpr(5))).as("gram"))
+        .distinct().persist()
       val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n")).persist()
       val pG = grams.filter($"doc_id".isin(probeIds.map(Long.box): _*))
         .toDF("doc_a", "gram")

@@ -53,10 +53,7 @@ object Profile {
 
     val grams = t.documents
       .repartition(t.spark.sparkContext.defaultParallelism)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, greatest(size(split(text, ' '))-4, 1)), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
-      )).as("gram"))
+      .select($"doc_id", explode(expr(graft.dedup.Dedup.gramExpr(5))).as("gram"))
       .distinct()
     time("grams-distinct")(grams.count())
     val ga = grams.toDF("doc_a", "gram")
