@@ -24,11 +24,17 @@ import graft.io.Tables
   */
 object Dedup {
 
-  /** 32-bit hash of a string column via md5's first 8 hex chars —
+  /** 32-bit hash of a string column via md5's first 4 digest bytes —
     * byte-identical in DuckDB (`('0x'||substr(md5(x),1,8))::BIGINT`).
+    * Routed through the codegen'd [[graft.functions.H32]] (one digest
+    * call per value; the composed conv∘substring∘md5 form it replaces
+    * paid four per-value string ops after the digest — see its
+    * scaladoc). Requires GraftFunctions on the session: Tables()
+    * registers at construction, so every batch operator is covered;
+    * DataFrame-input streaming paths register explicitly.
     */
   private[graft] def h32(c: Column): Column =
-    conv(substring(md5(c.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
+    org.apache.spark.sql.functions.call_function("graft_h32", c)
 
   private[graft] def sqlH32(x: String): String =
     s"('0x'||substr(md5($x),1,8))::BIGINT"
@@ -232,8 +238,7 @@ object Dedup {
     val idx = sequence(lit(1),
       least(greatest(length(text) - 4, lit(1)), lit(8191)))
     val sh = transform(idx, i => text.substr(i, lit(5)))
-    transform(sh, s =>
-      conv(substring(md5(s.cast(BinaryType)), 1, 8), 16, 10).cast(LongType))
+    transform(sh, s => h32(s))
   }
 
   /** K signature columns from a [[rowHashes]] array: array_min over

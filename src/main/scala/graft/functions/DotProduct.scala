@@ -74,6 +74,8 @@ object GraftFunctions {
       "graft_char_hist", exprs => CharHistWord(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_srp_words", exprs => SrpWords(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_h32", exprs => H32(exprs(0)), "scala_udf")
   }
 
   /** Column accessor for [[NibbleL1]] (requires register() first). */

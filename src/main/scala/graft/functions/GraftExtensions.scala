@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharHistWord].getName, "graft_char_hist"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CharHistWord(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_h32"),
+      new ExpressionInfo(classOf[H32].getName, "graft_h32"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        H32(exprs(0))))
     // plan-level df rule: whole-partition COUNT windows become
     // aggregate + null-safe join (see CountWindowToJoin scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.CountWindowToJoin)

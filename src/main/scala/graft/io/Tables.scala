@@ -13,6 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.read` / `df.write` / catalog listings, which this object fronts.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // Idempotent: every batch operator reaches its session through a
+  // Tables, so registering here is what lets Column helpers like
+  // Dedup.h32 resolve graft's native functions without threading the
+  // session through every call site.
+  graft.functions.GraftFunctions.register(spark)
+
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -159,6 +159,7 @@ object Streams {
     */
   def qualityGate(docs: DataFrame): DataFrame = {
     import graft.text.TextAnalysis
+    graft.functions.GraftFunctions.register(docs.sparkSession) // modelScore's h32 weights
     docs
       .withColumn("n_tokens",
         size(filter(split(col("text"), " "), x => x =!= "")).cast("long"))
@@ -169,6 +170,7 @@ object Streams {
 
   def temperatureGate(docs: DataFrame, alloc: DataFrame): DataFrame = {
     import graft.dedup.Dedup
+    graft.functions.GraftFunctions.register(docs.sparkSession) // h32 below
     docs.select(col("doc_id"), col("lang"), col("source"))
       .join(alloc.select(col("lang"), col("n_docs"), col("target_docs")), Seq("lang"))
       .filter(Dedup.h32(concat(col("doc_id").cast("string"), lit(":tmix"))) % 1048576L <
@@ -196,6 +198,7 @@ object Streams {
   def nearDupStream(docs: DataFrame, corpusSigs0: DataFrame,
                     horizon: String = "1 hour"): DataFrame = {
     import graft.dedup.Dedup
+    graft.functions.GraftFunctions.register(docs.sparkSession) // rowHashes' h32 shingles
     val K = Dedup.kPerms
     // bind by NAME before the positional mb-rename below — a
     // right-arity, wrong-order index must fail loudly (Dedup.bindSigs)

@@ -42,7 +42,7 @@ object Profile {
     time("shingles-explode")(shingles.count())
     time("shingles-distinct")(shingles.distinct().count())
     val hashed = shingles.distinct().select($"doc_id",
-      conv(substring(md5($"shingle".cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
+      graft.dedup.Dedup.h32($"shingle").as("h"))
     time("shingles-md5")(hashed.count())
     val aggs = graft.dedup.Dedup.AB.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % graft.dedup.Dedup.P).as(s"m$i") }

@@ -394,4 +394,33 @@ class FunctionsSpec extends SparkSuite {
       assert(got(1).isNullAt(0))
     }
   }
+
+  test("graft_h32 equals the composed conv∘substring∘md5 form it replaced") {
+    import spark.implicits._
+    withLogLevel {
+      GraftFunctions.register(spark)
+      val rng = new scala.util.Random(17)
+      val strs = Seq("", " ", "a", "the quick brown fox", "naïve café — ünïcödé",
+        " nul ", "🦊emoji🦊", "x" * 10000) ++
+        Seq.fill(500)(rng.alphanumeric.take(rng.nextInt(64) + 1).mkString) ++
+        Seq.fill(100)(Seq.fill(rng.nextInt(30) + 1)(
+          (rng.nextInt(0xffff) + 1).toChar).mkString)
+      val got = strs.toDF("s").select(
+        expr("graft_h32(s)").as("native"),
+        // the exact pre-r18 composed expression (and the DuckDB
+        // oracle's semantics, invariant 4)
+        conv(substring(md5($"s".cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("composed"),
+        $"s")
+        .collect()
+      got.foreach { r =>
+        assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r.getString(2)}")
+        assert(r.getLong(0) >= 0L && r.getLong(0) <= 0xffffffffL)
+      }
+      // null propagates
+      val n = Seq[Option[String]](None).toDF("s")
+        .selectExpr("graft_h32(s)").collect()
+      assert(n(0).isNullAt(0))
+    }
+  }
 }
