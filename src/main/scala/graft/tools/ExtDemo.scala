@@ -18,6 +18,10 @@ object ExtDemo {
       .sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head.getDouble(0)
     println(s"EXT_DEMO graft_dot=$d expected=11.0 ok=${d == 11.0}")
+    // graft_h32 from pure SQL, pinned to the md5-derived contract value
+    val h = spark.sql("SELECT graft_h32('abc') AS h").head.getLong(0)
+    val hRef = java.lang.Long.parseLong("900150983cbd24fb".take(8), 16)
+    println(s"EXT_DEMO graft_h32=$h expected=$hRef ok=${h == hRef}")
     // the injected optimizer rule: a pure-SQL partition-count window
     // must plan as aggregate + join (no Window node), exact results
     val wq = spark.sql(
