@@ -280,7 +280,7 @@ object DedupProbeScan {
     }
 
     // ----------------------------------------- embedding IVF + semantic
-    if (fams("embedding") || fams("semantic")) {
+    if (fams("embedding") || fams("semantic") || fams("semantic_tight")) {
       val e = t.widen(t.embeddings)
         .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)))
@@ -406,6 +406,35 @@ object DedupProbeScan {
         println(f"DEDUPPROBE semantic tight>=0.9 coclust=$fracT%.4f " +
           f"truth=${tightPairs.length} agree=$agreeT " +
           "(SemDeDup regime: must hold >= 0.9)")
+      }
+      if (fams("semantic_tight")) {
+        // Decade point for when the CALIBRATED-τ clustering's banded
+        // candidate volume exceeds one node's spill scratch (measured
+        // at nd1000: ~1.2e10 pre-distinct rows > 71 GB): the same
+        // full-corpus clustering pinned at τ = 0.9 instead. A higher-τ
+        // run has STRICTLY FEWER edges (every ≥ 0.9 candidate is also
+        // a ≥ τ_cal candidate, and band knobs at p₁(0.9) only shrink
+        // the explode), so tight-pair co-clustering measured here
+        // LOWER-BOUNDS the shipped calibrated-τ run's — the same
+        // one-sided argument as the assign=4 instrument point. This
+        // IS the SemDeDup operating regime (cluster the re-encode/
+        // paraphrase stratum), not a synthetic weakening.
+        val (truthTP, tT) = timed(pairSet(
+          exact.filter($"cos" >= 0.9), "id_a", "id_b"))
+        val (nlS, _) = Similarity.ivfPairKnobsFor(e.count())
+        val aRun = if (Similarity.ivfPairBanded(e.count())) 4 else 0
+        val (reps, tF) = timed(
+          Similarity.semanticDedup(t, minCos = 0.9,
+            nlist = if (aRun > 0) nlS else 0, assign = aRun)
+            .select($"vec_id", $"rep_id").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        val agree = truthTP.count { case (x, y) =>
+          reps.get(x).exists(rx => reps.get(y).contains(rx)) }
+        val frac = agree.toDouble / math.max(truthTP.size, 1)
+        println(f"DEDUPPROBE semantic_tight@0.9 coclust=$frac%.4f " +
+          f"truth=${truthTP.size} agree=$agree " +
+          f"truth_scan=$tT%.1fs family=$tF%.1fs " +
+          "(lower-bounds the calibrated-τ clustering; must hold >= 0.9)")
       }
       exact.unpersist(); probeVecs.unpersist(); e.unpersist()
     }
