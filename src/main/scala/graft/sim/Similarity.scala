@@ -757,10 +757,11 @@ object Similarity {
     * closure can only merge MORE than the direct pair list).
     */
   def semanticDedup(t: Tables, minCos: Double = 0.0,
-      nlist: Int = 0, assign: Int = 0): DataFrame = {
+      nlist: Int = 0, assign: Int = 0,
+      bandKnobs: Option[(Int, Int)] = None): DataFrame = {
     val tau = if (minCos > 0) minCos else semanticTauCalibrated(t)
     val pairs = embeddingNearDupIvf(t, nlist = nlist, assign = assign,
-      minCos = tau)
+      minCos = tau, bandKnobs = bandKnobs)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val cc = graft.dedup.Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))

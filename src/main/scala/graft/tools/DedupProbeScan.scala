@@ -408,24 +408,40 @@ object DedupProbeScan {
           "(SemDeDup regime: must hold >= 0.9)")
       }
       if (fams("semantic_tight")) {
-        // Decade point for when the CALIBRATED-τ clustering's banded
+        // Decade point for when the CALIBRATED-tau clustering's banded
         // candidate volume exceeds one node's spill scratch (measured
-        // at nd1000: ~1.2e10 pre-distinct rows > 71 GB): the same
-        // full-corpus clustering pinned at τ = 0.9 instead. A higher-τ
-        // run has STRICTLY FEWER edges (every ≥ 0.9 candidate is also
-        // a ≥ τ_cal candidate, and band knobs at p₁(0.9) only shrink
-        // the explode), so tight-pair co-clustering measured here
-        // LOWER-BOUNDS the shipped calibrated-τ run's — the same
-        // one-sided argument as the assign=4 instrument point. This
-        // IS the SemDeDup operating regime (cluster the re-encode/
-        // paraphrase stratum), not a synthetic weakening.
+        // at nd1000: ~1e10 pre-distinct rows > 71 GB): the same
+        // full-corpus clustering restricted to a STRICT SUBSTRUCTURE
+        // of the shipped run, so its tight co-clustering LOWER-BOUNDS
+        // the shipped number by edge-set inclusion, not heuristics:
+        //  - cells: assign=2 — the multi-assign is a rank prefix
+        //    (cr <= a), so every instrument (vec, cell) is a shipped
+        //    (vec, cell);
+        //  - bands: knobs from pairBandKnobsFor(n, nl, SHIPPED assign,
+        //    minCos=0.9) — bandBits depends on assign only, so the bit
+        //    windows are IDENTICAL to the shipped calibrated-tau run's,
+        //    and the higher p1(0.9) only lowers nBands: the instrument
+        //    bands are a prefix of the shipped band sequence;
+        //  - pairs: cos >= 0.9 is a subset of >= tau_cal.
+        // Edges(instrument) therefore being a subset of Edges(shipped),
+        // CC merges fewer, and measured co-clustering of the tight
+        // stratum can only understate the shipped run's. This IS the
+        // SemDeDup operating regime (cluster the re-encode/paraphrase
+        // stratum), not a synthetic weakening.
         val (truthTP, tT) = timed(pairSet(
           exact.filter($"cos" >= 0.9), "id_a", "id_b"))
-        val (nlS, _) = Similarity.ivfPairKnobsFor(e.count())
-        val aRun = if (Similarity.ivfPairBanded(e.count())) 4 else 0
+        val nEmb = e.count()
+        val (nlS, aShip) = Similarity.ivfPairKnobsFor(nEmb)
+        val banded = Similarity.ivfPairBanded(nEmb)
+        val bk = if (banded)
+          Some(Similarity.pairBandKnobsFor(nEmb, nlS, aShip, 0.9)) else None
+        bk.foreach { case (bb, nb) => println(
+          s"DEDUPPROBE semantic_tight knobs nlist=$nlS assign=2 " +
+            s"bands=$nb x ${bb}b (shipped-geometry prefix at minCos=0.9)") }
         val (reps, tF) = timed(
           Similarity.semanticDedup(t, minCos = 0.9,
-            nlist = if (aRun > 0) nlS else 0, assign = aRun)
+            nlist = if (banded) nlS else 0, assign = if (banded) 2 else 0,
+            bandKnobs = bk)
             .select($"vec_id", $"rep_id").collect()
             .map(r => r.getLong(0) -> r.getLong(1)).toMap)
         val agree = truthTP.count { case (x, y) =>
@@ -434,7 +450,7 @@ object DedupProbeScan {
         println(f"DEDUPPROBE semantic_tight@0.9 coclust=$frac%.4f " +
           f"truth=${truthTP.size} agree=$agree " +
           f"truth_scan=$tT%.1fs family=$tF%.1fs " +
-          "(lower-bounds the calibrated-τ clustering; must hold >= 0.9)")
+          "(edge-subset lower bound on the shipped clustering; must hold >= 0.9)")
       }
       exact.unpersist(); probeVecs.unpersist(); e.unpersist()
     }
