@@ -76,6 +76,9 @@ object GraftFunctions {
       "graft_srp_words", exprs => SrpWords(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_h32", exprs => H32(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_cells", exprs => TopCells(exprs(0), exprs(1), exprs(2)),
+      "scala_udf")
   }
 
   /** Column accessor for [[NibbleL1]] (requires register() first). */
@@ -91,6 +94,14 @@ object GraftFunctions {
   def srpWords(v: Column, nWords: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_srp_words", v,
       org.apache.spark.sql.functions.lit(nWords))
+
+  /** Column accessor for [[TopCells]] (requires register() first):
+    * the `a` nearest IVF cells of vector column `v` against the given
+    * centroid matrix, as one nested-array literal. */
+  def topCells(v: Column, centroids: Seq[Seq[Double]], a: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_top_cells", v,
+      org.apache.spark.sql.functions.typedLit(centroids),
+      org.apache.spark.sql.functions.lit(a))
 
   /** Column-level accessor (requires register() on the session first). */
   def graftDot(a: Column, b: Column): Column = {

@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[H32].getName, "graft_h32"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         H32(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_cells"),
+      new ExpressionInfo(classOf[TopCells].getName, "graft_top_cells"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopCells(exprs(0), exprs(1), exprs(2))))
     // plan-level df rule: whole-partition COUNT windows become
     // aggregate + null-safe join (see CountWindowToJoin scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.CountWindowToJoin)

@@ -660,22 +660,20 @@ object Similarity {
     }
     val e = withNorm(t)
     val model = coarseQuantizer(t, nl)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }.toSeq
-    val cdf = t.spark.createDataFrame(centroids).toDF("cell", "centroid")
-      .withColumn("centroid", col("centroid").cast("array<double>"))
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     // rank cells by the quantizer's own metric (Euclidean):
-    // ||v-c||² = ||v||² - 2v·c + ||c||²; ||v||² is constant per vector
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
-    val cells = e.select(col("vec_id"), col("v"))
-      .crossJoin(broadcast(cdf))
-      .withColumn("cdist",
-        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("v"), col("centroid")))
-      .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= a)
-      .select(col("vec_id"), col("cell"))
+    // ||v-c||² = ||v||² - 2v·c + ||c||²; ||v||² is constant per vector.
+    // Row-local top-a selection (graft.functions.TopCells): the old
+    // crossJoin(broadcast(centroids)) + row_number window materialized
+    // N·nlist rows EACH CARRYING THE VECTOR through a sort — ~1 TB of
+    // sort input at the nd1000 instrument point (N=2M, nlist=1012),
+    // the stage that actually filled that node's disk. Same ranking
+    // rule (cdist asc, cell asc), same left-fold dot arithmetic —
+    // TopCellsSpec pins bit-identical assignment, ties included.
+    graft.functions.GraftFunctions.register(t.spark)
+    val cells = e.select(col("vec_id"),
+      explode(graft.functions.GraftFunctions.topCells(
+        col("v"), centroids, a)).as("cell"))
 
     // Banded regime: candidate keys are (cell, band, band value) —
     // a pair must share a coarse cell AND one SRP sign-word band.
@@ -797,18 +795,17 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
-    val cdf = t.spark.createDataFrame(centroids).toDF("cell", "centroid")
-      .withColumn("centroid", col("centroid").cast("array<double>"))
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
     val reps = semanticDedup(t, tau)
       .select(col("vec_id").as("cand_id"), col("rep_id"))
+    // row-local multi-assign (same TopCells swap as embeddingNearDupIvf:
+    // the crossJoin+window form carried N·nlist vector-wide rows
+    // through a sort — the nd1000 instrument's measured disk wall)
+    graft.functions.GraftFunctions.register(t.spark)
     val idx = e.select(col("vec_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(cdf))
-      .withColumn("cdist",
-        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("v"), col("centroid")))
-      .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= a)
+      .select(col("vec_id"),
+        explode(graft.functions.GraftFunctions.topCells(
+          col("v"), centroids.map(_._2), a)).as("cell"),
+        col("v"), col("nrm"))
       .select(col("vec_id").as("cand_id"), col("cell"),
         col("v").as("vc"), col("nrm").as("nc"))
       .join(reps, "cand_id")
