@@ -659,66 +659,65 @@ object Similarity {
           "the exact range scan (annRange with allowFullScan).")
     }
     val e = withNorm(t)
-    val model = coarseQuantizer(t, nl)
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    // rank cells by the quantizer's own metric (Euclidean):
-    // ||v-c||² = ||v||² - 2v·c + ||c||²; ||v||² is constant per vector.
-    // Row-local top-a selection (graft.functions.TopCells): the old
-    // crossJoin(broadcast(centroids)) + row_number window materialized
-    // N·nlist rows EACH CARRYING THE VECTOR through a sort — ~1 TB of
-    // sort input at the nd1000 instrument point (N=2M, nlist=1012),
-    // the stage that actually filled that node's disk. Same ranking
-    // rule (cdist asc, cell asc), same left-fold dot arithmetic —
-    // TopCellsSpec pins bit-identical assignment, ties included.
-    graft.functions.GraftFunctions.register(t.spark)
-    val cells = e.select(col("vec_id"),
-      explode(graft.functions.GraftFunctions.topCells(
-        col("v"), centroids, a)).as("cell"))
-
-    // Banded regime: candidate keys are (cell, band, band value) —
-    // a pair must share a coarse cell AND one SRP sign-word band.
-    // The explode is assign·nBands rows/vector of 4 ints; the key
-    // table (not the raw cells) is what both join sides read.
-    val keys = (if (nBands > 0) {
-      val slots = 64 / bb
-      val nWords = (nBands + slots - 1) / slots
-      graft.functions.GraftFunctions.register(t.spark)
-      val words = e.select(col("vec_id"),
-        graft.functions.GraftFunctions.srpWords(col("v"), nWords).as("ws"))
-      val bandsExpr = (0 until nBands).map { j =>
-        val w = j / slots
-        val s = j % slots
-        s"named_struct('band', $j, 'bv', " +
-          s"shiftrightunsigned(ws[$w], ${s * bb}) & ${(1L << bb) - 1}L)"
-      }.mkString("array(", ", ", ")")
-      cells.join(words, "vec_id")
-        .select(col("vec_id"), col("cell"), explode(expr(bandsExpr)).as("b"))
-        .select(col("vec_id"), col("cell"),
-          col("b.band").as("band"), col("b.bv").as("bv"))
-    } else cells)
+    val keys = pairJoinKeys(t, nl, a, bb, nBands)
       .persist() // read twice (both sides of the pair join)
     val joinCols = if (nBands > 0) Seq("cell", "band", "bv") else Seq("cell")
 
-    val leftKeys = keys.withColumnRenamed("vec_id", "id_a")
-    val cand0 = leftOnly.fold(leftKeys)(p => leftKeys.filter(p))
-      .join(keys.withColumnRenamed("vec_id", "id_b"), joinCols)
-    val cand = (leftOnly match {
-      // symmetric self-join: id_a < id_b is already canonical
-      case None => cand0.filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      // probe-restricted: both orders surface; canonicalize
-      case Some(_) => cand0.filter(col("id_a") =!= col("id_b"))
-        .select(least(col("id_a"), col("id_b")).as("id_a"),
-          greatest(col("id_a"), col("id_b")).as("id_b"))
-    }).distinct() // a pair may share several assigned cells/bands
-    val va = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val vb = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     // materialize the (small) verified pair list, then drop the key cache
-    val out = cand.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= minCos)
-      .select(col("id_a"), col("id_b"), col("cos"))
-      .localCheckpoint()
+    val out = (if (nBands > 0) {
+      // Banded regime: each vector rides ON ITS OWN KEY ROWS and the
+      // cosine is verified INSIDE the band-join stage. The old shape
+      // joined the candidate list back to the vector table — an
+      // exchange of |collisions| rows each carrying a 64-double
+      // vector (~250 GB at the nd1000 instrument point: 5.1e8
+      // collisions measured by tools.CellAudit — the second disk wall
+      // the decade instrument exposed, after the assignment window).
+      // Here vector bytes scale with the KEY table
+      // (N·assign·nBands rows — derivation-bounded, data-independent,
+      // ~16× less than the collision stream at the derived knobs),
+      // and collisions stream through the cos filter inside
+      // whole-stage codegen, so only the τ-verified pairs land.
+      val keysV = keys.join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      val left0 = keysV.toDF("id_a", "cell", "band", "bv", "va", "na")
+      val joined = leftOnly.fold(left0)(p => left0.filter(p))
+        .join(keysV.toDF("id_b", "cell", "band", "bv", "vb", "nb"), joinCols)
+      // cos is symmetric bit-for-bit (per-element products commute and
+      // the fold order is positional), so it needs no canonicalization
+      val cosed = joined
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= minCos)
+      (leftOnly match {
+        // symmetric self-join: id_a < id_b is already canonical
+        case None => cosed.filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("cos"))
+        // probe-restricted: both orders surface; canonicalize
+        case Some(_) => cosed.filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+      }).distinct() // a pair may collide in several cells/bands; cos identical
+    } else {
+      // Unbanded (small-N) regime: the recorded shape — narrow
+      // candidate distinct, then the two vector joins (|pairs| is
+      // Σ|cell|²-bounded by the knob derivation at these sizes).
+      val leftKeys = keys.withColumnRenamed("vec_id", "id_a")
+      val cand0 = leftOnly.fold(leftKeys)(p => leftKeys.filter(p))
+        .join(keys.withColumnRenamed("vec_id", "id_b"), joinCols)
+      val cand = (leftOnly match {
+        // symmetric self-join: id_a < id_b is already canonical
+        case None => cand0.filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        // probe-restricted: both orders surface; canonicalize
+        case Some(_) => cand0.filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+      }).distinct() // a pair may share several assigned cells
+      val va = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val vb = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= minCos)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    }).localCheckpoint()
     keys.unpersist()
     out
   }
@@ -754,6 +753,50 @@ object Similarity {
     * every baseline near-dup pair should land in one cluster (the
     * closure can only merge MORE than the direct pair list).
     */
+  /** The banded pair join's key table: (vec_id, cell[, band, bv]) —
+    * one row per assigned cell × SRP band. Factored out so
+    * tools.CellAudit can measure the EXACT shipped geometry's
+    * second moments (Σ|bucket|² = the pair-join output).
+    *
+    * Cell assignment is row-local (graft.functions.TopCells): the old
+    * crossJoin(broadcast(centroids)) + row_number window materialized
+    * N·nlist rows EACH CARRYING THE VECTOR through a sort — ~1 TB of
+    * sort input at the nd1000 instrument point (N=2M, nlist=1012),
+    * measured as that node's disk wall. Same ranking rule
+    * (cdist asc, cell asc), same left-fold dot arithmetic —
+    * TopCellsSpec pins bit-identical assignment, ties included.
+    */
+  private[graft] def pairJoinKeys(t: Tables, nl: Int, a: Int,
+      bb: Int, nBands: Int): DataFrame = {
+    val e = withNorm(t)
+    val model = coarseQuantizer(t, nl)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    graft.functions.GraftFunctions.register(t.spark)
+    val cells = e.select(col("vec_id"),
+      explode(graft.functions.GraftFunctions.topCells(
+        col("v"), centroids, a)).as("cell"))
+    // Banded regime: candidate keys are (cell, band, band value) —
+    // a pair must share a coarse cell AND one SRP sign-word band.
+    // The explode is assign·nBands rows/vector of 4 ints; the key
+    // table (not the raw cells) is what both join sides read.
+    if (nBands > 0) {
+      val slots = 64 / bb
+      val nWords = (nBands + slots - 1) / slots
+      val words = e.select(col("vec_id"),
+        graft.functions.GraftFunctions.srpWords(col("v"), nWords).as("ws"))
+      val bandsExpr = (0 until nBands).map { j =>
+        val w = j / slots
+        val s = j % slots
+        s"named_struct('band', $j, 'bv', " +
+          s"shiftrightunsigned(ws[$w], ${s * bb}) & ${(1L << bb) - 1}L)"
+      }.mkString("array(", ", ", ")")
+      cells.join(words, "vec_id")
+        .select(col("vec_id"), col("cell"), explode(expr(bandsExpr)).as("b"))
+        .select(col("vec_id"), col("cell"),
+          col("b.band").as("band"), col("b.bv").as("bv"))
+    } else cells
+  }
+
   def semanticDedup(t: Tables, minCos: Double = 0.0,
       nlist: Int = 0, assign: Int = 0,
       bandKnobs: Option[(Int, Int)] = None): DataFrame = {

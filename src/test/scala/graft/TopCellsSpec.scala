@@ -63,6 +63,38 @@ class TopCellsSpec extends SparkSuite {
     }
   }
 
+  test("banded fused verify equals the narrow-candidate shape it replaced") {
+    withLogLevel {
+      import spark.implicits._
+      import graft.io.Tables
+      import graft.sim.Similarity
+      val t = Tables(spark, "/root/testdata/sf0.01")
+      // force the banded path at gate scale with explicit small knobs
+      val (nl, a, bb, nb) = (16, 4, 4, 3)
+      val fused = Similarity.embeddingNearDupIvf(t, nlist = nl, assign = a,
+        minCos = 0.2, bandKnobs = Some((bb, nb)))
+        .select($"id_a", $"id_b", $"cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the pre-r18 narrow shape, reimplemented independently:
+      // distinct candidates from the same key table, then vector joins
+      val keys = Similarity.pairJoinKeys(t, nl, a, bb, nb)
+      val cand = keys.toDF("id_a", "cell", "band", "bv")
+        .join(keys.toDF("id_b", "cell", "band", "bv"), Seq("cell", "band", "bv"))
+        .filter($"id_a" < $"id_b").select($"id_a", $"id_b").distinct()
+      val e = t.widen(t.embeddings)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val ref = cand
+        .join(e.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na")), "id_a")
+        .join(e.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb")), "id_b")
+        .withColumn("cos", expr("graft_dot(va, vb)") / ($"na" * $"nb"))
+        .filter($"cos" >= 0.2)
+        .select($"id_a", $"id_b", $"cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fused.nonEmpty && fused == ref)
+    }
+  }
+
   test("a >= nlist returns all cells; rank order is (cdist asc, cell asc)") {
     withLogLevel {
       import spark.implicits._
