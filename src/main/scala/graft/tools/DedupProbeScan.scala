@@ -373,22 +373,31 @@ object DedupProbeScan {
             .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
         val truthPairs = truthAllP.map(p => (p._1, p._2))
         val tightPairs = truthAllP.filter(_._3 >= 0.9).map(p => (p._1, p._2))
-        // In the banded regime the shipped default (assign=8, ~1e9
-        // expected pre-distinct candidates at this synthetic corpus's
-        // wide-angle calibrated τ) is proportional work on a cluster
-        // but exceeds this single node's spill scratch (measured 85 GB
-        // peak at N=200k under the r17 bounded regime at the same
-        // volume) — the instrument runs a documented half-volume point
-        // (assign=4, same ladder nlist; bands re-derive for the
-        // effective assign inside embeddingNearDupIvf); fewer assigned
-        // cells can only LOWER co-clustering, so the shipped default's
-        // number is at least what is measured here.
-        val (nlS, _) = Similarity.ivfPairKnobsFor(e.count())
-        val aRun = if (Similarity.ivfPairBanded(e.count())) {
-          println(s"DEDUPPROBE semantic instrument knobs nlist=$nlS assign=4 " +
-            "(shipped default assign=8 exceeds single-node spill scratch)")
-          4
-        } else 0
+        // Volume-gated knob choice (r18): with the fused banded verify
+        // the clustering's disk footprint is the KEY table
+        // (n·assign·nBands vector-wide rows), predictable up front —
+        // run the SHIPPED defaults whenever that fits this node's
+        // scratch, and only fall back to the documented reduced point
+        // (assign=4; fewer assigned cells can only LOWER co-clustering)
+        // when it does not. The r17-era hardcoded assign=4 note
+        // ("assign=8 exceeds spill scratch") described the OLD
+        // collision-wide shape — at nd100 the shipped default's key
+        // table is ~4 GB now.
+        val nEmbS = e.count()
+        val (nlS, aShipS) = Similarity.ivfPairKnobsFor(nEmbS)
+        val aRun = if (!Similarity.ivfPairBanded(nEmbS)) 0 else {
+          val (_, nbS) = Similarity.pairBandKnobsFor(nEmbS, nlS, aShipS, tau)
+          val keyGb = nEmbS.toDouble * aShipS * nbS * 550 / 1e9
+          if (keyGb <= 30.0) {
+            println(f"DEDUPPROBE semantic instrument at SHIPPED knobs " +
+              f"(key table ~$keyGb%.1f GB fits scratch)")
+            0
+          } else {
+            println(s"DEDUPPROBE semantic instrument knobs nlist=$nlS assign=4 " +
+              f"(shipped key table ~$keyGb%.1f GB exceeds single-node scratch)")
+            4
+          }
+        }
         val (reps, tF) = timed(
           Similarity.semanticDedup(t, nlist = if (aRun > 0) nlS else 0,
             assign = aRun)
