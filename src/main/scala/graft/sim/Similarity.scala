@@ -772,9 +772,24 @@ object Similarity {
     val model = coarseQuantizer(t, nl)
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     graft.functions.GraftFunctions.register(t.spark)
+    // Hash-partition the NARROW key rows by vec_id (explicit width —
+    // the stage after this exchange is compute-amplified, so AQE's
+    // byte-based coalescing must not shrink it; the q32 lesson). The
+    // window form this replaced left the cached keys partitioned by
+    // vec_id as a side effect of its sort exchange, and the unbanded
+    // candidate join leans on that: with all of a vector's key rows
+    // co-located, every (id_a, ·) candidate is produced in id_a's
+    // partition, so the pair distinct's PARTIAL aggregate dedups
+    // fully and hashpartitioning(id_a) already satisfies the final
+    // distinct's distribution — no exchange of the Σ|cell|²-sized
+    // candidate stream. Losing that (round-robin keys from the scan)
+    // measured +25% on the 10x embedding-dedup family; this exchange
+    // is N·assign rows of (long, int) — nothing next to the
+    // vector-wide window sort the TopCells swap removed.
     val cells = e.select(col("vec_id"),
       explode(graft.functions.GraftFunctions.topCells(
         col("v"), centroids, a)).as("cell"))
+      .repartition(t.spark.sparkContext.defaultParallelism, col("vec_id"))
     // Banded regime: candidate keys are (cell, band, band value) —
     // a pair must share a coarse cell AND one SRP sign-word band.
     // The explode is assign·nBands rows/vector of 4 ints; the key

@@ -95,6 +95,33 @@ class TopCellsSpec extends SparkSuite {
     }
   }
 
+  test("key table is vec_id-partitioned so the pair distinct needs no candidate exchange") {
+    withLogLevel {
+      import spark.implicits._
+      import graft.io.Tables
+      import graft.sim.Similarity
+      val t = Tables(spark, "/root/testdata/sf0.01")
+      // the unbanded candidate pipeline (what embeddingNearDupIvf runs
+      // below the banded crossover): with keys hash-partitioned by
+      // vec_id, every (id_a, ·) candidate is produced in id_a's
+      // partition, so the distinct's partial aggregate dedups fully
+      // and no exchange of the Σ|cell|²-sized candidate stream exists
+      // in the plan. Losing this (round-robin keys straight off the
+      // scan) measured +25% on the 10x embedding-dedup family.
+      val keys = Similarity.pairJoinKeys(t, 16, 4, 0, 0).persist()
+      val cand = keys.toDF("id_a", "cell")
+        .join(keys.toDF("id_b", "cell"), Seq("cell"))
+        .filter($"id_a" < $"id_b").select($"id_a", $"id_b").distinct()
+      cand.count() // finalize AQE
+      val plan = cand.queryExecution.executedPlan.toString
+      keys.unpersist()
+      assert(plan.contains("hashpartitioning(vec_id"),
+        s"keys lost their vec_id partitioning:\n$plan")
+      assert(!plan.contains("hashpartitioning(id_a"),
+        s"pair distinct re-exchanges the candidate stream:\n$plan")
+    }
+  }
+
   test("a >= nlist returns all cells; rank order is (cdist asc, cell asc)") {
     withLogLevel {
       import spark.implicits._
