@@ -762,13 +762,94 @@ object Dedup {
     * candidates across the 5k/50k/500k decades, i.e. asymptotically
     * all-pairs. Pair keys multiply the bucket space by 256/nBlocks·
     * (nBlocks−1)/2 (6·65536 for simhash's 4 blocks: ~170× fewer
-    * random collisions). Candidate volume is Σ|bucket|² over the
+    * random collisions).
+    *
+    * Slack-1 callers (the 64-bit image aHash and audio contour
+    * families: 8 blocks, maxHam 7) can reach the same pair-key
+    * geometry by RE-SPLITTING the word into maxHam + 2 near-equal
+    * UNEVEN blocks (64 bits → eight 7-bit + one 8-bit): the pigeonhole
+    * argument never needed equal widths — ≤ maxHam dirty bits damage
+    * ≤ maxHam of the maxHam + 2 disjoint blocks, so ≥ 2 are intact and
+    * some intact pair matches. Which geometry is CHEAPER depends on
+    * the corpus, so the choice is MEASURED, not assumed: candidate
+    * volume is exactly Σ|bucket|² over whichever key set runs, and
+    * both sums cost one narrow aggregation over the persisted
+    * fingerprint table — strictly cheaper than either join. On sparse
+    * corpora single 8-bit blocks saturate (2048 buckets total →
+    * Σ|bucket|² → N²/32 while pair keys sit at ≈ N²/512 under the
+    * uniform model) and the re-split wins; on DUP-DENSE corpora the
+    * volume is true pairs × key duplication, and pair keys LOSE
+    * because a distance-0 pair collides on all C(9,2) = 36 combos vs
+    * 8 single blocks (measured on the r18 10× neardup decade, ~10M
+    * qualifying image pairs from 500k docs: forcing combos cost 2.4×
+    * wall on dedup_image_ahash, 1.9× on dedup_audio_fp — so the
+    * chooser, not a fixed layout, is what survives both regimes).
+    * Candidate volume is Σ|bucket|² over the
     * combo buckets — mega-buckets are AQE-skew-split. The fingerprint
     * table is persisted for the duration (it feeds the bucket keys
     * plus both verification sides) and the verified pair list is
     * localCheckpoint'd before the unpersist so callers never re-run
     * the upstream pipeline.
     */
+  /** Near-equal uneven block layout as (bitOffset, bitWidth): nb
+    * disjoint blocks covering wordBits, wider blocks last (64, 9 →
+    * eight 7-bit + one 8-bit). Pigeonhole-sound for any maxHam ≤
+    * nb − 2 regardless of widths. */
+  private[graft] def unevenLayout(wordBits: Int, nb: Int): IndexedSeq[(Int, Int)] = {
+    val base = wordBits / nb
+    val widths = IndexedSeq.fill(nb - wordBits % nb)(base) ++
+      IndexedSeq.fill(wordBits % nb)(base + 1)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SQL array expr of pair-of-intact-blocks keys over a block layout:
+    * one named_struct('blk', comboId, 'key', bitsᵢ ++ bitsⱼ) per
+    * (i, j) block pair, i < j. */
+  private[graft] def pairKeyExpr(layout: IndexedSeq[(Int, Int)]): String = {
+    val combos = for { i <- layout.indices; j <- i + 1 until layout.size }
+      yield (i, j)
+    combos.zipWithIndex.map { case ((i, j), idx) =>
+      val (oi, wi) = layout(i)
+      val (oj, wj) = layout(j)
+      s"named_struct('blk', $idx, 'key', " +
+        s"shiftleft(shiftright(w, $oi) & ${(1L << wi) - 1}, $wj) | " +
+        s"(shiftright(w, $oj) & ${(1L << wj) - 1}))"
+    }.mkString("array(", ", ", ")")
+  }
+
+  /** Slack-1 key choice: measure Σ|bucket|² for single 8-bit blocks
+    * vs the uneven (maxHam + 2)-block pair keys over the SAME word
+    * column `w` and return the cheaper key expr. Each sum is one
+    * narrow aggregation over the (persisted) fingerprint table —
+    * strictly cheaper than the candidate join it predicts, whose
+    * pre-distinct output is exactly the chosen Σ|bucket|². See the
+    * [[blockedHammingPairs]] scaladoc for why neither geometry
+    * dominates both corpus regimes. */
+  private[graft] def slack1KeyExpr(fp: DataFrame, nBlocks: Int,
+      maxHam: Int): String = {
+    val (vSingle, vCombo) = slack1Volumes(fp, nBlocks, maxHam)
+    if (vSingle <= vCombo) singleKeyExpr(nBlocks)
+    else pairKeyExpr(unevenLayout(nBlocks * 8, maxHam + 2))
+  }
+
+  private[graft] def singleKeyExpr(nBlocks: Int): String =
+    s"transform(sequence(0, ${nBlocks - 1}), i -> " +
+      "named_struct('blk', i, 'key', shiftright(w, i * 8) & 255))"
+
+  /** The two Σ|bucket|² sums behind [[slack1KeyExpr]]'s choice —
+    * (single 8-bit blocks, uneven pair combos) — exposed for the
+    * tools.HamAudit instrument. */
+  private[graft] def slack1Volumes(fp: DataFrame, nBlocks: Int,
+      maxHam: Int): (Long, Long) = {
+    def volume(e: String): Long = fp
+      .select(explode(expr(e)).as("b"))
+      .groupBy(col("b.blk"), col("b.key")).count()
+      .agg(coalesce(sum(col("count") * col("count")), lit(0L)).as("v"))
+      .head.getLong(0)
+    (volume(singleKeyExpr(nBlocks)),
+      volume(pairKeyExpr(unevenLayout(nBlocks * 8, maxHam + 2))))
+  }
+
   /** @param leftOnly when set, restricts the LEFT join side to rows
     *   matching the predicate (over `doc_id`) — the probe-restricted
     *   Θ(P·N) form tools.DedupProbeScan uses to observe the SHIPPED
@@ -783,21 +864,12 @@ object Dedup {
     require(maxHam < nBlocks,
       s"pigeonhole guarantee needs maxHam < nBlocks (got $maxHam >= $nBlocks)")
     val fp = fp0.select(col(idCol).as("doc_id"), col(wCol).as("w")).persist()
-    val comboExpr =
-      if (nBlocks - maxHam >= 2) {
-        // pair-of-intact-blocks keys: combo id + 16-bit combined value
-        val combos = for { i <- 0 until nBlocks; j <- i + 1 until nBlocks }
-          yield (i, j)
-        combos.zipWithIndex.map { case ((i, j), idx) =>
-          s"named_struct('blk', $idx, 'key', " +
-            s"shiftleft(shiftright(w, ${i * 8}) & 255, 8) | " +
-            s"(shiftright(w, ${j * 8}) & 255))"
-        }.mkString("array(", ", ", ")")
-      } else
-        s"transform(sequence(0, ${nBlocks - 1}), i -> " +
-          "named_struct('blk', i, 'key', shiftright(w, i * 8) & 255))"
+    val keyExpr =
+      if (nBlocks - maxHam >= 2)
+        pairKeyExpr((0 until nBlocks).map(i => (i * 8, 8)))
+      else slack1KeyExpr(fp, nBlocks, maxHam)
     val blocks = fp.select(col("doc_id"), col("w"),
-      explode(expr(comboExpr)).as("b"))
+      explode(expr(keyExpr)).as("b"))
       .select(col("doc_id"), col("w"),
         col("b.blk").as("blk"), col("b.key").as("key"))
     val left = leftOnly.fold(blocks)(p => blocks.filter(p))

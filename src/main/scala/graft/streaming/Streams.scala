@@ -219,22 +219,41 @@ object Streams {
         explode(array(Dedup.bandStructs("m"): _*)).as("b"))
       .select(col("corpus_id"), col("b.band").as("band"), col("b.key").as("key"))
     val sb = corpusSigs.toDF("corpus_id" +: (0 until K).map(i => s"mb$i"): _*)
-    val pairs = withBands
+    val collisions = withBands
       .join(cIndex, Seq("band", "key")) // stream-static
-      .join(sb, "corpus_id")            // stream-static
-      .withColumn("matches", Dedup.matchCount("ma", "mb"))
-      .filter(col("matches") >= Dedup.minMatches)
-      .select(col("batch_id"), col("corpus_id"), col("ts"),
-        (col("matches") / lit(K.toDouble)).as("est_sim"))
-    // multi-band collisions emit identical rows at one event time;
-    // within-watermark state dedups them on a stream (and is evicted
-    // past the horizon). Spark rejects the watermark form on batch
-    // frames, where plain dropDuplicates is the exact equivalent —
-    // duplicates are identical rows, so no arbitrary-row hazard.
-    val deduped =
-      if (pairs.isStreaming) pairs.dropDuplicatesWithinWatermark("batch_id", "corpus_id")
-      else pairs.dropDuplicates("batch_id", "corpus_id")
-    deduped.select(col("batch_id"), col("corpus_id"), col("est_sim"))
+      .select(col("batch_id") +: col("ts") +: col("corpus_id") +:
+        (0 until K).map(i => col(s"ma$i")): _*)
+    // Multi-band collisions emit identical rows at one event time
+    // (same batch doc → same ts and ma*, band/key dropped above), so
+    // the pair dedup can sit on either side of the K-wide signature
+    // verification without changing the output — duplicates are
+    // identical rows, no arbitrary-row hazard. WHERE it sits is a
+    // mode-appropriate trade:
+    //  - batch (the nightly backfill / bench path): dedup FIRST, so an
+    //    exact dup colliding in all BANDS bands costs one wide join +
+    //    verification, not BANDS — the dedup exchange is the same
+    //    keyed shuffle the post-verify form pays, just over narrower
+    //    rows and ahead of the expensive stage;
+    //  - streaming: verify FIRST, dedup after, because the watermark
+    //    state store is the scarce resource on an unbounded stream —
+    //    post-verify state holds only VERIFIED pairs (≥ minMatches),
+    //    a small subset of raw band collisions, while micro-batch
+    //    stream-static joins are already small per trigger.
+    if (collisions.isStreaming)
+      collisions
+        .join(sb, "corpus_id")          // stream-static
+        .withColumn("matches", Dedup.matchCount("ma", "mb"))
+        .filter(col("matches") >= Dedup.minMatches)
+        .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+        .select(col("batch_id"), col("corpus_id"),
+          (col("matches") / lit(K.toDouble)).as("est_sim"))
+    else
+      collisions.dropDuplicates("batch_id", "corpus_id")
+        .join(sb, "corpus_id")
+        .withColumn("matches", Dedup.matchCount("ma", "mb"))
+        .filter(col("matches") >= Dedup.minMatches)
+        .select(col("batch_id"), col("corpus_id"),
+          (col("matches") / lit(K.toDouble)).as("est_sim"))
   }
 
   /** Stream-stream interval join — the streaming twin of

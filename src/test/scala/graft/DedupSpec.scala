@@ -236,6 +236,52 @@ class DedupSpec extends SparkSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("slack-1 hamming key chooser: combo on sparse words, single on dup-dense; both lossless") {
+    import spark.implicits._
+    // sparse regime: md5-spread 64-bit words, no planted dups — true
+    // pairs are rare, so single 8-bit blocks (2048 buckets total)
+    // saturate with random collisions and the uneven 9-block pair
+    // keys must win the measured Σ|bucket|² choice
+    val sparse = spark.range(0, 3000)
+      .select(col("id").as("doc_id"), xxhash64(col("id")).as("w"))
+    val sparseFp = sparse.persist()
+    val sparseExpr = Dedup.slack1KeyExpr(sparseFp, nBlocks = 8, maxHam = 7)
+    assert(sparseExpr.contains("named_struct('blk', 35"),
+      "sparse words must choose the C(9,2)=36 combo keys")
+    // dup-dense regime: 3000 rows over 40 distinct words — candidate
+    // volume is true pairs × key duplication, so 8 single keys beat
+    // 36 combo keys
+    val dense = spark.range(0, 3000)
+      .select(col("id").as("doc_id"), xxhash64(col("id") % 40).as("w"))
+      .persist()
+    val denseExpr = Dedup.slack1KeyExpr(dense, nBlocks = 8, maxHam = 7)
+    assert(denseExpr.contains("transform(sequence(0, 7)"),
+      "dup-dense words must choose single 8-bit block keys")
+    // losslessness does not depend on the choice: blocked == brute
+    // on a mixed fixture small enough to brute-force (9-block layout
+    // covers all 64 bits disjointly, so the pigeonhole holds)
+    assert(Dedup.unevenLayout(64, 9).map(_._2).sum == 64)
+    assert(Dedup.unevenLayout(64, 9) ==
+      (0 to 7).map(i => (i * 7, 7)) :+ (56, 8))
+    val mixed = spark.range(0, 400)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 5 === 0, xxhash64(expr("id div 10"))) // planted near-groups
+          .otherwise(xxhash64(col("id") + 7777)).as("w"))
+      // flip up to 2 low bits on some rows to create non-zero distances
+      .select(col("doc_id"),
+        expr("w ^ CAST(doc_id % 3 AS BIGINT)").as("w"))
+    val words = mixed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, fa) <- words; (b, fb) <- words if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 7
+    } yield (a, b, h)).toSet
+    val blocked = Dedup.blockedHammingPairs(mixed, "doc_id", "w",
+      nBlocks = 8, maxHam = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == brute && brute.nonEmpty)
+    sparseFp.unpersist(); dense.unpersist()
+  }
+
   test("connected components: alternating star == min-label on a random pair graph") {
     import spark.implicits._
     // 60 nodes, md5-derived pseudo-random edges — several multi-node
