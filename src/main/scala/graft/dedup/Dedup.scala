@@ -780,8 +780,8 @@ object Dedup {
     * uniform model) and the re-split wins; on DUP-DENSE corpora the
     * volume is true pairs × key duplication, and pair keys LOSE
     * because a distance-0 pair collides on all C(9,2) = 36 combos vs
-    * 8 single blocks (measured on the r18 10× neardup decade, ~10M
-    * qualifying image pairs from 500k docs: forcing combos cost 2.4×
+    * 8 single blocks (measured on the r18 10× rehearsal corpus, ~10M
+    * qualifying image pairs from 50k media: forcing combos cost 2.4×
     * wall on dedup_image_ahash, 1.9× on dedup_audio_fp — so the
     * chooser, not a fixed layout, is what survives both regimes).
     * Candidate volume is Σ|bucket|² over the

@@ -54,7 +54,7 @@ object DedupProbeScan {
     val fams0: Set[String] =
       if (args.length > 4) args(4).split(",").map(_.trim).toSet
       else Set("edit", "minhash", "jaccard", "containment", "simhash",
-        "embedding", "semantic")
+        "image", "audio", "embedding", "semantic")
     val restricted = fams0.contains("restricted")
     val fams = fams0 - "restricted"
     val spark = SparkSession.builder()
@@ -278,6 +278,42 @@ object DedupProbeScan {
       report("simhash", truth, found, tT, tF)
       fp.unpersist()
     }
+
+    // ------------------------------- 64-bit slack-1 fingerprints (r18)
+    // The image aHash and audio contour families share the simhash
+    // engine but sit at pigeonhole slack 1, where the key geometry is
+    // a MEASURED choice (Dedup.slack1KeyExpr): print both Σ|bucket|²
+    // sums (the HamAudit numbers) so each decade records which side
+    // won and by how much, then verify the probe-restricted pair set
+    // against exact Θ(P·N) truth — recall and precision must be
+    // exactly 1.0 whichever geometry the chooser ran.
+    def slack1Family(tag: String, fp0: DataFrame, idCol: String,
+        wCol: String): Unit = {
+      val fp = fp0.select(col(idCol).as("doc_id"), col(wCol).as("w")).persist()
+      val (vSingle, vCombo) = Dedup.slack1Volumes(fp, nBlocks = 8, maxHam = 7)
+      val choice = if (vSingle <= vCombo) "single" else "combo"
+      println(s"DEDUPPROBE $tag slack-1 volumes single=$vSingle combo=$vCombo -> $choice")
+      val pFp = fp.filter($"doc_id".isin(probeIds.map(Long.box): _*))
+        .toDF("doc_a", "fa")
+      val (truth, tT) = timed(pairSet(
+        fp.toDF("doc_b", "fb").repartition(64).join(broadcast(pFp),
+          col("doc_a") =!= col("doc_b"))
+          .filter(expr("bit_count(fa ^ fb)") <= 7),
+        "doc_a", "doc_b"))
+      val (found, tF) = timed(pairSet(
+        Dedup.blockedHammingPairs(fp, "doc_id", "w", nBlocks = 8,
+          maxHam = 7,
+          leftOnly = Some(col("doc_id").isin(probeIds.map(Long.box): _*))),
+        "doc_a", "doc_b"))
+      report(tag, truth, found, tT, tF)
+      fp.unpersist()
+    }
+    if (fams("image"))
+      slack1Family("image", graft.mm.Multimodal.imageAHash(t), "media_id", "ahash")
+    if (fams("audio"))
+      slack1Family("audio",
+        graft.mm.Multimodal.audioFingerprint(t).filter($"n_frames" >= 17),
+        "media_id", "fp")
 
     // ----------------------------------------- embedding IVF + semantic
     if (fams("embedding") || fams("semantic") || fams("semantic_tight")) {
