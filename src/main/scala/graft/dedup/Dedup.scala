@@ -805,13 +805,14 @@ object Dedup {
   /** SQL array expr of pair-of-intact-blocks keys over a block layout:
     * one named_struct('blk', comboId, 'key', bitsᵢ ++ bitsⱼ) per
     * (i, j) block pair, i < j. */
-  private[graft] def pairKeyExpr(layout: IndexedSeq[(Int, Int)]): String = {
+  private[graft] def pairKeyExpr(layout: IndexedSeq[(Int, Int)],
+      blkOffset: Int = 0): String = {
     val combos = for { i <- layout.indices; j <- i + 1 until layout.size }
       yield (i, j)
     combos.zipWithIndex.map { case ((i, j), idx) =>
       val (oi, wi) = layout(i)
       val (oj, wj) = layout(j)
-      s"named_struct('blk', $idx, 'key', " +
+      s"named_struct('blk', ${blkOffset + idx}, 'key', " +
         s"shiftleft(shiftright(w, $oi) & ${(1L << wi) - 1}, $wj) | " +
         s"(shiftright(w, $oj) & ${(1L << wj) - 1}))"
     }.mkString("array(", ", ", ")")
@@ -838,16 +839,25 @@ object Dedup {
 
   /** The two Σ|bucket|² sums behind [[slack1KeyExpr]]'s choice —
     * (single 8-bit blocks, uneven pair combos) — exposed for the
-    * tools.HamAudit instrument. */
+    * tools.HamAudit instrument. ONE Spark job: both key sets ride a
+    * single explode with the combo blk ids offset past the single
+    * ones, then a two-level count → Σc² aggregation split on the
+    * offset (the fused form halved the chooser's floor cost on the
+    * sub-second mm dedup queries vs two separate jobs). */
   private[graft] def slack1Volumes(fp: DataFrame, nBlocks: Int,
       maxHam: Int): (Long, Long) = {
-    def volume(e: String): Long = fp
-      .select(explode(expr(e)).as("b"))
+    val single = singleKeyExpr(nBlocks)
+    // combo blk ids offset past the single range so one (blk, key)
+    // groupBy keeps the two geometries' buckets disjoint
+    val combo = pairKeyExpr(unevenLayout(nBlocks * 8, maxHam + 2),
+      blkOffset = nBlocks)
+    val rows = fp
+      .select(explode(expr(s"concat($single, $combo)")).as("b"))
       .groupBy(col("b.blk"), col("b.key")).count()
+      .groupBy((col("blk") < nBlocks).as("isSingle"))
       .agg(coalesce(sum(col("count") * col("count")), lit(0L)).as("v"))
-      .head.getLong(0)
-    (volume(singleKeyExpr(nBlocks)),
-      volume(pairKeyExpr(unevenLayout(nBlocks * 8, maxHam + 2))))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    (rows.getOrElse(true, 0L), rows.getOrElse(false, 0L))
   }
 
   /** @param leftOnly when set, restricts the LEFT join side to rows
