@@ -870,6 +870,43 @@ object Similarity {
     (idx, centroids)
   }
 
+  /** All (probe, cand) pairs with probe_id ≠ cand_id — the execution
+    * form of the library's flat Θ(Q·N) scans, as a block-salted EQUI
+    * join. Candidates hash into `8·defaultParallelism` disjoint blocks
+    * (pmod of cand_id); every probe replicates to every block, so each
+    * pair forms exactly once inside a codegen'd sort-merge join.
+    *
+    * Why not `join(cands, probe_id =!= cand_id)`: with no equi key the
+    * planner's only operators are BroadcastNestedLoopJoin — which
+    * builds (broadcasts) the join's RIGHT input, i.e. the CORPUS side
+    * here, an OOM at scale — or, past the broadcast threshold, an
+    * interpreted CartesianProduct whose tasks recompute each stream
+    * partition once per opposite partition. Neither supports
+    * whole-stage codegen; the r18 10x rehearsal measured the cartesian
+    * at ~4 µs/pair (ann_brute_force join stage 125 s CPU for 3.1e7
+    * pairs) vs this form's codegen'd merge loop. Both
+    * REPARTITION_BY_NUM exchanges pin the compute-amplified pair
+    * stage's width (narrow rows — the signWords lesson) and double as
+    * a materialization barrier for HOF-derived inputs (int8 codes, PQ
+    * decodes, MRL prefixes): each side is computed once per ROW behind
+    * its exchange, never per pair. Probe replication costs Q·blocks
+    * rows, bounded by [[flatScanGuard]] on every caller; these flat
+    * scans are the guarded truth baselines — the IVF twins are the
+    * 100 TB path.
+    */
+  private def blockedPairs(probes: DataFrame, cands: DataFrame): DataFrame = {
+    val par = probes.sparkSession.sparkContext.defaultParallelism
+    val blocks = 8 * par
+    val p = probes
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+      .repartition(par, col("blk"))
+    val c = cands
+      .withColumn("blk", pmod(col("cand_id"), lit(blocks)).cast("int"))
+      .repartition(par, col("blk"))
+    p.join(c, "blk").drop("blk")
+      .filter(col("probe_id") =!= col("cand_id"))
+  }
+
   /** Brute-force cosine top-k: the correctness baseline for ANN. Probe
     * set = vec_id % 13 == 0; k = 5; total-order tiebreak on cand_id.
     */
@@ -885,10 +922,9 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     // No broadcast hint: probes = N/13 of the corpus, a growing input —
-    // an un-demotable hint would OOM at scale where AQE merely degrades
-    // to a nested-loop it can size itself (brute force is the documented
-    // small-Q baseline; IVF/LSH are the scale paths).
-    probes.join(cands, col("probe_id") =!= col("cand_id"))
+    // an un-demotable hint would OOM at scale (brute force is the
+    // documented small-Q baseline; IVF/LSH are the scale paths).
+    blockedPairs(probes, cands)
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -1003,7 +1039,7 @@ object Similarity {
     val probes = e.filter(col("vec_id") % 13 === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
     val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
-    probes.join(cands, col("probe_id") =!= col("cand_id"))
+    blockedPairs(probes, cands)
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
       .filter(col("cos") >= minCos)
       .select(col("probe_id"), col("cand_id"), col("cos"))
@@ -1381,8 +1417,11 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
     // No broadcast hint, same reasoning as annBruteForce: probes grow
-    // with the corpus.
-    probes.join(cands, col("probe_id") =!= col("cand_id"))
+    // with the corpus. The blk exchanges inside blockedPairs double as
+    // the materialization barrier for the HOF quantize chain — codes
+    // are computed once per row, and the Q·N scoring loop below runs
+    // whole-stage codegen'd over stored arrays.
+    blockedPairs(probes, cands)
       .withColumn("qdot", dot(col("cp"), col("cc")).cast(LongType))
       .withColumn("score",
         col("qdot") * col("qp") * col("qc") / lit(16129.0))
@@ -1524,7 +1563,7 @@ object Similarity {
       .orderBy(col("ham").asc, col("cand_id").asc)
     // no broadcast hint: probes grow with the corpus (annBruteForce's
     // reasoning); the scan payload is 8 bytes per side
-    val shortlist = probes.join(cands, col("probe_id") =!= col("cand_id"))
+    val shortlist = blockedPairs(probes, cands)
       .withColumn("ham", bit_count(col("wp").bitwiseXOR(col("wc"))).cast(LongType))
       .withColumn("hr", row_number().over(wHam))
       .filter(col("hr") <= rerank)
@@ -1636,7 +1675,7 @@ object Similarity {
       col("pn").as("pcn"))
     val wPre = Window.partitionBy(col("probe_id"))
       .orderBy(col("pcos").desc, col("cand_id").asc)
-    val short = probes.join(cands, col("probe_id") =!= col("cand_id"))
+    val short = blockedPairs(probes, cands)
       .withColumn("pcos", dot(col("pp"), col("pc")) / (col("ppn") * col("pcn")))
       .withColumn("pr", row_number().over(wPre))
       .filter(col("pr") <= shortlist)
@@ -1687,7 +1726,7 @@ object Similarity {
     val cands = words.select(col("vec_id").as("cand_id"), col("w").as("wc"))
     val wHam = Window.partitionBy(col("probe_id"))
       .orderBy(col("ham").asc, col("cand_id").asc)
-    val short = probes.join(cands, col("probe_id") =!= col("cand_id"))
+    val short = blockedPairs(probes, cands)
       .withColumn("ham", bit_count(col("wp").bitwiseXOR(col("wc"))).cast(LongType))
       .withColumn("hr", row_number().over(wHam))
       .filter(col("hr") <= shortlist)
@@ -2006,8 +2045,7 @@ object Similarity {
     // when nothing above references them — carrying vp/np through for
     // stage 2 made the Q·N ADC sort spill ~60x its necessary width
     // (the r16 100x run filled the local disk through exactly this).
-    val shortlist = probes.select(col("probe_id"), col("up"))
-      .join(codes, col("probe_id") =!= col("cand_id"))
+    val shortlist = blockedPairs(probes.select(col("probe_id"), col("up")), codes)
       .withColumn("adc", dot(col("up"), col("uhat")))
       .select(col("probe_id"), col("cand_id"), col("adc"))
       .withColumn("ar", row_number().over(wAdc))
