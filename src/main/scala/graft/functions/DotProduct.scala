@@ -79,6 +79,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_cells", exprs => TopCells(exprs(0), exprs(1), exprs(2)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quant", exprs => QuantCodes(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column accessor for [[NibbleL1]] (requires register() first). */

@@ -42,6 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopCells].getName, "graft_top_cells"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopCells(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp_words"),
+      new ExpressionInfo(classOf[SrpWords].getName, "graft_srp_words"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SrpWords(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quant"),
+      new ExpressionInfo(classOf[QuantCodes].getName, "graft_quant"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuantCodes(exprs(0), exprs(1))))
     // plan-level df rule: whole-partition COUNT windows become
     // aggregate + null-safe join (see CountWindowToJoin scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.CountWindowToJoin)

@@ -1333,11 +1333,10 @@ object Similarity {
     */
   private[graft] def withQuantCols(df: DataFrame): DataFrame =
     df.filter(col("nrm") > 0)
-      .withColumn("u", transform(col("v"), x => x / col("nrm")))
-      .withColumn("qmax", array_max(transform(col("u"), x => abs(x))))
-      .withColumn("codes",
-        transform(col("u"), x => floor(x * (lit(127.0) / col("qmax")) + lit(0.5))))
-      .drop("u")
+      .withColumn("q", call_function("graft_quant", col("v"), col("nrm")))
+      .withColumn("qmax", col("q.qmax"))
+      .withColumn("codes", col("q.codes"))
+      .drop("q")
 
   private def quantizedCodes(t: Tables): DataFrame =
     withQuantCols(withNorm(t))

@@ -100,6 +100,20 @@ class QuantizeSpec extends SparkSuite {
       s"quantization must not shuffle the corpus:\n$plan")
   }
 
+  test("quantization runs the fused native expression, not interpreted HOFs") {
+    val plan = Similarity.embQuantizeInt8(t).queryExecution.executedPlan.toString
+    val scanAt = plan.indexOf("InMemoryTableScan")
+    val above = plan.substring(0, math.max(scanAt, 0))
+    assert(above.contains("graft_quant"),
+      s"expected the fused graft_quant expression:\n$plan")
+    // The interpreted HOF chain (u/qmax/codes transforms, recognizable
+    // by its FLOOR lambda) must be gone — it cost ~1 ms/row (r18).
+    // This query's own output stringification lambdas are fine: they
+    // format N result rows once, not the quantize hot path.
+    assert(!above.contains("FLOOR"),
+      s"quantize projection fell back to the interpreted HOF chain:\n$plan")
+  }
+
   test("ann_int8 recall@5 vs the exact float baseline >= 0.9 on sf0.01") {
     def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => (r.getLong(0), r.getLong(1)))
