@@ -894,7 +894,7 @@ object Similarity {
     * scans are the guarded truth baselines — the IVF twins are the
     * 100 TB path.
     */
-  private def blockedPairs(probes: DataFrame, cands: DataFrame): DataFrame = {
+  private[graft] def blockedPairs(probes: DataFrame, cands: DataFrame): DataFrame = {
     val par = probes.sparkSession.sparkContext.defaultParallelism
     val blocks = 8 * par
     val p = probes

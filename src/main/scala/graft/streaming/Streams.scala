@@ -332,15 +332,18 @@ object Streams {
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(GraftFunctions.graftDot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
-      .withColumn("u", transform(col("v"), x => x / col("nrm")))
-      .withColumn("qp", array_max(transform(col("u"), x => abs(x))))
-      .withColumn("cp",
-        transform(col("u"), x => floor(x * (lit(127.0) / col("qp")) + lit(0.5)))
-          .cast("array<double>"))
+      .withColumn("q", call_function("graft_quant", col("v"), col("nrm")))
+      .withColumn("qp", col("q.qmax"))
+      .withColumn("cp", col("q.codes").cast("array<double>"))
       .select(col("probe_id"), col("ts"), col("qp"), col("cp"))
     val idx = index.select(col("vec_id").as("cand_id"),
       col("qmax").as("qc"), col("codes").cast("array<double>").as("cc"))
-    val scored = p.join(idx, col("probe_id") =!= col("cand_id")) // stream-static
+    // stream-static, block-salted: the theta form would broadcast the
+    // RESIDENT INDEX side (BNLJ BuildRight) into every micro-batch —
+    // Similarity.blockedPairs keys it once by block instead (the
+    // arriving probes are the replicated side; the index shuffles by
+    // pmod(cand_id) exactly as in the batch twin).
+    val scored = graft.sim.Similarity.blockedPairs(p, idx)
       .withColumn("qdot", GraftFunctions.graftDot(col("cp"), col("cc")).cast(LongType))
       .withColumn("score", col("qdot") * col("qp") * col("qc") / lit(16129.0))
     val topk = udaf(graft.functions.Aggs.topKOf[(Double, Long)](k)(_._1, _._2),
@@ -439,11 +442,9 @@ object Streams {
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(GraftFunctions.graftDot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
-      .withColumn("u", transform(col("v"), x => x / col("nrm")))
-      .withColumn("qp", array_max(transform(col("u"), x => abs(x))))
-      .withColumn("cp",
-        transform(col("u"), x => floor(x * (lit(127.0) / col("qp")) + lit(0.5)))
-          .cast("array<double>"))
+      .withColumn("q", call_function("graft_quant", col("v"), col("nrm")))
+      .withColumn("qp", col("q.qmax"))
+      .withColumn("cp", col("q.codes").cast("array<double>"))
       .withColumn("pc", explode(slice(rankedCells, 1, np)))
       .select(col("probe_id"), col("ts"), col("qp"), col("cp"),
         col("pc.cell").as("cell"))
@@ -494,10 +495,9 @@ object Streams {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(GraftFunctions.graftDot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
-      .withColumn("u", transform(col("v"), x => x / col("nrm")))
-      .withColumn("qmax", array_max(transform(col("u"), x => abs(x))))
-      .withColumn("codes",
-        transform(col("u"), x => floor(x * (lit(127.0) / col("qmax")) + lit(0.5))))
+      .withColumn("q", call_function("graft_quant", col("v"), col("nrm")))
+      .withColumn("qmax", col("q.qmax"))
+      .withColumn("codes", col("q.codes"))
       .withColumn("cell", element_at(rankedCells, 1).getField("cell"))
       .select(col("vec_id"), col("cell"), col("qmax"),
         concat_ws(":", transform(col("codes"), x => x.cast(StringType))).as("codes"),
