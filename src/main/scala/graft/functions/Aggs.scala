@@ -93,8 +93,30 @@ object Aggs {
       private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
         s.sorted(ord).take(k)
       override def zero: Seq[(Double, Long)] = Seq.empty
-      override def reduce(b: Seq[(Double, Long)], a: T): Seq[(Double, Long)] =
-        trim(b :+ ((value(a), id(a))))
+      // Invariant: the buffer is always ord-sorted and <= k (zero is;
+      // reduce inserts in place; merge sort-trims). The per-row fast
+      // path matters at the streaming scoring sites (annStream feeds
+      // every scored pair of a micro-batch through this): once the
+      // buffer is full, a row that can't beat the current kth costs
+      // ONE compare — no sort, no allocation. On an exact tie with the
+      // kth the result equals the sort-trim form (the tied copy is the
+      // one dropped). NOTE (r18): this aggregator did NOT beat the
+      // row_number window on the BATCH Θ(Q·N) scans — the udaf path
+      // pays a per-row encoder conversion that costs more than the
+      // Tungsten sort feeding WindowGroupLimit (measured 3.3 s -> 15.8 s
+      // on ann_brute_force at 10x when tried); keep the windows there.
+      override def reduce(b: Seq[(Double, Long)], a: T): Seq[(Double, Long)] = {
+        val x = (value(a), id(a))
+        if (b.size >= k && ord.compare(b.last, x) <= 0) b
+        else {
+          val buf = b.toBuffer
+          var i = buf.size
+          while (i > 0 && ord.compare(buf(i - 1), x) > 0) i -= 1
+          buf.insert(i, x)
+          if (buf.size > k) buf.remove(buf.size - 1)
+          buf.toSeq
+        }
+      }
       override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
         trim(b1 ++ b2)
       override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(b)
@@ -103,6 +125,7 @@ object Aggs {
       override def outputEncoder: Encoder[Seq[(Double, Long)]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
     }
+
 
   final case class OrderSlice(o_orderpriority: String, o_totalprice: Double,
                               o_orderkey: Long)
