@@ -893,10 +893,20 @@ object Similarity {
     * rows, bounded by [[flatScanGuard]] on every caller; these flat
     * scans are the guarded truth baselines — the IVF twins are the
     * 100 TB path.
+    *
+    * `nCands` derives the block count: ~64 candidates per block,
+    * clamped to [par, 8·par] (enough keys per partition for balance,
+    * never more replication than the corpus warrants — at the 1x
+    * rehearsal the flat 8·par blocks cost the tiny-N queries ~0.5 s of
+    * pure probe-replication overhead). Callers that cannot count the
+    * candidate side without an action (the streaming probe) pass -1 →
+    * the 8·par ceiling.
     */
-  private[graft] def blockedPairs(probes: DataFrame, cands: DataFrame): DataFrame = {
+  private[graft] def blockedPairs(probes: DataFrame, cands: DataFrame,
+      nCands: Long = -1L): DataFrame = {
     val par = probes.sparkSession.sparkContext.defaultParallelism
-    val blocks = 8 * par
+    val blocks = if (nCands < 0) 8 * par
+      else math.max(par, math.min(8 * par, ((nCands + 63) / 64).toInt))
     val p = probes
       .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
       .repartition(par, col("blk"))
@@ -924,7 +934,7 @@ object Similarity {
     // No broadcast hint: probes = N/13 of the corpus, a growing input —
     // an un-demotable hint would OOM at scale (brute force is the
     // documented small-Q baseline; IVF/LSH are the scale paths).
-    blockedPairs(probes, cands)
+    blockedPairs(probes, cands, n)
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -1039,7 +1049,7 @@ object Similarity {
     val probes = e.filter(col("vec_id") % 13 === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
     val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"), col("nrm").as("nc"))
-    blockedPairs(probes, cands)
+    blockedPairs(probes, cands, n)
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
       .filter(col("cos") >= minCos)
       .select(col("probe_id"), col("cand_id"), col("cos"))
@@ -1420,7 +1430,7 @@ object Similarity {
     // the materialization barrier for the HOF quantize chain — codes
     // are computed once per row, and the Q·N scoring loop below runs
     // whole-stage codegen'd over stored arrays.
-    blockedPairs(probes, cands)
+    blockedPairs(probes, cands, corpusSize(t))
       .withColumn("qdot", dot(col("cp"), col("cc")).cast(LongType))
       .withColumn("score",
         col("qdot") * col("qp") * col("qc") / lit(16129.0))
@@ -1562,7 +1572,7 @@ object Similarity {
       .orderBy(col("ham").asc, col("cand_id").asc)
     // no broadcast hint: probes grow with the corpus (annBruteForce's
     // reasoning); the scan payload is 8 bytes per side
-    val shortlist = blockedPairs(probes, cands)
+    val shortlist = blockedPairs(probes, cands, corpusSize(t))
       .withColumn("ham", bit_count(col("wp").bitwiseXOR(col("wc"))).cast(LongType))
       .withColumn("hr", row_number().over(wHam))
       .filter(col("hr") <= rerank)
@@ -1674,7 +1684,7 @@ object Similarity {
       col("pn").as("pcn"))
     val wPre = Window.partitionBy(col("probe_id"))
       .orderBy(col("pcos").desc, col("cand_id").asc)
-    val short = blockedPairs(probes, cands)
+    val short = blockedPairs(probes, cands, corpusSize(t))
       .withColumn("pcos", dot(col("pp"), col("pc")) / (col("ppn") * col("pcn")))
       .withColumn("pr", row_number().over(wPre))
       .filter(col("pr") <= shortlist)
@@ -1725,7 +1735,7 @@ object Similarity {
     val cands = words.select(col("vec_id").as("cand_id"), col("w").as("wc"))
     val wHam = Window.partitionBy(col("probe_id"))
       .orderBy(col("ham").asc, col("cand_id").asc)
-    val short = blockedPairs(probes, cands)
+    val short = blockedPairs(probes, cands, corpusSize(t))
       .withColumn("ham", bit_count(col("wp").bitwiseXOR(col("wc"))).cast(LongType))
       .withColumn("hr", row_number().over(wHam))
       .filter(col("hr") <= shortlist)
@@ -2044,7 +2054,7 @@ object Similarity {
     // when nothing above references them — carrying vp/np through for
     // stage 2 made the Q·N ADC sort spill ~60x its necessary width
     // (the r16 100x run filled the local disk through exactly this).
-    val shortlist = blockedPairs(probes.select(col("probe_id"), col("up")), codes)
+    val shortlist = blockedPairs(probes.select(col("probe_id"), col("up")), codes, nGuard)
       .withColumn("adc", dot(col("up"), col("uhat")))
       .select(col("probe_id"), col("cand_id"), col("adc"))
       .withColumn("ar", row_number().over(wAdc))
