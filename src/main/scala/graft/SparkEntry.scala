@@ -209,7 +209,8 @@ object SparkEntry {
       val probes = t.widen(t.embeddings).filter(col("vec_id") % 13 === 0)
         .select(col("vec_id"), col("embedding"),
           timestamp_seconds(col("vec_id")).as("ts"))
-      graft.streaming.Streams.annStream(probes, Similarity.quantizedIndex(t))
+      graft.streaming.Streams.annStream(probes, Similarity.quantizedIndex(t),
+        nIndex = Similarity.corpusSize(t))
     }),
     // the cell-keyed streaming probe (production shape): probes rank
     // the broadcast-scale centroid constants row-locally and join only

@@ -317,8 +317,12 @@ object Streams {
     * caveat cannot fire). A score-formula change that can produce
     * -0.0 (e.g. a float subtraction) would silently reintroduce it.
     */
+  /** @param nIndex resident-index cardinality when the caller knows it
+    *               (table metadata / the nightly job's row count) —
+    *               derives blockedPairs' block count; -1 = unknown →
+    *               the 8·par ceiling. */
   def annStream(probes: DataFrame, index0: DataFrame, k: Int = 5,
-                horizon: String = "1 hour"): DataFrame = {
+                horizon: String = "1 hour", nIndex: Long = -1L): DataFrame = {
     import graft.functions.GraftFunctions
     GraftFunctions.register(probes.sparkSession) // idempotent; see annStreamIvf
     // On a real stream the static side re-executes its whole lineage
@@ -343,7 +347,7 @@ object Streams {
     // Similarity.blockedPairs keys it once by block instead (the
     // arriving probes are the replicated side; the index shuffles by
     // pmod(cand_id) exactly as in the batch twin).
-    val scored = graft.sim.Similarity.blockedPairs(p, idx)
+    val scored = graft.sim.Similarity.blockedPairs(p, idx, nIndex)
       .withColumn("qdot", GraftFunctions.graftDot(col("cp"), col("cc")).cast(LongType))
       .withColumn("score", col("qdot") * col("qp") * col("qc") / lit(16129.0))
     val topk = udaf(graft.functions.Aggs.topKOf[(Double, Long)](k)(_._1, _._2),
