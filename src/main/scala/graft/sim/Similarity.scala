@@ -917,6 +917,21 @@ object Similarity {
       .filter(col("probe_id") =!= col("cand_id"))
   }
 
+  /** Cell-keyed candidate join with PINNED width: both inputs are
+    * byte-small tables (probe cells ~50 MB, resident codes ~10 MB at
+    * the 10x rehearsal), so AQE's byte-based sizing coalesced the
+    * compute-amplified pair-production stage — Q·nprobe·|cell| scored
+    * pairs — to 3 tasks (measured 20 s CPU on ann_ivf_pq; the q32/
+    * signWords lesson again). REPARTITION_BY_NUM on both sides keeps
+    * the stage at full width; the join itself stays an equi join on
+    * the cell id.
+    */
+  private[graft] def cellJoin(probeCells: DataFrame, cands: DataFrame): DataFrame = {
+    val par = probeCells.sparkSession.sparkContext.defaultParallelism
+    probeCells.repartition(par, col("cell"))
+      .join(cands.repartition(par, col("cell")), Seq("cell"))
+  }
+
   /** Brute-force cosine top-k: the correctness baseline for ANN. Probe
     * set = vec_id % 13 == 0; k = 5; total-order tiebreak on cand_id.
     */
@@ -1104,7 +1119,7 @@ object Similarity {
       .select(col("probe_id"), col("vp"), col("np"), col("cell"))
     val cands = assigned.select(col("vec_id").as("cand_id"),
       col("v").as("vc"), col("nrm").as("nc"), col("cell"))
-    val out = probeCells.join(cands, Seq("cell"))
+    val out = cellJoin(probeCells, cands)
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
       .filter(col("cos") >= minCos)
@@ -1168,9 +1183,14 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id").asc)
     // top-5 per probe is tiny: materialize it so the cell-assignment
     // cache can be released instead of accumulating across a sweep
-    val out = probeCells.join(cands, Seq("cell"))
+    val out = cellJoin(probeCells, cands)
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
+      .select(col("probe_id"), col("cand_id"), col("cos"))
+      // pinned width: the pruned (ids, cos) stream is narrow, so the
+      // by-col rank exchange AQE-coalesces (annIvfPq's measured 3-task
+      // pathology, the q32/signWords lesson)
+      .repartition(t.spark.sparkContext.defaultParallelism, col("probe_id"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
@@ -2229,21 +2249,34 @@ object Similarity {
     // the rank sort; the probe floats re-join after the rr filter.
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("cand_id").asc)
-    val shortlist = probeCells.join(codes, Seq("cell"))
+    val shortlist = cellJoin(probeCells, codes)
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("adc", dot(col("up"), col("uhat")))
       .select(col("probe_id"), col("cand_id"), col("adc"))
+      // pin the rank exchange's width: the ADC stream is 24 B rows, so
+      // AQE's byte-based coalescing shrank the by-col exchange to 3
+      // tasks at the 10x rehearsal (19.8 s CPU in 3 tasks) — the q32/
+      // signWords compute-amplified-stage lesson
+      .repartition(t.spark.sparkContext.defaultParallelism, col("probe_id"))
       .withColumn("ar", row_number().over(wAdc))
       .filter(col("ar") <= rr)
       .select(col("probe_id"), col("cand_id"))
       .join(probes.select(col("probe_id"), col("vp"), col("pnrm")), "probe_id")
-    // stage 3 — exact re-rank of the small shortlist
+    // stage 3 — exact re-rank of the small shortlist. Width pinned on
+    // both exchanges: the Q·rr shortlist carries the probe vector
+    // (~550 B rows, ~340 MB at the 10x rehearsal), and AQE's byte
+    // sizing coalesced the join+rank stage to 3 tasks (20 s CPU) —
+    // the q32/signWords compute-amplified-stage lesson.
+    val par = t.spark.sparkContext.defaultParallelism
     val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"),
       col("nrm").as("nc"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    shortlist.join(cands, "cand_id")
+    shortlist.repartition(par, col("cand_id"))
+      .join(cands.repartition(par, col("cand_id")), "cand_id")
       .withColumn("cos", dot(col("vp"), col("vc").cast("array<double>")) / (col("pnrm") * col("nc")))
+      .select(col("probe_id"), col("cand_id"), col("cos"))
+      .repartition(par, col("probe_id"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
@@ -2286,11 +2319,14 @@ object Similarity {
       col("qmax").as("qc"), col("cd").as("cc"), col("cell"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
-    val out = probeCells.join(cands, Seq("cell"))
+    val out = cellJoin(probeCells, cands)
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("qdot", dot(col("cp"), col("cc")).cast(LongType))
       .withColumn("score",
         col("qdot") * col("qp") * col("qc") / lit(16129.0))
+      .select(col("probe_id"), col("cand_id"), col("qdot"), col("score"))
+      // pinned width (annIvfPq's measured 3-task pathology)
+      .repartition(t.spark.sparkContext.defaultParallelism, col("probe_id"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("cand_id"), col("rnk"), col("qdot"), col("score"))

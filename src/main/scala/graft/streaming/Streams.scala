@@ -454,7 +454,10 @@ object Streams {
         col("pc.cell").as("cell"))
     val idx = index.select(col("vec_id").as("cand_id"), col("cell"),
       col("qmax").as("qc"), col("codes").cast("array<double>").as("cc"))
-    val scored = p.join(idx, Seq("cell")) // stream-static, cell-keyed
+    // stream-static, cell-keyed; width pinned (Similarity.cellJoin —
+    // the byte-small inputs otherwise AQE-coalesce the scored-pair
+    // stage to a few tasks)
+    val scored = graft.sim.Similarity.cellJoin(p, idx)
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("qdot", GraftFunctions.graftDot(col("cp"), col("cc")).cast(LongType))
       .withColumn("score", col("qdot") * col("qp") * col("qc") / lit(16129.0))
