@@ -1092,7 +1092,7 @@ object Similarity {
     * Knobs derive from corpus size exactly like [[annIvf]].
     */
   def annRangeIvf(t: Tables, nlist: Int = 0, nprobe: Int = 0,
-      minCos: Double = 0.3): DataFrame = {
+      minCos: Double = 0.3, checkpoint: Boolean = true): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
     val np0 = if (nprobe > 0) nprobe else nprobeFor(nl)
@@ -1102,29 +1102,31 @@ object Similarity {
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
       .persist()
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }.toSeq
-    val cdf = t.spark.createDataFrame(centroids).toDF("cell", "centroid")
-      .withColumn("centroid", col("centroid").cast("array<double>"))
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val probes = assigned.filter(col("vec_id") % 13 === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
-    val wCell = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
-    val probeCells = probes.crossJoin(broadcast(cdf))
-      .withColumn("cdist",
-        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("vp"), col("centroid")))
-      .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= np0)
-      .select(col("probe_id"), col("vp"), col("np"), col("cell"))
+    // row-local multi-assign (graft.functions.TopCells) — the old
+    // crossJoin(broadcast(centroids)) + row_number window sorted
+    // (N/13)·nlist VECTOR-WIDE rows (~86 GB at nd1000), the measured
+    // defect-4 disk-filler shape. Same (cdist asc, cell asc) rule and
+    // left-fold dot arithmetic (TopCellsSpec pins bit-identical
+    // assignment); downstream partitioning is unaffected — cellJoin
+    // pins its own width on the cell key.
+    graft.functions.GraftFunctions.register(t.spark)
+    val probeCells = probes.select(col("probe_id"), col("vp"), col("np"),
+      explode(graft.functions.GraftFunctions.topCells(
+        col("vp"), centroids, np0)).as("cell"))
     val cands = assigned.select(col("vec_id").as("cand_id"),
       col("v").as("vc"), col("nrm").as("nc"), col("cell"))
-    val out = cellJoin(probeCells, cands)
+    val thresholded = cellJoin(probeCells, cands)
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
       .filter(col("cos") >= minCos)
       .select(col("probe_id"), col("cand_id"), col("cos"))
-      .localCheckpoint()
+    // checkpoint=false is for plan review only (tools.Plans): it skips
+    // the materialization so the explain shows the real pipeline
+    if (!checkpoint) return thresholded
+    val out = thresholded.localCheckpoint()
     assigned.unpersist()
     out
   }
@@ -1146,7 +1148,7 @@ object Similarity {
     * explicit nlist/nprobe (> 0) overrides the derivation.
     */
   def annIvf(t: Tables, nlist: Int = 0, nprobe: Int = 0,
-      probeMod: Int = 13): DataFrame = {
+      probeMod: Int = 13, checkpoint: Boolean = true): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
     val np = if (nprobe > 0) nprobe else nprobeFor(nl)
@@ -1157,25 +1159,23 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
       .persist()
 
-    // probe cells: nprobe nearest centroids per probe vector
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }.toSeq
-    val cdf = t.spark.createDataFrame(centroids).toDF("cell", "centroid")
-      .withColumn("centroid", col("centroid").cast("array<double>"))
+    // probe cells: nprobe nearest centroids per probe vector, ranked by
+    // the SAME metric the quantizer assigns with (Euclidean):
+    // ||p-c||² = ||p||² - 2p·c + ||c||²; ||p||² is constant per probe,
+    // so ||c||² - 2p·c preserves the ranking. Row-local multi-assign
+    // (graft.functions.TopCells): the old crossJoin(broadcast) +
+    // row_number window sorted (N/probeMod)·nlist VECTOR-WIDE rows —
+    // the measured defect-4 disk-filler shape one decade out. Same
+    // (cdist asc, cell asc) rule, same left-fold dot arithmetic
+    // (TopCellsSpec pins bit-identical assignment); cellJoin pins its
+    // own width on the cell key, so no partitioning is lost.
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val probes = assigned.filter(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"))
-    val wCell = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
-    // rank cells by the SAME metric the quantizer assigns with
-    // (Euclidean): ||p-c||² = ||p||² - 2p·c + ||c||²; ||p||² is constant
-    // per probe, so -2p·c + ||c||² preserves the ranking
-    val probeCells = probes.crossJoin(broadcast(cdf))
-      .withColumn("cdist",
-        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("vp"), col("centroid")))
-      .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= np)
-      .select(col("probe_id"), col("vp"), col("np"), col("cell"))
+    graft.functions.GraftFunctions.register(t.spark)
+    val probeCells = probes.select(col("probe_id"), col("vp"), col("np"),
+      explode(graft.functions.GraftFunctions.topCells(
+        col("vp"), centroids, np)).as("cell"))
 
     val cands = assigned.select(col("vec_id").as("cand_id"),
       col("v").as("vc"), col("nrm").as("nc"), col("cell"))
@@ -1183,7 +1183,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id").asc)
     // top-5 per probe is tiny: materialize it so the cell-assignment
     // cache can be released instead of accumulating across a sweep
-    val out = cellJoin(probeCells, cands)
+    val ranked = cellJoin(probeCells, cands)
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cos", dot(col("vp"), col("vc")) / (col("np") * col("nc")))
       .select(col("probe_id"), col("cand_id"), col("cos"))
@@ -1194,7 +1194,10 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
-      .localCheckpoint()
+    // checkpoint=false is for plan review only (tools.Plans): it skips
+    // the materialization so the explain shows the real pipeline
+    if (!checkpoint) return ranked
+    val out = ranked.localCheckpoint()
     assigned.unpersist()
     out
   }
@@ -2227,23 +2230,18 @@ object Similarity {
           (id, cell, uhat.toSeq)
         }
       }.toDF("cand_id", "cell", "uhat")
-    val cdf = t.spark.createDataFrame(
-        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
-      .toDF("cell", "centroid")
-      .withColumn("centroid", col("centroid").cast("array<double>"))
     val probes = e.filter(col("vec_id") % probeMod === 0 && col("nrm") > 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"),
         col("nrm").as("pnrm"),
         transform(col("v"), x => x / col("nrm")).as("up"))
-    val wCell = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
-    // stage 1 — same centroid metric as the whole IVF family
-    val probeCells = probes.crossJoin(broadcast(cdf))
-      .withColumn("cdist",
-        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("vp"), col("centroid")))
-      .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= np)
-      .select(col("probe_id"), col("up"), col("cell"))
+    // stage 1 — same centroid metric as the whole IVF family, as the
+    // row-local TopCells multi-assign (the crossJoin+window form sorted
+    // (N/probeMod)·nlist vector-wide rows; TopCellsSpec pins the same
+    // (cdist asc, cell asc) assignment; cellJoin re-pins width on cell)
+    graft.functions.GraftFunctions.register(t.spark)
+    val probeCells = probes.select(col("probe_id"), col("up"),
+      explode(graft.functions.GraftFunctions.topCells(
+        col("vp"), cents.map(_.toSeq).toSeq, np)).as("cell"))
     // stage 2 — ADC over the probed cells only (cell-keyed join).
     // Same narrow-window discipline as annPq: only (ids, adc) enter
     // the rank sort; the probe floats re-join after the rr filter.
@@ -2297,23 +2295,18 @@ object Similarity {
       .withColumnRenamed("codes", "cd")
       .persist()
 
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }.toSeq
-    val cdf = t.spark.createDataFrame(centroids).toDF("cell", "centroid")
-      .withColumn("centroid", col("centroid").cast("array<double>"))
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val probes = withQuantCols(e.filter(col("vec_id") % probeMod === 0))
       .select(col("vec_id").as("probe_id"), col("v").as("vp"),
         col("qmax").as("qp"), col("codes").cast("array<double>").as("cp"))
-    val wCell = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
-    // same centroid metric as annIvf: rank by ||c||² - 2p·c
-    val probeCells = probes.crossJoin(broadcast(cdf))
-      .withColumn("cdist",
-        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("vp"), col("centroid")))
-      .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= np)
-      .select(col("probe_id"), col("qp"), col("cp"), col("cell"))
+    // same centroid metric as annIvf (rank by ||c||² - 2p·c), as the
+    // row-local TopCells multi-assign (the crossJoin+window form sorted
+    // (N/probeMod)·nlist vector-wide rows; TopCellsSpec pins the same
+    // (cdist asc, cell asc) assignment; cellJoin re-pins width on cell)
+    graft.functions.GraftFunctions.register(t.spark)
+    val probeCells = probes.select(col("probe_id"), col("qp"), col("cp"),
+      explode(graft.functions.GraftFunctions.topCells(
+        col("vp"), centroids, np)).as("cell"))
 
     val cands = assigned.select(col("vec_id").as("cand_id"),
       col("qmax").as("qc"), col("cd").as("cc"), col("cell"))

@@ -58,6 +58,11 @@ object Plans {
       "dedup_containment" -> graft.dedup.Dedup.containment(t, checkpoint = false),
       "corpus_scrub_spans" -> graft.pipeline.CorpusOps.scrubSpans(t, checkpoint = false),
       "ann_label_filtered" -> graft.sim.Similarity.annLabelFiltered(t),
+      // IVF retrieval family: the probe-cell assignment must read as a
+      // Generate(explode(graft_top_cells)) narrow map — a Window/Sort
+      // here is the defect-4 (N/13)·nlist vector-wide regression
+      "ann_ivf" -> graft.sim.Similarity.annIvf(t, checkpoint = false),
+      "ann_range_ivf" -> graft.sim.Similarity.annRangeIvf(t, checkpoint = false),
       "q52_retention" -> Relational.q52RetentionCohorts(t))
     interesting.foreach { case (name, df) =>
       println(s"===== $name =====")
