@@ -76,7 +76,12 @@ object QuantCodes {
     while (i < n) {
       u(i) = v.getDouble(i) / nrm
       val a = math.abs(u(i))
-      if (a > qmax) qmax = a
+      // NaN is sticky-max, mirroring the HOF form's array_max (Spark
+      // orders NaN above any double): a plain `a > qmax` would skip
+      // NaN and let a malformed vector (e.g. an Inf element → u_i =
+      // Inf/Inf = NaN past the nrm > 0 filter) hash DIFFERENTLY from
+      // the HOF/DuckDB mirrors instead of poisoning qmax loudly
+      if (a.isNaN || a > qmax) qmax = a
       i += 1
     }
     val scale = 127.0 / qmax

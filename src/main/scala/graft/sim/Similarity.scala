@@ -905,8 +905,12 @@ object Similarity {
   private[graft] def blockedPairs(probes: DataFrame, cands: DataFrame,
       nCands: Long = -1L): DataFrame = {
     val par = probes.sparkSession.sparkContext.defaultParallelism
+    // clamp in Long BEFORE narrowing: ((nCands+63)/64).toInt wraps
+    // negative past ~1.4e11 candidates and would silently degrade the
+    // block count to `par` (minimum replication — the wrong direction
+    // for exactly the corpora that hit it)
     val blocks = if (nCands < 0) 8 * par
-      else math.max(par, math.min(8 * par, ((nCands + 63) / 64).toInt))
+      else math.max(par.toLong, math.min(8L * par, (nCands + 63) / 64)).toInt
     val p = probes
       .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
       .repartition(par, col("blk"))

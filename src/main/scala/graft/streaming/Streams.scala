@@ -239,21 +239,23 @@ object Streams {
     //    post-verify state holds only VERIFIED pairs (≥ minMatches),
     //    a small subset of raw band collisions, while micro-batch
     //    stream-static joins are already small per trigger.
+    // the K-wide signature verification + projection is ONE definition
+    // applied on both sides of the mode-specific dedup — the two modes
+    // must stay output-identical (StreamingSpec pins the agreement),
+    // so the shared stage must not be able to drift
+    def verifyAndProject(cands: DataFrame): DataFrame = cands
+      .join(sb, "corpus_id")            // stream-static in stream mode
+      .withColumn("matches", Dedup.matchCount("ma", "mb"))
+      .filter(col("matches") >= Dedup.minMatches)
+    def project(df: DataFrame): DataFrame = df
+      .select(col("batch_id"), col("corpus_id"),
+        (col("matches") / lit(K.toDouble)).as("est_sim"))
     if (collisions.isStreaming)
-      collisions
-        .join(sb, "corpus_id")          // stream-static
-        .withColumn("matches", Dedup.matchCount("ma", "mb"))
-        .filter(col("matches") >= Dedup.minMatches)
-        .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
-        .select(col("batch_id"), col("corpus_id"),
-          (col("matches") / lit(K.toDouble)).as("est_sim"))
+      project(verifyAndProject(collisions)
+        .dropDuplicatesWithinWatermark("batch_id", "corpus_id"))
     else
-      collisions.dropDuplicates("batch_id", "corpus_id")
-        .join(sb, "corpus_id")
-        .withColumn("matches", Dedup.matchCount("ma", "mb"))
-        .filter(col("matches") >= Dedup.minMatches)
-        .select(col("batch_id"), col("corpus_id"),
-          (col("matches") / lit(K.toDouble)).as("est_sim"))
+      project(verifyAndProject(
+        collisions.dropDuplicates("batch_id", "corpus_id")))
   }
 
   /** Stream-stream interval join — the streaming twin of

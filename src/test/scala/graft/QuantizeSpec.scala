@@ -176,6 +176,28 @@ class QuantizeSpec extends SparkSuite {
     Similarity.clearCaches(ti.dir)
   }
 
+  test("non-finite elements poison qmax to NaN (array_max agreement)") {
+    // An Inf element passes the nrm > 0 filter (nrm = Inf) and yields
+    // u_i = Inf/Inf = NaN. The replaced HOF form's array_max orders NaN
+    // above every double, so qmax must be NaN — a plain running
+    // `a > qmax` max would skip it and hash DIFFERENTLY from the
+    // HOF/DuckDB mirrors. NaN must also be sticky (not overwritten by
+    // a later finite element).
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vInf = new GenericArrayData(
+      Array.tabulate(8)(i => if (i == 2) Double.PositiveInfinity else 1.0))
+    val nrmInf = math.sqrt(vInf.toDoubleArray().map(x => x * x).sum)
+    val row = graft.functions.QuantCodes.quant(vInf, nrmInf)
+    assert(row.getDouble(0).isNaN,
+      s"qmax must be NaN for a non-finite input, got ${row.getDouble(0)}")
+    // finite vectors are untouched by the NaN branch
+    val vOk = new GenericArrayData(Array.tabulate(8)(i => (i + 1).toDouble))
+    val nrmOk = math.sqrt(vOk.toDoubleArray().map(x => x * x).sum)
+    val ok = graft.functions.QuantCodes.quant(vOk, nrmOk)
+    val uMax = vOk.toDoubleArray().map(x => math.abs(x / nrmOk)).max
+    assert(ok.getDouble(0) == uMax)
+  }
+
   test("quantizer fit is bounded and partitioning-independent (identical centroids)") {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.functions.col
