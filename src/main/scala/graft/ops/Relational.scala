@@ -522,7 +522,14 @@ object Relational {
     * plan is a hash join keyed on the bucket, O(pairs-per-bucket)
     * instead of O(|probes|·N) nested-loop enumeration.
     */
-  def q32FuzzyName(t: Tables): DataFrame = {
+  /** Candidate stream of [[q32FuzzyName]] BEFORE the NibbleL1 gate:
+    * the salted length-bucket join plus the length-difference prune.
+    * Exposed so RelationalSpec (and the 10x rehearsal) can COUNT the
+    * gate's rejection fraction — rows here vs rows out of
+    * [[q32DpSurvivors]] — instead of tracking a wall-time ratio that
+    * moves with the floor.
+    */
+  private[graft] def q32RawCandidates(t: Tables): DataFrame = {
     import t.spark.implicits._
     val bkt = floor(length($"probe_name") / lit(5))
     // The length-bucket key `blk` has only a handful of distinct
@@ -570,17 +577,39 @@ object Relational {
     // The residual prune skips the O(len²) DP for cross-bucket pairs
     // whose lengths still differ by >4.
     val width = t.spark.sparkContext.defaultParallelism
-    probes.repartition(width, $"blk", $"salt")
+    val raw = probes.repartition(width, $"blk", $"salt")
       .join(cands.repartition(width, $"blk", $"salt"), Seq("blk", "salt"))
       .filter($"probe_key" =!= $"cand_key" &&
         abs(length($"probe_name") - length($"cand_name")) <= 4)
-      .filter(graft.functions.GraftFunctions.nibbleL1($"ph1", $"ch1") +
-        graft.functions.GraftFunctions.nibbleL1($"ph2", $"ch2") <= lit(8))
+    raw
+  }
+
+  def q32FuzzyName(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    q32DpSurvivors(q32RawCandidates(t))
       // thresholded variant early-exits the DP (returns -1 above 4);
       // kept rows carry the exact distance, same values as the oracle
       .withColumn("dist", levenshtein($"probe_name", $"cand_name", 4))
       .filter($"dist" =!= -1)
       .select($"probe_key", $"cand_key", $"dist")
+  }
+
+  /** The NibbleL1 gate of [[q32FuzzyName]], factored out so its
+    * effectiveness is MEASURABLE as a count, not a wall ratio: rows out
+    * of this filter are exactly the O(len²) DP evaluations the join
+    * stage performs. The r17 "wall ratio ≤ X" criterion was the wrong
+    * metric (candidate volume is data-quadratic, so the ratio moves
+    * with the floor, not the filter) — RelationalSpec pins the
+    * surviving FRACTION instead, and the 10x rehearsal records it in
+    * SCALING.md. Lossless: one edit moves ≤ 1 code point between
+    * histogram buckets, so (L1(h1)+L1(h2))/2 ≤ dist and rejecting
+    * above 2·4 can never drop a true ≤ 4 pair (Dedup.edKeys proof).
+    */
+  private[graft] def q32DpSurvivors(rawCandidates: DataFrame): DataFrame = {
+    import rawCandidates.sparkSession.implicits._
+    rawCandidates.filter(
+      graft.functions.GraftFunctions.nibbleL1($"ph1", $"ch1") +
+        graft.functions.GraftFunctions.nibbleL1($"ph2", $"ch2") <= lit(8))
   }
 
   val q32Sql: String =

@@ -148,6 +148,42 @@ class RelationalSpec extends SparkSuite {
       f"(${100.0 * (band.size - survivors) / band.size}%.1f%% killed)")
   }
 
+  test("q32 DP-evaluation count is output-proportional at sf0.1 (NibbleL1 gate)") {
+    // The r17->r18 "wall ratio" criterion was the wrong success metric
+    // (candidate volume tracks the floor, not the filter). THIS is the
+    // tracked number now: DP evaluations = rows surviving the gate,
+    // counted on the actual Spark candidate stream at the driver's
+    // bench scale. The RIGHT bound is output-proportionality, not an
+    // absolute rejection fraction: q32's TRUE output is itself
+    // data-quadratic (threshold 4 on 7-12-char names qualifies ~13% of
+    // the probe x corpus product — 1.06M pairs at sf0.1 out of 7.98M
+    // length-band pairs), so a PERFECT lossless filter could reject at
+    // most 86.7% here. The gate's measured 60% means the DP runs on
+    // only ~3x the rows it must output — no blocking scheme can beat
+    // the output floor.
+    import spark.implicits._
+    val t01 = Tables(spark, "/root/testdata/sf0.1")
+    val raw = Relational.q32RawCandidates(t01).persist()
+    val rawN = raw.count()
+    val dp = Relational.q32DpSurvivors(raw).persist()
+    val dpN = dp.count()
+    val outN = dp
+      .withColumn("dist", levenshtein($"probe_name", $"cand_name", 4))
+      .filter($"dist" =!= -1).count()
+    dp.unpersist(); raw.unpersist()
+    assert(rawN > 0 && outN > 0)
+    val rejected = 1.0 - dpN.toDouble / rawN
+    info(f"sf0.1 band pairs $rawN -> DP evaluations $dpN -> output $outN " +
+      f"(${rejected * 100}%.1f%% rejected; DP/output ${dpN.toDouble / outN}%.2f)")
+    // both halves of the contract: the gate prunes a real fraction of
+    // the band stream, AND the surviving DP volume stays within a
+    // small multiple of the unavoidable output
+    assert(rejected >= 0.5,
+      f"NibbleL1 gate must reject >=50%% of band pairs, got ${rejected * 100}%.1f%%")
+    assert(dpN <= 4L * outN,
+      s"DP evaluations $dpN exceed 4x the true output $outN")
+  }
+
   test("q36 interval join: gaps in [0, 10min), cross-band pairs found exactly once") {
     import spark.implicits._
     val rows = Relational.q36IntervalJoin(t).collect()
