@@ -225,6 +225,19 @@ object SparkEntry {
           timestamp_seconds(col("vec_id")).as("ts"))
       graft.streaming.Streams.annStreamIvf(probes, idx, cents)
     }),
+    // the IVFPQ retrieval stream — closes the retrieval matrix
+    // (batch/stream x int8/pq): row-local cell ranking, stream-static
+    // ADC over the batch query's own decoded index, chained windowed
+    // exact re-rank. Rows-only (KMeans + Lloyd fits); batch-driven
+    // output equals ann_ivf_pq bit for bit (StreamingSpec pin),
+    // check.py bands recall@5 vs ann_brute_force
+    "stream_ann_ivf_pq" -> q((t: Tables) => {
+      val (idx, cents, floats, rr) = Similarity.ivfPqStreamIndex(t)
+      val probes = t.widen(t.embeddings).filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id"), col("embedding"),
+          timestamp_seconds(col("vec_id")).as("ts"))
+      graft.streaming.Streams.annStreamIvfPq(probes, idx, cents, floats, rr)
+    }),
     // the index WRITE path streamed: row-local quantize + cell-assign
     // of arriving vectors against the broadcast-scale centroids —
     // stateless, no shuffle. Rows-only (KMeans centroids); check.py

@@ -2185,12 +2185,22 @@ object Similarity {
     * pins bit-identical output across runs (deterministic fits, total
     * tiebreak orders at every ranking stage).
     */
-  def annIvfPq(t: Tables, m: Int = 8, ks: Int = 256, nlist: Int = 0,
-      nprobe: Int = 0, rerank: Int = 0, probeMod: Int = 13): DataFrame = {
-    val rr = if (rerank > 0) rerank else rerankFor(corpusSize(t))
+  /** The IVFPQ RESIDENT table: (cand_id, cell, uhat) — each corpus
+    * vector's cell assignment plus its decode-on-the-fly ADC operand
+    * uhat = centroid[cell] + codebook-decode(residual codes), exactly
+    * [[annIvfPq]]'s stage-2 input, factored out so the streaming twin
+    * ([[graft.streaming.Streams.annStreamIvfPq]]) probes the SAME
+    * index definition the batch query scans (bit-identical uhat →
+    * bit-identical ADC scores → the StreamingSpec equality pin). Cell
+    * assignment comes from the SAME model.transform as
+    * cellAssignedCodes, so batch int8 and PQ variants share one
+    * partitioning of the corpus. The persisted artifact at scale is
+    * codes-only (m bytes/resident — the 32x win); uhat exists only in
+    * flight, rebuilt per scan by this mapPartitions decode.
+    */
+  private[graft] def ivfPqDecodedCodes(t: Tables, m: Int, ks: Int,
+      nl: Int): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
-    val np = if (nprobe > 0) nprobe else nprobeFor(nl)
     val e = withNorm(t)
     val model = coarseQuantizer(t, nl)
     val cents = model.clusterCenters.map(_.toArray)
@@ -2199,11 +2209,7 @@ object Similarity {
     val d = m * ds
     val spark = t.spark
     import spark.implicits._
-    // residents → (cell, m residual codes), decoded on the fly to
-    // centroid + residual-centroid — the ADC operand. Cell assignment
-    // comes from the SAME model.transform as cellAssignedCodes, so
-    // batch int8 and PQ variants share one partitioning of the corpus.
-    val codes = model.transform(
+    model.transform(
         e.filter(col("nrm") > 0).withColumn("features", array_to_vector(col("v"))))
       .select(col("vec_id"),
         transform(col("v"), x => x / col("nrm")).as("u"),
@@ -2234,6 +2240,38 @@ object Similarity {
           (id, cell, uhat.toSeq)
         }
       }.toDF("cand_id", "cell", "uhat")
+  }
+
+  /** Resident float vectors (cand_id, vc, nc) — the exact-re-rank side
+    * shared by [[annIvfPq]] and its streaming twin. */
+  private[graft] def residentFloats(t: Tables): DataFrame =
+    withNorm(t).select(col("vec_id").as("cand_id"), col("v").as("vc"),
+      col("nrm").as("nc"))
+
+  /** Static-side bundle for the streaming IVFPQ twin: (decoded resident
+    * index, centroid constants, resident floats, derived rerank depth).
+    * All four derive from the same fits as [[annIvfPq]] at the default
+    * knobs, so the stream and the batch query search the same index.
+    */
+  def ivfPqStreamIndex(t: Tables, m: Int = 8, ks: Int = 256):
+      (DataFrame, Seq[(Int, Seq[Double])], DataFrame, Int) = {
+    val nl = nlistFor(corpusSize(t))
+    val cents = coarseQuantizer(t, nl).clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.toSeq)
+    }.toSeq
+    (ivfPqDecodedCodes(t, m, ks, nl), cents, residentFloats(t),
+      rerankFor(corpusSize(t)))
+  }
+
+  def annIvfPq(t: Tables, m: Int = 8, ks: Int = 256, nlist: Int = 0,
+      nprobe: Int = 0, rerank: Int = 0, probeMod: Int = 13): DataFrame = {
+    val rr = if (rerank > 0) rerank else rerankFor(corpusSize(t))
+    val nl = if (nlist > 0) nlist else nlistFor(corpusSize(t))
+    val np = if (nprobe > 0) nprobe else nprobeFor(nl)
+    val e = withNorm(t)
+    val model = coarseQuantizer(t, nl)
+    val cents = model.clusterCenters.map(_.toArray)
+    val codes = ivfPqDecodedCodes(t, m, ks, nl)
     val probes = e.filter(col("vec_id") % probeMod === 0 && col("nrm") > 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"),
         col("nrm").as("pnrm"),
@@ -2270,8 +2308,7 @@ object Similarity {
     // sizing coalesced the join+rank stage to 3 tasks (20 s CPU) —
     // the q32/signWords compute-amplified-stage lesson.
     val par = t.spark.sparkContext.defaultParallelism
-    val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vc"),
-      col("nrm").as("nc"))
+    val cands = residentFloats(t)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     shortlist.repartition(par, col("cand_id"))

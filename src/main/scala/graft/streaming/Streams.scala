@@ -473,6 +473,88 @@ object Streams {
         (col("pos") + 1).cast("long").as("rnk"), col("col._1").as("score"))
   }
 
+  /** Streaming IVFPQ retrieval — the ingest-side twin of
+    * [[graft.sim.Similarity.annIvfPq]], closing the retrieval matrix
+    * (batch/stream × int8/pq). The batch query's three stages map onto
+    * streaming operators one for one:
+    *   1. cell ranking — row-local over the driver-side centroid
+    *      constants ([[rankedCellArray]], the same (cdist asc, cell
+    *      asc) total order as the batch TopCells assignment);
+    *   2. ADC shortlist — stream-static cell join against the SAME
+    *      decoded resident index the batch query scans
+    *      (Similarity.ivfPqDecodedCodes: uhat exists only in flight,
+    *      the persisted artifact stays m bytes/resident), scored
+    *      adc = up·uhat, top-`rerank` per (window, probe) via the
+    *      bounded O(rerank) topKOf aggregator — the probe's float
+    *      vector rides the aggregate as a first() so the exact stage
+    *      needs no stream-stream rejoin;
+    *   3. exact re-rank — a second stream-static join to the resident
+    *      floats, true cosines, top-k via a CHAINED windowed
+    *      aggregation (window(window_time(window), horizon) — the
+    *      multiple-stateful-operator form Spark supports in append
+    *      mode; both aggs share the probe's event-time window, so
+    *      state stays bounded per (window, probe)).
+    *
+    * Every arithmetic step reuses the batch expressions (graft_dot
+    * scores, shared index/floats definitions, same rerank depth and
+    * tiebreaks), so batch-driven output equals annIvfPq's bit for bit
+    * minus the rnk type — StreamingSpec pins that plus a real
+    * MemoryStream drive. Rows-only like the rest of the IVF family
+    * (KMeans + Lloyd fits); check.py bands recall@5 vs
+    * ann_brute_force like its siblings.
+    */
+  def annStreamIvfPq(probes: DataFrame, pqIndex: DataFrame,
+                     centroids: Seq[(Int, Seq[Double])], floats: DataFrame,
+                     rerank: Int, k: Int = 5, nprobe: Int = 0,
+                     horizon: String = "1 hour"): DataFrame = {
+    import graft.functions.GraftFunctions
+    val np = if (nprobe > 0) nprobe else graft.sim.Similarity.nprobeFor(centroids.size)
+    GraftFunctions.register(probes.sparkSession)
+    // same static-side pinning as the sibling retrieval streams: a
+    // continuous run must not replay the KMeans/Lloyd + decode lineage
+    // per micro-batch
+    val index = if (probes.isStreaming) pqIndex.localCheckpoint() else pqIndex
+    val flts = if (probes.isStreaming) floats.localCheckpoint() else floats
+    val rankedCells = rankedCellArray(centroids, col("v"))
+    val p = probes
+      .withWatermark("ts", horizon)
+      .select(col("vec_id").as("probe_id"), col("ts"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("pnrm", sqrt(GraftFunctions.graftDot(col("v"), col("v"))))
+      .filter(col("pnrm") > 0)
+      // same normalization expression as the batch probes (bit-equal up)
+      .withColumn("up", transform(col("v"), x => x / col("pnrm")))
+      .withColumn("pc", explode(slice(rankedCells, 1, np)))
+      .select(col("probe_id"), col("ts"), col("v").as("vp"), col("pnrm"),
+        col("up"), col("pc.cell").as("cell"))
+    val idx = index.select(col("cand_id"), col("cell"), col("uhat"))
+    val topRr = udaf(graft.functions.Aggs.topKOf[(Double, Long)](rerank)(_._1, _._2),
+      Encoders.product[(Double, Long)])
+    val topK = udaf(graft.functions.Aggs.topKOf[(Double, Long)](k)(_._1, _._2),
+      Encoders.product[(Double, Long)])
+    // stage 2: cell-keyed stream-static ADC, width pinned (cellJoin)
+    val shortlist = graft.sim.Similarity.cellJoin(p, idx)
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("adc", GraftFunctions.graftDot(col("up"), col("uhat")))
+      .groupBy(window(col("ts"), horizon), col("probe_id"))
+      .agg(topRr(col("adc"), col("cand_id")).as("top"),
+        first(col("vp")).as("vp"), first(col("pnrm")).as("pnrm"))
+      .select(col("window"), col("probe_id"), col("vp"), col("pnrm"),
+        explode(col("top")).as("s"))
+      .select(col("window"), col("probe_id"), col("vp"), col("pnrm"),
+        col("s._2").as("cand_id"))
+    // stage 3: exact re-rank of the bounded shortlist
+    shortlist
+      .join(flts, "cand_id")
+      .withColumn("cos", GraftFunctions.graftDot(col("vp"),
+        col("vc").cast("array<double>")) / (col("pnrm") * col("nc")))
+      .groupBy(window(window_time(col("window")), horizon), col("probe_id"))
+      .agg(topK(col("cos"), col("cand_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._2").as("cand_id"),
+        (col("pos") + 1).cast("long").as("rnk"), col("col._1").as("cos"))
+  }
+
   /** Streaming IVF-index maintenance — the write path the retrieval
     * streams' scaladocs keep referencing ("the nightly batch job
     * maintains the index; the stream probes it") taken streaming

@@ -502,6 +502,67 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("batch-driven annStreamIvfPq equals ann_ivf_pq bit for bit") {
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val (idx, cents, floats, rr) = graft.sim.Similarity.ivfPqStreamIndex(t)
+      val probes = t.widen(t.embeddings).filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id"), col("embedding"),
+          timestamp_seconds(col("vec_id")).as("ts"))
+      val stream = Streams.annStreamIvfPq(probes, idx, cents, floats, rr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.sim.Similarity.annIvfPq(t).collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Int]("rnk").toLong, r.getAs[Double]("cos"))).toSet
+      assert(stream.nonEmpty && stream == batch,
+        s"IVFPQ stream path must reproduce the batch search " +
+          s"(stream-only=${(stream -- batch).take(3)}, batch-only=${(batch -- stream).take(3)})")
+    }
+  }
+
+  test("streaming annStreamIvfPq: MemoryStream probes match the batch-driven path") {
+    import spark.implicits._
+    withLogLevel {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      val (idx0, cents, floats0, rr) = graft.sim.Similarity.ivfPqStreamIndex(t)
+      val idx = idx0.localCheckpoint()
+      val floats = floats0.localCheckpoint()
+      val probeVecs = t.embeddings.filter(col("vec_id").isin(13L, 26L))
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)).toMap
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[VecProbe]
+      // the chained stateful form (ADC top-rr agg -> static join ->
+      // exact top-k agg) must actually run on a real stream, not just
+      // batch-driven — this is the multiple-stateful-operators path
+      val q = Streams.annStreamIvfPq(input.toDF(), idx, cents, floats, rr)
+        .writeStream.format("memory").queryName("annstreamivfpq")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          VecProbe(13L, probeVecs(13L), ts(5)),
+          VecProbe(26L, probeVecs(26L), ts(10)))
+        q.processAllAvailable()
+        // advance the watermark past the first window so append mode
+        // emits it through BOTH stateful operators
+        input.addData(VecProbe(13L, probeVecs(13L), ts(7805)))
+        q.processAllAvailable()
+        val got = spark.table("annstreamivfpq").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        val expected = Streams.annStreamIvfPq(
+            t.embeddings.filter(col("vec_id").isin(13L, 26L))
+              .select(col("vec_id"), col("embedding"),
+                timestamp_seconds(lit(5)).as("ts")), idx, cents, floats, rr)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        assert(expected.nonEmpty && got == expected,
+          s"stream rows must equal the batch path for the flushed probes " +
+            s"(got=${got.size}, expected=${expected.size})")
+      } finally q.stop()
+    }
+  }
+
   test("index append: expression cell pick equals the MLlib builder; stream matches batch") {
     import spark.implicits._
     withLogLevel {

@@ -122,7 +122,7 @@ def main():
             "ann_label_filtered", "ann_range", "ann_range_ivf", "ann_mrl",
             "ann_ivf", "ann_lsh", "emb_quantize_int8", "ann_int8",
             "ann_ivf_int8", "stream_ann_int8", "stream_ann_ivf_int8",
-            "stream_index_append",
+            "stream_ann_ivf_pq", "stream_index_append",
             "ann_pq", "ann_ivf_pq", "ann_hamming", "ann_cascade",
             "dedup_semantic", "stream_semantic", "ann_recall_probe"],
         "dedup (MinHash signature/pair tables)": [

@@ -556,6 +556,7 @@ BAND_CHECKS = {
     "stream_ann_ivf_int8": _band_ann_recall,
     "ann_pq": _band_ann_recall,
     "ann_ivf_pq": _band_ann_recall,
+    "stream_ann_ivf_pq": _band_ann_recall,
     "text_rolling_hash": _band_rolling_hash,
     "stream_index_append": _band_index_append,
     "mm_image_jpeg_ahash": _band_jpeg_ahash,

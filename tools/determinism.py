@@ -8,7 +8,7 @@ import duckdb
 
 ROWS_ONLY = ["ann_ivf", "ann_ivf_int8", "stream_ann_ivf_int8", "ann_range_ivf",
              "stream_index_append",
-             "dedup_embedding_ivf", "ann_pq", "ann_ivf_pq", "dedup_semantic",
+             "dedup_embedding_ivf", "ann_pq", "ann_ivf_pq", "stream_ann_ivf_pq", "dedup_semantic",
              "stream_semantic", "ann_recall_probe",
              "q27_approx_distinct", "q40_approx_quantile",
              "text_rolling_hash",
