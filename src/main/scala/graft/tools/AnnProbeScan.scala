@@ -19,6 +19,7 @@ object AnnProbeScan {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("stale")) { staleDemo(args.drop(1)); return }
     if (args.headOption.contains("decade")) { decade(args.drop(1)); return }
+    if (args.headOption.contains("planscan")) { planScan(args.drop(1)); return }
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val nlists = (if (args.length > 1) args(1) else "16").split(",").map(_.trim.toInt)
     val nprobes = (if (args.length > 2) args(2) else "8,10,12").split(",").map(_.trim.toInt)
@@ -70,9 +71,14 @@ object AnnProbeScan {
     * size — the point is to observe the nlistFor/nprobeFor/rerankFor
     * ladders at a decade nobody calibrated against (SCALING.md §10x).
     */
+  /** Optional third arg: a csv nprobe list — sweeps the float-IVF
+    * recall curve over it (the nprobeFor ladder study on clustered vs
+    * uniform geometry, SCALING.md r19). */
   private def decade(rest: Array[String]): Unit = {
     val dir = rest.headOption.getOrElse("/tmp/gen_sf10emb")
     val pm = if (rest.length > 1) rest(1).toInt else 1300
+    val npSweep = if (rest.length > 2)
+      rest(2).split(",").map(_.trim.toInt).toSeq else Seq.empty[Int]
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -102,10 +108,66 @@ object AnnProbeScan {
       println(f"ANNPROBE decade $tag%-10s recall@5=$r%.3f " +
         f"(${(truth & found).size}/${truth.size}) ${(System.nanoTime() - tm) / 1e9}%.1f s")
     }
-    report("ivf", Similarity.annIvf(t, probeMod = pm))
-    report("ivf_int8", Similarity.annIvfInt8(t, probeMod = pm))
-    report("pq", Similarity.annPq(t, probeMod = pm))
-    report("ivf_pq", Similarity.annIvfPq(t, probeMod = pm))
+    if (npSweep.nonEmpty) {
+      // nprobe ladder study: float-IVF recall per nprobe at this
+      // corpus's derived nlist — cheap per point (cell pruning means
+      // cost ∝ nprobe), so the curve shape is the whole output
+      npSweep.filter(_ <= nl).foreach { np =>
+        report(f"ivf np=$np%-4d", Similarity.annIvf(t, nprobe = np, probeMod = pm))
+      }
+    } else {
+      report("ivf", Similarity.annIvf(t, probeMod = pm))
+      report("ivf_int8", Similarity.annIvfInt8(t, probeMod = pm))
+      report("pq", Similarity.annPq(t, probeMod = pm))
+      report("ivf_pq", Similarity.annIvfPq(t, probeMod = pm))
+    }
+    spark.stop()
+  }
+
+  /** Probe-ASSIGNMENT stage audit at a corpus decade (r19, the
+    * TopCells-swap done-criterion):
+    *   sbt -batch "runMain graft.tools.AnnProbeScan planscan <dir> [probeMod] [nprobe]"
+    * Runs annIvf with a CORPUS-FRACTION probe set (the regime where
+    * the old crossJoin+window form sorted (N/probeMod)·nlist
+    * vector-wide rows — the measured defect-4 disk-filler shape) and
+    * prints the EXECUTED plan's operator list: the assignment must
+    * appear as Generate(explode(graft_top_cells)) with no Window/Sort
+    * between the probe scan and the cell join (the only legitimate
+    * Sort/Window is the final top-5 rank behind its pinned exchange).
+    */
+  private def planScan(rest: Array[String]): Unit = {
+    val dir = rest.headOption.getOrElse("/tmp/gen_nd1000c")
+    val pm = if (rest.length > 1) rest(1).toInt else 130
+    val np = if (rest.length > 2) rest(2).toInt else 8
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = Tables(spark, dir)
+    val n = Similarity.corpusSize(t)
+    val tm = System.nanoTime()
+    val df = Similarity.annIvf(t, nprobe = np, probeMod = pm)
+    val rows = df.count()
+    println(f"ANNPROBE planscan n=$n probeMod=$pm nprobe=$np rows=$rows " +
+      f"${(System.nanoTime() - tm) / 1e9}%.1f s")
+    // annIvf localCheckpoints its output; the pre-checkpoint plan is
+    // what carries the assignment stage — rebuild it unexecuted
+    val plan = Similarity.annIvf(t, nprobe = np, probeMod = pm,
+      checkpoint = false).queryExecution.executedPlan.toString
+    val ops = plan.linesIterator
+      .map(_.replaceAll("^[-+*: ()\\d\\[\\]]+", "").takeWhile(_ != ' '))
+      .filter(op => op.nonEmpty && op.head.isUpper).toSeq
+    println("ANNPROBE planscan operators: " + ops.distinct.mkString(", "))
+    val hasTopCells = plan.contains("graft_top_cells")
+    // exact node name: WindowGroupLimit is the rank-limit pushdown
+    // companion of the SAME top-5 window, not a second sort
+    val windows = ops.count(_ == "Window")
+    println(s"ANNPROBE planscan graft_top_cells=$hasTopCells " +
+      s"windowOps=$windows (1 = the final top-5 rank only)")
     spark.stop()
   }
 

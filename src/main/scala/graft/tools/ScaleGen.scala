@@ -41,13 +41,15 @@ object ScaleGen {
       cos(lit(2.0 * math.Pi) * u(tag + ":u2"))
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleGen <outDir> [mult] [neardup] [table ...]")
+    require(args.nonEmpty,
+      "usage: ScaleGen <outDir> [mult] [neardup] [clustered] [table ...]")
     val out = args(0)
     require(!out.startsWith("/root/testdata"), "refusing to write into /root/testdata")
     val mult = if (args.length > 1) args(1).toInt else 10
     val rest = args.drop(2)
     val nearDup = rest.contains("neardup")
-    val only = rest.filterNot(_ == "neardup").toSet // empty = all tables
+    val clustered = rest.contains("clustered")
+    val only = rest.filterNot(f => f == "neardup" || f == "clustered").toSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -55,14 +57,16 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, out, mult, only = only, nearDup = nearDup)
+    generate(spark, out, mult, only = only, nearDup = nearDup,
+      clustered = clustered)
     spark.stop()
   }
 
   def generate(spark: SparkSession, out: String, mult: Int,
                refDims: String = "/root/testdata/sf0.1",
                only: Set[String] = Set.empty,
-               nearDup: Boolean = false): Unit = {
+               nearDup: Boolean = false,
+               clustered: Boolean = false): Unit = {
     val nCust = 15000L * mult
     val nSupp = 1000L * mult
     val nPart = 20000L * mult
@@ -224,13 +228,34 @@ object ScaleGen {
         cos(lit(2.0 * math.Pi) *
           (abs(xxhash64(idCol, i, lit("eu2"))) % 1000000007L).cast("double")
             / 1000000007.0))
+    // clustered mode (r19): a 64-component mixture of gaussians —
+    // vector = center(cid) + 0.35·noise before normalization, cid
+    // hash-assigned. Within-cluster cosines concentrate ~0.89, cross-
+    // cluster ~N(0, 1/64): the geometry real sentence-embedding
+    // corpora have (topical clusters), vs the default near-uniform
+    // sphere where a probe's true neighbors spread over most IVF
+    // cells. Built for the nprobeFor ladder study (SCALING.md): on
+    // clustered data nprobe << nlist holds recall, on uniform data
+    // the 5/8·nlist fraction is genuinely needed.
+    def cgauss(idCol: Column) = transform(sequence(lit(0), lit(63)),
+      i => sqrt(lit(-2.0) * log(greatest(
+        (abs(xxhash64(idCol, i, lit("ec1"))) % 1000000007L).cast("double")
+          / 1000000007.0, lit(1e-12)))) *
+        cos(lit(2.0 * math.Pi) *
+          (abs(xxhash64(idCol, i, lit("ec2"))) % 1000000007L).cast("double")
+            / 1000000007.0))
     save(rng(nEmb)
       .withColumn("esid",
         when((col("id") % 625 === 1 && lit(nearDup)) || mutatedE,
           when((col("id") - 1) % 625 === 1, col("id") - 2)
             .otherwise(col("id") - 1))
           .otherwise(col("id")))
-      .withColumn("g0", gauss(col("esid")))
+      .withColumn("cid", abs(xxhash64(col("esid"), lit("ecl"))) % 64)
+      .withColumn("g0",
+        if (clustered)
+          zip_with(cgauss(col("cid")), gauss(col("esid")),
+            (c, n) => c + lit(0.35) * n)
+        else gauss(col("esid")))
       .withColumn("g",
         when(mutatedE, zip_with(col("g0"), gauss(col("id")),
           (s, n) => s + lit(0.15) * n)).otherwise(col("g0")))
