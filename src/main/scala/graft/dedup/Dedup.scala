@@ -964,11 +964,26 @@ object Dedup {
   def ngramJaccard(t: Tables,
       probeOnly: Option[Column] = None): DataFrame = {
     import t.spark.implicits._
+    // (doc_id, n, gram): grams dedupe WITHIN a doc via array_distinct
+    // on the per-doc gram array, carrying n = |gram set| on every row
+    // for free — the old shape re-attached n with a 250M-row
+    // `grams ⋈ sz` join in [[containment]]. The explicit doc_id
+    // exchange below the persist is LOAD-BEARING, not a style choice
+    // (r19 nd1000 audit): a multi-consumer DAG launches independent
+    // stages concurrently, and a persisted-but-narrow gram table makes
+    // every cache race/eviction re-run the per-doc text pipeline
+    // (measured 2x family wall when the old `.distinct()` exchange was
+    // dropped without a replacement barrier) — with the exchange, a
+    // miss re-FETCHES shuffle files instead. Keying it by doc_id makes
+    // the same exchange satisfy the prefix and sz aggregations'
+    // distributions, so they run straight off the cache.
     val grams = t.widen(t.documents)
-      .select($"doc_id", explode(expr(gramExpr(5))).as("gram"))
-      .distinct()
+      .select($"doc_id", array_distinct(expr(gramExpr(5))).as("gs"))
+      .select($"doc_id", size($"gs").as("n"), explode($"gs").as("gram"))
+      .repartition(t.spark.sessionState.conf.numShufflePartitions, $"doc_id")
       .persist() // feeds df + size aggs + prefix + verification; avoid recompute
-    val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sz = grams.select($"doc_id", $"n")
+      .groupBy($"doc_id").agg(first($"n").as("n"))
     // df via groupBy + join-back, NOT count().over(partitionBy(gram)):
     // a window has no map-side combine and a ubiquitous gram would pin
     // its whole posting list in one unsplittable partition (the same
@@ -1015,7 +1030,7 @@ object Dedup {
     val candDocs = cand
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
       .distinct()
-    val gramsC = grams
+    val gramsC = grams.select($"doc_id", $"gram")
       .join(candDocs, Seq("doc_id"), "left_semi")
       .persist() // read twice below (doc_a side and doc_b side)
     val common = cand
@@ -1396,24 +1411,39 @@ object Dedup {
   def containment(t: Tables, checkpoint: Boolean = true,
       probeOnly: Option[Column] = None): DataFrame = {
     import t.spark.implicits._
+    // (doc_id, n, gram) with n = |doc's distinct gram set| carried on
+    // every row FOR FREE: grams dedupe WITHIN a doc (array_distinct on
+    // the per-doc gram array), so the old explode + global
+    // `.distinct()` — a 250M-row exchange at nd1000 — and the
+    // 250M-row `grams ⋈ sz` join that re-attached n to the full join
+    // side were both paying shuffles for values computable in the
+    // per-doc narrow map. (r19, the nd1000 stage audit: the restricted
+    // union re-ran those pipelines once per orientation and filled the
+    // instrument node's scratch where r18 had measured 494 s.)
     val grams = t.widen(t.documents)
-      .select($"doc_id", explode(expr(gramExpr(5))).as("gram"))
-      .distinct()
-      .persist() // feeds sz + df + prefix + full join side + verification
-    val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .select($"doc_id", array_distinct(expr(gramExpr(5))).as("gs"))
+      .select($"doc_id", size($"gs").as("n"), explode($"gs").as("gram"))
+      // doc_id-keyed exchange BELOW the persist — load-bearing, see
+      // ngramJaccard's note (shuffle-file-backed cache misses + reused
+      // distribution for the doc-keyed aggs)
+      .repartition(t.spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      .persist() // feeds df + prefix + full join side + verification
+    val sz = grams.select($"doc_id", $"n")
+      .groupBy($"doc_id").agg(first($"n").as("n"))
     val dfTab = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
     val prefix = grams
       .join(dfTab, "gram")
       .groupBy($"doc_id")
-      .agg(collect_list(struct($"df", $"gram")).as("lst"))
-      .select($"doc_id", explode(expr(
+      .agg(first($"n").as("n"), collect_list(struct($"df", $"gram")).as("lst"))
+      .select($"doc_id", $"n", explode(expr(
         "slice(array_sort(lst), 1, size(lst) div 2 + 1)" // n − ⌈n/2⌉ + 1
       )).as("e"))
-      .select($"doc_id", $"e.gram".as("gram"))
+      .select($"doc_id", $"e.gram".as("gram"), $"n")
+      .persist() // BOTH orientations of the restricted union read it
     // (n, doc_id) is the total order that picks the "smaller" side, so
     // ties break deterministically and each unordered pair appears once
-    val pSz = prefix.join(sz, "doc_id")
-    val gSz = grams.join(sz, "doc_id")
+    val pSz = prefix
+    val gSz = grams.select($"doc_id", $"gram", $"n")
     def orient(small: DataFrame, large: DataFrame) =
       small.toDF("doc_a", "gram", "na")
         .join(large.toDF("doc_b", "gram", "nb"), "gram")
@@ -1423,15 +1453,23 @@ object Dedup {
       case None => orient(pSz, gSz)
       // probe as the small side ∪ probe as the large side — each join
       // is probe-bounded on one input, together covering every
-      // orientation a probe pair can take
-      case Some(p) => orient(pSz.filter(p), gSz)
-        .union(orient(pSz, gSz.filter(p)))
+      // orientation a probe pair can take; prefix/grams are persisted,
+      // so the second orientation reuses the first's builds. The
+      // probe-restricted side carries a broadcast hint: this branch is
+      // the DedupProbeScan instrument only (shipped queries pass None
+      // and stay hint-free — the ScaleSpec rule), its probe set is
+      // bounded by the instrument's mods, and without the hint BOTH
+      // orientations shuffle a corpus-sized table by gram to meet a
+      // few-MB probe side (375M shuffled rows at nd1000 — the measured
+      // 55 GB scratch peak and 1.76x-vs-jaccard wall, SCALING.md r19).
+      case Some(p) => orient(broadcast(pSz.filter(p)), gSz)
+        .union(orient(pSz, broadcast(gSz.filter(p))))
     }).distinct()
       .persist() // feeds the doc-id semi-join and the verification join
     val candDocs = cand
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
       .distinct()
-    val gramsC = grams
+    val gramsC = grams.select($"doc_id", $"gram")
       .join(candDocs, Seq("doc_id"), "left_semi")
       .persist() // read twice below (doc_a side and doc_b side)
     val out = cand
@@ -1442,9 +1480,12 @@ object Dedup {
       .filter($"common" * 2 >= $"na") // na IS min(|A|,|B|) by orientation
       .select($"doc_a", $"doc_b", $"common",
         ($"common".cast(DoubleType) / $"na").as("containment"))
-    if (!checkpoint) { grams.unpersist(); cand.unpersist(); gramsC.unpersist(); return out }
+    if (!checkpoint) {
+      grams.unpersist(); prefix.unpersist(); cand.unpersist(); gramsC.unpersist()
+      return out
+    }
     val cp = out.localCheckpoint()
-    grams.unpersist(); cand.unpersist(); gramsC.unpersist()
+    grams.unpersist(); prefix.unpersist(); cand.unpersist(); gramsC.unpersist()
     cp
   }
 
