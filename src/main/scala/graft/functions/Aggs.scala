@@ -92,29 +92,49 @@ object Aggs {
       }
       private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
         s.sorted(ord).take(k)
-      override def zero: Seq[(Double, Long)] = Seq.empty
-      // Invariant: the buffer is always ord-sorted and <= k (zero is;
-      // reduce inserts in place; merge sort-trims). The per-row fast
-      // path matters at the streaming scoring sites (annStream feeds
-      // every scored pair of a micro-batch through this): once the
-      // buffer is full, a row that can't beat the current kth costs
-      // ONE compare — no sort, no allocation. On an exact tie with the
-      // kth the result equals the sort-trim form (the tied copy is the
-      // one dropped). NOTE (r18): this aggregator did NOT beat the
-      // row_number window on the BATCH Θ(Q·N) scans — the udaf path
-      // pays a per-row encoder conversion that costs more than the
-      // Tungsten sort feeding WindowGroupLimit (measured 3.3 s -> 15.8 s
-      // on ann_brute_force at 10x when tried); keep the windows there.
+      override def zero: Seq[(Double, Long)] = Vector.empty
+      // Buffer invariant: a fully-SORTED prefix of length min(k, seen)
+      // established by the last trim, followed by an UNSORTED tail of
+      // later acceptances; total size < 2k (trim fires at 2k). The
+      // per-row paths (annStream feeds every scored pair of a
+      // micro-batch through this):
+      //  - reject: once >= k items are buffered, a row no better than
+      //    the STALE kth (the sorted prefix's last element) costs ONE
+      //    compare and no allocation. Safe: it is worse than k resident
+      //    items, so it can never make the final top-k — the threshold
+      //    only tightens after a trim.
+      //  - accept: an effectively-O(1) Vector append; every k accepts
+      //    one O(k log k) sort-trim amortizes to O(log k)/accept. The
+      //    old in-place insertion copied the WHOLE buffer per accept —
+      //    O(k) each, measured 36.7 s vs the batch twin's 9.6 s on
+      //    stream_ann_ivf_pq's rerank=405 shortlist at the 10x
+      //    rehearsal (r19).
+      // finish() sort-trims, so the result is the exact top-k of all
+      // accepted rows — arrival-order-independent, identical to the
+      // sort-trim form ((value, id) pairs are distinct, total order).
+      // NOTE (r18): this aggregator did NOT beat the row_number window
+      // on the BATCH Θ(Q·N) scans — the udaf path pays a per-row
+      // encoder conversion that costs more than the Tungsten sort
+      // feeding WindowGroupLimit (measured 3.3 s -> 15.8 s on
+      // ann_brute_force at 10x when tried); keep the windows there.
       override def reduce(b: Seq[(Double, Long)], a: T): Seq[(Double, Long)] = {
         val x = (value(a), id(a))
-        if (b.size >= k && ord.compare(b.last, x) <= 0) b
-        else {
+        if (b.size < k) {
+          // establish the sorted prefix by insertion — only the first
+          // k rows of a group pay this O(k) path, and it is what makes
+          // b(k-1) below genuinely the kth-best-so-far (an unsorted
+          // sub-k buffer made that an arbitrary arrival and wrongly
+          // rejected later rows — caught by StreamingSpec's bitwise pin)
           val buf = b.toBuffer
           var i = buf.size
           while (i > 0 && ord.compare(buf(i - 1), x) > 0) i -= 1
           buf.insert(i, x)
-          if (buf.size > k) buf.remove(buf.size - 1)
-          buf.toSeq
+          buf.toVector
+        }
+        else if (ord.compare(b(k - 1), x) <= 0) b
+        else {
+          val grown = b :+ x
+          if (grown.size >= 2 * k) trim(grown) else grown
         }
       }
       override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
