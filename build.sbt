@@ -12,6 +12,15 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true  // graft.tools.Repl reads stdin
+// Forked mains write STRAIGHT to sbt's stdout/stderr instead of being
+// piped through the sbt logger: Bench's machine-readable JSON lines
+// must reach a driver scraping the process output BARE — the logger's
+// "[info] "/"[error] " prefixes are exactly what kept BENCH_r19.json's
+// `parsed` null even though the line survived the tail capture.
+run / outputStrategy := Some(StdoutOutput)
+// ...and no trailing "[success] Total time: ..." line after the run,
+// so the JSON line printed last IS the process's last line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -114,6 +114,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runsEnv = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
     val (nRuns0, auto0) = initialRuns(runsEnv, loadStart._1)
+    // Optional subset filter (r20): SPARK_GRAFT_BENCH_ONLY=q1,q2 runs
+    // just the named queries — the single-query floor-adjudication
+    // loop (idle-host best-of-3 on one family) without a full sweep.
+    // NOTE a subset pays its family's cache builds itself; full-sweep
+    // floors amortize those across the family, so compare subset
+    // numbers to floors only for queries that build their own caches
+    // or when the subset includes the family's first consumer.
+    val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(csv) =>
+          val names = csv.split(",").map(_.trim).filter(_.nonEmpty)
+          val unknown = names.filterNot(SparkEntry.queries.contains)
+          require(unknown.isEmpty,
+            s"unknown queries in SPARK_GRAFT_BENCH_ONLY: ${unknown.mkString(", ")}")
+          names.toSeq.map(n => n -> SparkEntry.queries(n))
+        case None => SparkEntry.queries.toSeq
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -128,7 +145,7 @@ object Bench {
     // (the plans are identical across sf dirs, only the input differs).
     val warmDir = new java.io.File("/root/testdata/sf0.001")
     if (warmDir.isDirectory && warmDir.getPath != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, warmDir.getPath).count() catch { case _: Throwable => }
       }
     val loadTimed = loadAvg()
@@ -139,7 +156,7 @@ object Bench {
     def sweep(): Map[String, Double] = {
       graft.tools.SweepCaches.releaseAll()
       val caches = new graft.tools.SweepCaches.Tracker
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -169,14 +186,14 @@ object Bench {
     val runs: Seq[Map[String, Double]] = runBuf.toSeq
     val nRuns = runs.size
     // Best-of-N per query (order of the queries map preserved for output)
-    val results = SparkEntry.queries.map { case (name, _) =>
+    val results = queries.map { case (name, _) =>
       name -> runs.map(_(name)).min
     }
     val loadEnd = loadAvg()
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val runTotals = runs.map(_.values.sum).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
@@ -198,12 +215,18 @@ object Bench {
     spark.stop()
     // COMPACT final line (r19): the driver records only the LAST 2000
     // chars of output, so the full per-query line above never parses
-    // there (155 full names ≈ 5 KB — its head is always cut). This
+    // there (~156 full names ≈ 5 KB — its head is always cut). This
     // line is ~1 KB, complete, and printed last on both streams:
     // per-query best-of values in MILLISECONDS, ordered by query name
     // ascending ("order":"name_asc" — decode against the name list in
     // bench_out.json / CORRECTNESS_r*.json, which share the key set).
-    val qvSorted = results.toSeq.sortBy(_._1)
+    // r20: build.sbt now runs forked mains with outputStrategy =
+    // StdoutOutput and showSuccess := false, so this line reaches the
+    // driver BARE (no sbt "[info]" prefix) and is the process's last
+    // line (no trailing "[success]") — the two defects that kept
+    // BENCH_r19.json's `parsed` null even though the line survived
+    // the tail capture.
+    val qvSorted = results.sortBy(_._1)
       .map { case (_, v) => math.round(v * 1000) }
     val compact =
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0}""" +

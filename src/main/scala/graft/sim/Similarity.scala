@@ -46,6 +46,8 @@ object Similarity {
     tauCache.clear()
     pqCache.clear()
     ivfPqCache.clear()
+    semanticCache.values.foreach(_.unpersist())
+    semanticCache.clear()
   }
 
   /** Dir-scoped eviction: drop only the cache entries for `dir`.
@@ -67,6 +69,11 @@ object Similarity {
     tauCache.filterInPlace { case ((_, d), _) => d != dir }
     pqCache.filterInPlace { case ((_, d, _, _), _) => d != dir }
     ivfPqCache.filterInPlace { case ((_, d, _, _, _), _) => d != dir }
+    semanticCache.filterInPlace { case ((_, d, _), df) =>
+      val keep = d != dir
+      if (!keep) df.unpersist()
+      keep
+    }
   }
 
   // Corpus row count per (session, dir): one count() on the persisted
@@ -252,6 +259,52 @@ object Similarity {
     * in SCALING.md records both curves' local anchor.
     */
   def nprobeFor(nlist: Int): Int = math.max(10, nlist * 5 / 8)
+
+  /** Data-AWARE nprobe (r20, the r19 ladder study as a library path):
+    * measure recall@5 vs the flat scan on a hash-subsampled probe set
+    * at each ladder point and return the smallest nprobe clearing
+    * `target`, falling back to the uniform-calibrated [[nprobeFor]]
+    * when no point does. The r19 study (SCALING.md §"nprobe ladder")
+    * showed the 5/8·nlist default is a property of the synthetic
+    * NEAR-UNIFORM corpus — the adversarial worst case, where recall
+    * climbs linearly in probed fraction — while clustered corpora
+    * (every real embedding corpus) hold recall ≥ 0.97 at nprobe
+    * 8–32 ≈ nlist/40, sub-linear in nlist across the observed decade.
+    * This is the fit the study itself ran, priced for production: the
+    * subsample's flat truth scan is Θ(P·N) with P ≈ [[FitProbeCount]]
+    * (probeMod derives from N unless given), each ladder point costs
+    * one cell-pruned search ∝ nprobe, and the result is a per-corpus
+    * calibration artifact — run it once per index build/refresh, not
+    * per query. Shipped queries keep the uniform-calibrated default
+    * (their recall bands are calibrated against it); this is the
+    * opt-in knob for corpora whose geometry the default over-serves.
+    * Driver state is the subsampled pair sets (P·k ids — bounded by
+    * the probeMod derivation, never corpus-sized).
+    */
+  def nprobeFitted(t: Tables, target: Double = 0.97,
+      probeMod: Int = 0,
+      ladder: Seq[Int] = Seq(4, 8, 16, 32, 64, 128)): Int = {
+    val n = corpusSize(t)
+    val nl = nlistFor(n)
+    val pm = if (probeMod > 0) probeMod
+      else math.max(13L, n / FitProbeCount).toInt
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id"), col("cand_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(annBruteForce(t, probeMod = pm))
+    if (truth.isEmpty) return nprobeFor(nl)
+    ladder.filter(_ <= nl).sorted.find { np =>
+      val found = pairs(annIvf(t, nprobe = np, probeMod = pm))
+      (truth & found).size.toDouble / truth.size >= target
+    }.getOrElse(nprobeFor(nl))
+  }
+
+  /** Probe-subsample size [[nprobeFitted]] aims for: ~154 probes
+    * reproduces the r19 ladder study's measurement noise (±0.01 on
+    * recall at 770 truth pairs) while keeping the flat truth scan at
+    * P·N ≈ 154·N — about 77 full searches' worth, amortized over an
+    * index lifetime. */
+  private[graft] val FitProbeCount: Long = 154L
 
   /** Default multi-assignment for a derived nlist in the IVF-blocked
     * dedup: assign = ⌈√nlist⌉ (4 at nlist=16, 6 at nlist=32). Smaller
@@ -812,10 +865,42 @@ object Similarity {
     } else cells
   }
 
+  // One materialized semantic cluster map per (session, dir, τ) at the
+  // DERIVED blocking knobs: dedup_semantic reads it directly and the
+  // stream_semantic static index joins against it, and the IVF pair
+  // generation + connected components behind it are the suite's two
+  // largest walls (r19 judge: 4.25 s + 4.05 s — the second of which
+  // was this exact re-fit; r20 stage audit in SCALING.md). The map is
+  // one narrow row per vector (vec_id, rep_id, kept, tau) —
+  // localCheckpoint-sized at any corpus the pair family itself can
+  // run on. Same immutable-dir contract as normCache; released by
+  // clearCaches() via tools.SweepCaches when the sim family drains.
+  private val semanticCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Double), DataFrame]
+
+  /** semanticCache population counter — SweepCachesSpec pins one build
+    * per full sweep (a second one = the stream twin re-fitting the
+    * pair join + CC instead of reusing the batch cluster map). */
+  private[graft] val semanticBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def semanticDedup(t: Tables, minCos: Double = 0.0,
       nlist: Int = 0, assign: Int = 0,
       bandKnobs: Option[(Int, Int)] = None): DataFrame = {
     val tau = if (minCos > 0) minCos else semanticTauCalibrated(t)
+    // memoize only the derived operating point (explicit blocking
+    // knobs are instrument/spec territory — same contract as
+    // minhashLsh's probeOnly bypass)
+    if (nlist <= 0 && assign <= 0 && bandKnobs.isEmpty)
+      semanticCache.getOrElseUpdate((t.spark, t.dir, tau), {
+        semanticBuilds.incrementAndGet()
+        semanticDedupUncached(t, tau, nlist, assign, bandKnobs).localCheckpoint()
+      })
+    else semanticDedupUncached(t, tau, nlist, assign, bandKnobs)
+  }
+
+  private def semanticDedupUncached(t: Tables, tau: Double,
+      nlist: Int, assign: Int,
+      bandKnobs: Option[(Int, Int)]): DataFrame = {
     val pairs = embeddingNearDupIvf(t, nlist = nlist, assign = assign,
       minCos = tau, bandKnobs = bandKnobs)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
@@ -1128,8 +1213,10 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("probe_id"), col("cand_id"), col("cos"))
     // checkpoint=false is for plan review only (tools.Plans): it skips
-    // the materialization so the explain shows the real pipeline
-    if (!checkpoint) return thresholded
+    // the materialization so the explain shows the real pipeline. The
+    // cell-assignment cache is released on BOTH paths (r19 advisor):
+    // the returned plan just recomputes it lazily if executed.
+    if (!checkpoint) { assigned.unpersist(); return thresholded }
     val out = thresholded.localCheckpoint()
     assigned.unpersist()
     out
@@ -1199,8 +1286,10 @@ object Similarity {
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
     // checkpoint=false is for plan review only (tools.Plans): it skips
-    // the materialization so the explain shows the real pipeline
-    if (!checkpoint) return ranked
+    // the materialization so the explain shows the real pipeline. The
+    // cell-assignment cache is released on BOTH paths (r19 advisor):
+    // the returned plan just recomputes it lazily if executed.
+    if (!checkpoint) { assigned.unpersist(); return ranked }
     val out = ranked.localCheckpoint()
     assigned.unpersist()
     out
@@ -2428,17 +2517,23 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("cand_id"))
     // measured: the same probes through the cell-pruned path against
-    // the (possibly stale) resident index
-    val cdf = t.spark.createDataFrame(cents).toDF("cell", "centroid")
-      .withColumn("centroid", col("centroid").cast("array<double>"))
+    // the (possibly stale) resident index. Row-local multi-assign
+    // (graft.functions.TopCells) — r20 retired the last surviving
+    // crossJoin+window probe-assignment instance here; this one was
+    // bounded (nProbes × nlist), so hygiene, not a scale fix. The
+    // centroid matrix is ordered by cell id, making TopCells'
+    // position-ascending tiebreak exactly the window form's
+    // (cdist asc, cell asc); the position maps back through the
+    // cell-id literal so an override `index` with remapped cells
+    // (AnnProbeScan stale) still ranks against the table it declares.
+    val ordered = cents.sortBy(_._1)
     val np = nprobeFor(cents.size)
-    val wCell = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
-    val probeCells = probes.crossJoin(broadcast(cdf))
-      .withColumn("cdist",
-        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("vp"), col("centroid")))
-      .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= np)
+    graft.functions.GraftFunctions.register(t.spark)
+    val probeCells = probes
+      .withColumn("pos", explode(graft.functions.GraftFunctions.topCells(
+        col("vp"), ordered.map(_._2), np)))
+      .withColumn("cell", element_at(
+        lit(ordered.map(_._1).toArray), col("pos") + 1))
       .select(col("probe_id"), col("qp"), col("cp"), col("cell"))
     val ivfCands = cellIdx.select(col("vec_id").as("cand_id"),
       col("qmax").as("qc"), col("codes").cast("array<double>").as("cc"),

@@ -20,6 +20,7 @@ object AnnProbeScan {
     if (args.headOption.contains("stale")) { staleDemo(args.drop(1)); return }
     if (args.headOption.contains("decade")) { decade(args.drop(1)); return }
     if (args.headOption.contains("planscan")) { planScan(args.drop(1)); return }
+    if (args.headOption.contains("fitted")) { fittedDemo(args.drop(1)); return }
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val nlists = (if (args.length > 1) args(1) else "16").split(",").map(_.trim.toInt)
     val nprobes = (if (args.length > 2) args(2) else "8,10,12").split(",").map(_.trim.toInt)
@@ -168,6 +169,38 @@ object AnnProbeScan {
     val windows = ops.count(_ == "Window")
     println(s"ANNPROBE planscan graft_top_cells=$hasTopCells " +
       s"windowOps=$windows (1 = the final top-5 rank only)")
+    spark.stop()
+  }
+
+  /** Data-aware nprobe calibration (r20, Similarity.nprobeFitted —
+    * the r19 ladder study as a library path):
+    *   sbt -batch "runMain graft.tools.AnnProbeScan fitted <dir> [target] [probeMod]"
+    * Fits the smallest ladder nprobe whose subsampled recall@5 clears
+    * `target` on THIS corpus and prints it next to the
+    * uniform-calibrated default — the per-corpus artifact a real index
+    * build would record instead of assuming the 5/8 cell fraction.
+    */
+  private def fittedDemo(rest: Array[String]): Unit = {
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val target = if (rest.length > 1) rest(1).toDouble else 0.97
+    val pm = if (rest.length > 2) rest(2).toInt else 0
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Quiet.windowWarn()
+    val t = Tables(spark, dir)
+    val n = Similarity.corpusSize(t)
+    val nl = Similarity.nlistFor(n)
+    val tm = System.nanoTime()
+    val fitted = Similarity.nprobeFitted(t, target = target, probeMod = pm)
+    println(f"ANNPROBE fitted n=$n nlist=$nl target=$target%.2f -> " +
+      f"nprobe=$fitted (uniform default ${Similarity.nprobeFor(nl)}) " +
+      f"${(System.nanoTime() - tm) / 1e9}%.1f s")
     spark.stop()
   }
 

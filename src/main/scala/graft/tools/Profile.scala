@@ -34,6 +34,9 @@ object Profile {
     if (args.length > 1 && args(1) == "stages") {
       annProfile2(spark, t, args.drop(2).toSeq); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "semantic") {
+      semanticProfile(spark, t); spark.stop(); return
+    }
 
     val shingles = t.documents
       .select($"doc_id", explode(expr(
@@ -111,6 +114,44 @@ object Profile {
     keysE.unpersist()
     time("edq-full")(graft.dedup.Dedup.editDistance(t).count())
     spark.stop()
+  }
+
+  /** Semantic-family stage split (Profile <dir> semantic) — the r19
+    * verdict item 7 instrument: the suite's top two walls were
+    * dedup_semantic (4.25 s) and stream_semantic (4.05 s), and the
+    * split below shows where the build goes (τ calibration vs IVF
+    * pair join vs connected components vs assembly) and that the r20
+    * semanticCache makes the SECOND consumer a cache read instead of
+    * a full re-fit (the counter pin lives in SweepCachesSpec).
+    */
+  private def semanticProfile(spark: SparkSession, t: Tables): Unit = {
+    import graft.sim.Similarity
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    Similarity.clearCaches() // cold family: pay exactly what a sweep's first consumer pays
+    val tau = time("tau-calibration")(Similarity.semanticTauCalibrated(t))
+    println(s"  tau=$tau (includes norm-projection build: cold cache)")
+    val pairs = time("ivf-pair-join") {
+      val p = Similarity.embeddingNearDupIvf(t, minCos = tau); p.count(); p
+    }
+    time("connected-components") {
+      // the returned pair table is localCheckpoint'd, so this times CC
+      // alone, not a pair re-join
+      graft.dedup.Dedup.connectedComponents(
+        pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))).count()
+    }
+    time("dedup_semantic-full-build")(Similarity.semanticDedup(t).count())
+    time("dedup_semantic-cached-read")(Similarity.semanticDedup(t).count())
+    val before = Similarity.semanticBuilds.get()
+    time("semantic-index-for-stream") {
+      val (idx, _) = Similarity.semanticIndex(t); idx.count()
+    }
+    println(s"  semanticBuilds during index build: " +
+      s"${Similarity.semanticBuilds.get() - before} (0 = reused cluster map)")
   }
 
   /** Spark-stage-level timing of named SparkEntry queries

@@ -423,4 +423,71 @@ class FunctionsSpec extends SparkSuite {
       assert(n(0).isNullAt(0))
     }
   }
+
+  test("topKOf reduce/merge/finish equals sort-take on adversarial arrival orders") {
+    // Direct pin of the r19 bounded-buffer rewrite (stale-threshold
+    // reject, unsorted tail, trim-at-2k): until now its correctness
+    // rested on indirect oracles (agg_topk_per_group hash,
+    // StreamingSpec batch equality) that never exercise merge-of-
+    // partial-buffer shapes or tie-at-threshold arrivals on purpose.
+    import graft.functions.Aggs
+    val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(x: (Double, Long), y: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(y._1, x._1) // v DESC (NaN first)
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2) // id ASC
+      }
+    }
+    def reference(items: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+      items.sorted(ord).take(k)
+    // NaN-safe sequence equality: tuple == compares primitive doubles
+    // (NaN != NaN), so compare the IEEE bit patterns instead
+    def bits(s: Seq[(Double, Long)]): Seq[(Long, Long)] =
+      s.map { case (v, i) => (java.lang.Double.doubleToLongBits(v), i) }
+    def viaAgg(items: Seq[(Double, Long)], k: Int, nChunks: Int): Seq[(Double, Long)] = {
+      val agg = Aggs.topKOf[(Double, Long)](k)(_._1, _._2)
+      if (nChunks <= 1)
+        agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+      else {
+        val size = math.max(1, (items.size + nChunks - 1) / nChunks)
+        val bufs = items.grouped(size).toSeq
+          .map(_.foldLeft(agg.zero)(agg.reduce))
+        // fold in both directions plus against zero — the partial-
+        // buffer shapes Spark's partial aggregation actually produces
+        val l2r = bufs.foldLeft(agg.zero)(agg.merge)
+        val r2l = bufs.reverse.foldLeft(agg.zero)(agg.merge)
+        assert(bits(agg.finish(l2r)) == bits(agg.finish(r2l)),
+          "merge must be order-insensitive")
+        agg.finish(agg.merge(l2r, agg.zero))
+      }
+    }
+    val rng = new scala.util.Random(20260816L)
+    val n = 257 // not a multiple of any chunk count — ragged last buffers
+    val ids = (0 until n).map(_.toLong)
+    val arrivals: Seq[(String, Seq[(Double, Long)])] = Seq(
+      "random" -> ids.map(i => (rng.nextDouble(), i)),
+      "ascending" -> ids.map(i => (i.toDouble, i)),
+      "descending" -> ids.map(i => ((n - i).toDouble, i)),
+      // heavy ties AT the threshold: only ids break the order, and the
+      // stale-kth reject must not drop a tied row with a smaller id
+      "tied" -> ids.map(i => ((i % 4).toDouble, i)),
+      "all-equal" -> ids.map(i => (1.0, i)),
+      // IEEE corners: NaN ranks first under DESC, infinities at the ends
+      "ieee" -> ids.map(i => (i % 7 match {
+        case 0 => Double.NaN
+        case 1 => Double.PositiveInfinity
+        case 2 => Double.NegativeInfinity
+        case _ => rng.nextDouble() * 10 - 5
+      }, i))
+    )
+    for ((tag, items0) <- arrivals; k <- Seq(1, 2, 3, 5, 16, 300);
+         chunks <- Seq(1, 2, 7)) {
+      // shuffle separately per case so each (k, chunks) sees its own
+      // arrival order of the same multiset
+      val items = rng.shuffle(items0)
+      val want = reference(items, k)
+      val got = viaAgg(items, k, chunks)
+      assert(bits(got) == bits(want),
+        s"$tag k=$k chunks=$chunks: got $got, want $want")
+    }
+  }
 }

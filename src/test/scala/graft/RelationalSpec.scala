@@ -149,6 +149,13 @@ class RelationalSpec extends SparkSuite {
   }
 
   test("q32 DP-evaluation count is output-proportional at sf0.1 (NibbleL1 gate)") {
+    // integration-scale pin: needs the sf0.1 testdata (an ~8M-pair
+    // candidate stream — deliberately NOT the suite's small fixture,
+    // the filter's value only shows at bench scale). Cancels, not
+    // fails, where that dir is absent so plain `sbt test` stays
+    // self-contained (r19 advisor).
+    assume(new java.io.File("/root/testdata/sf0.1").isDirectory,
+      "sf0.1 testdata absent - integration-scale pin skipped")
     // The r17->r18 "wall ratio" criterion was the wrong success metric
     // (candidate volume tracks the floor, not the filter). THIS is the
     // tracked number now: DP evaluations = rows surviving the gate,

@@ -71,6 +71,7 @@ class SweepCachesSpec extends SparkSuite {
     var simAtDrain: Option[Int] = None
     var dedupAtDrain: Option[Int] = None
     var corpusAtDrain: Option[Int] = None
+    val semBefore = graft.sim.Similarity.semanticBuilds.get()
     SparkEntry.queries.foreach { case (name, fn) =>
       fn(spark, dataDir).count()
       tracker.done(name)
@@ -86,6 +87,12 @@ class SweepCachesSpec extends SparkSuite {
     }
     assert(simAtDrain.isDefined && dedupAtDrain.isDefined && corpusAtDrain.isDefined,
       "all three families must drain in a full sweep")
+    // r20 stage-audit pin: the semantic cluster map (IVF pair join +
+    // CC — the suite's largest single build) materializes ONCE per
+    // sweep; a second build means stream_semantic's index re-fit the
+    // pair family instead of reusing dedup_semantic's cached map.
+    assert(graft.sim.Similarity.semanticBuilds.get() - semBefore == 1,
+      "semantic cluster map must build exactly once per full sweep")
     SweepCaches.releaseAll()
   }
 }
