@@ -173,4 +173,22 @@ class SimilaritySpec extends SparkSuite {
     assert(tau1 == tau2)
     assert(tau1 > 0.2 && tau1 < 0.7, s"sf0.001 tau=$tau1 out of sane range")
   }
+
+  test("nprobeFitted: ladder-valued, monotone in target, uniform fallback, deterministic") {
+    val sf001 = graft.io.Tables(spark, "/root/testdata/sf0.001")
+    val nl = Similarity.nlistFor(Similarity.corpusSize(sf001))
+    // any recall clears target 0 → the smallest ladder point wins
+    val loose = Similarity.nprobeFitted(sf001, target = 0.0)
+    assert(loose == 4, s"target=0 must pick the ladder's first point, got $loose")
+    // the default target lands on a ladder point ≤ nlist or the
+    // uniform-calibrated fallback — never an arbitrary value
+    val strict = Similarity.nprobeFitted(sf001)
+    val valid = Seq(4, 8, 16, 32, 64, 128).filter(_ <= nl).toSet + Similarity.nprobeFor(nl)
+    assert(valid.contains(strict), s"fitted $strict not in $valid")
+    assert(strict >= loose, "fitted nprobe must not shrink as target rises")
+    // recall ≤ 1 makes target 1.1 unreachable → exactly the uniform default
+    assert(Similarity.nprobeFitted(sf001, target = 1.1) == Similarity.nprobeFor(nl))
+    // hash-drawn probes + frozen seeds: the calibration artifact is stable
+    assert(strict == Similarity.nprobeFitted(sf001))
+  }
 }
