@@ -97,6 +97,33 @@ object DedupProbeScan {
       f"truth_scan=$tTruth%.1fs family=$tFam%.1fs")
   }
 
+  /** Distributed twin of [[pairSet]]+[[report]] for the Hamming
+    * families, whose probe-restricted pair sets are CORPUS-DENSITY
+    * sized, not probe-count sized: ~6% of ALL pairs on the word-soup
+    * corpus sit within the simhash threshold, so 1 817 probes at
+    * N=500k already yield 50.8M truth pairs — a driver-side Set of
+    * boxed tuples at that size IS the instrument's own scale wall
+    * (observed: Java-heap OOM at the default 8g, r20). Recall and
+    * precision need only three counts, so the canonicalized pair
+    * tables stay executor-side (persisted, counted, inner-joined) and
+    * driver state is three longs at any decade. */
+  private def reportDistributed(tag: String, truthRaw: => DataFrame,
+      foundRaw: => DataFrame, a: String, b: String): Unit = {
+    def pairDf(df: DataFrame): DataFrame =
+      df.select(least(col(a), col(b)).as("x"), greatest(col(a), col(b)).as("y"))
+        .distinct()
+    val (truth, tT) = timed { val d = pairDf(truthRaw).persist(); d.count(); d }
+    val (found, tF) = timed { val d = pairDf(foundRaw).persist(); d.count(); d }
+    val nT = truth.count(); val nF = found.count()
+    val nI = truth.join(found, Seq("x", "y")).count()
+    val recall = nI.toDouble / math.max(nT, 1L)
+    val precision = nI.toDouble / math.max(nF, 1L)
+    println(f"DEDUPPROBE $tag%-12s recall=$recall%.4f precision=$precision%.4f " +
+      f"truth=$nT found=$nF inter=$nI " +
+      f"truth_scan=$tT%.1fs family=$tF%.1fs")
+    truth.unpersist(); found.unpersist()
+  }
+
   def run(t: Tables, plantedMod: Int, randomMod: Int, embMod: Int,
       fams: Set[String], restricted: Boolean = false): Unit = {
     import t.spark.implicits._
@@ -260,22 +287,19 @@ object DedupProbeScan {
       println(s"DEDUPPROBE simhash 6x16-bit-combo candidate volume ~ $candVol")
       val pFp = fp.filter($"doc_id".isin(probeIds.map(Long.box): _*))
         .toDF("doc_a", "fa")
-      val (truth, tT) = timed(pairSet(
-        fp.toDF("doc_b", "fb").repartition(64).join(broadcast(pFp),
-          col("doc_a") =!= col("doc_b"))
-          .filter(expr("bit_count(fa ^ fb)") <= 2),
-        "doc_a", "doc_b"))
       // the SHIPPED generator in its probe-restricted Θ(P·N) form: on
       // this corpus ~6% of ALL pairs are within the threshold, so the
       // full family's output is itself near-quadratic at the decade —
       // the mechanism under test (combo buckets at full corpus size +
       // verify) is unchanged, only the left side is probe-filtered
-      val (found, tF) = timed(pairSet(
+      reportDistributed("simhash",
+        fp.toDF("doc_b", "fb").repartition(64).join(broadcast(pFp),
+          col("doc_a") =!= col("doc_b"))
+          .filter(expr("bit_count(fa ^ fb)") <= 2),
         Dedup.blockedHammingPairs(fp, "doc_id", "simhash", nBlocks = 4,
           maxHam = 2,
           leftOnly = Some(col("doc_id").isin(probeIds.map(Long.box): _*))),
-        "doc_a", "doc_b"))
-      report("simhash", truth, found, tT, tF)
+        "doc_a", "doc_b")
       fp.unpersist()
     }
 
@@ -295,17 +319,14 @@ object DedupProbeScan {
       println(s"DEDUPPROBE $tag slack-1 volumes single=$vSingle combo=$vCombo -> $choice")
       val pFp = fp.filter($"doc_id".isin(probeIds.map(Long.box): _*))
         .toDF("doc_a", "fa")
-      val (truth, tT) = timed(pairSet(
+      reportDistributed(tag,
         fp.toDF("doc_b", "fb").repartition(64).join(broadcast(pFp),
           col("doc_a") =!= col("doc_b"))
           .filter(expr("bit_count(fa ^ fb)") <= 7),
-        "doc_a", "doc_b"))
-      val (found, tF) = timed(pairSet(
         Dedup.blockedHammingPairs(fp, "doc_id", "w", nBlocks = 8,
           maxHam = 7,
           leftOnly = Some(col("doc_id").isin(probeIds.map(Long.box): _*))),
-        "doc_a", "doc_b"))
-      report(tag, truth, found, tT, tF)
+        "doc_a", "doc_b")
       fp.unpersist()
     }
     if (fams("image"))
