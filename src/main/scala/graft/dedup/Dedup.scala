@@ -289,6 +289,8 @@ object Dedup {
     lshCache.clear()
     sigCache.values.foreach(_.unpersist())
     sigCache.clear()
+    clusterCache.values.foreach(_.unpersist())
+    clusterCache.clear()
     slack1Cache.clear()
   }
 
@@ -483,10 +485,32 @@ object Dedup {
     * a third independent algorithm (DedupSpec cross-checks all on the
     * same pair graph).
     */
-  def clusters(t: Tables): DataFrame = {
-    // minhashLsh is cached per (session, dir) — no second pipeline run
-    connectedComponents(minhashLsh(t).select(col("doc_a"), col("doc_b")))
-  }
+  // One materialized cluster map per (session, dir): three sweep
+  // queries consume the SAME connected-components fixpoint
+  // (dedup_clusters reads it, dedup_near_kept anti-joins its
+  // non-representative ids, dedup_cluster_stats histograms it), and
+  // an uncached call re-runs the whole O(log n)-round CC loop — the
+  // pair table was memoized (lshCache) but the loop above it ran 3x
+  // per sweep (~3 s each at sf0.1, r20). One narrow row per clustered
+  // doc (doc_id, cluster_id): localCheckpoint-sized at any corpus the
+  // pair family itself can run on. Same immutable-dir contract +
+  // SweepCaches release as lshCache; same-round precedent is
+  // Similarity's semantic cluster-map memo.
+  private val clusterCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** clusterCache population counter — SweepCachesSpec pins one CC
+    * run per full sweep (a second one = a consumer re-deriving the
+    * fixpoint instead of reading the shared map). */
+  private[graft] val clusterBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def clusters(t: Tables): DataFrame =
+    clusterCache.getOrElseUpdate((t.spark, t.dir), {
+      clusterBuilds.incrementAndGet()
+      // minhashLsh is cached per (session, dir) — no second pipeline run
+      connectedComponents(minhashLsh(t).select(col("doc_a"), col("doc_b")))
+        .localCheckpoint()
+    })
 
   /** Alternating large-star/small-star connected components over an
     * undirected pair list (doc_a, doc_b) → (doc_id, cluster_id =
@@ -1518,7 +1542,10 @@ object Dedup {
     */
   def clusterStats(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val cl = clusters(t).persist() // feeds the histogram and the anti-join
+    // clusters(t) is the memoized localCheckpoint'd map — already
+    // materialized for its two reads here; do NOT unpersist it (other
+    // consumers share it until SweepCaches drains the family)
+    val cl = clusters(t)
     val hist = cl
       .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
@@ -1526,9 +1553,7 @@ object Dedup {
       .join(cl.select($"doc_id"), Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_clusters"))
       .select(lit(1L).as("cluster_size"), $"n_clusters")
-    val out = hist.unionByName(singles).localCheckpoint()
-    cl.unpersist()
-    out
+    hist.unionByName(singles).localCheckpoint()
   }
 
   val clusterStatsSql: String =

@@ -66,12 +66,14 @@ class SweepCachesSpec extends SparkSuite {
     val tracker = new SweepCaches.Tracker
     def simBuilds(): Int =
       graft.sim.Similarity.cacheBuilds.get() + graft.sim.Similarity.quantizerFits.get()
-    def dedupBuilds(): Int = graft.dedup.Dedup.cacheBuilds.get()
+    def dedupBuilds(): Int =
+      graft.dedup.Dedup.cacheBuilds.get() + graft.dedup.Dedup.clusterBuilds.get()
     def corpusBuilds(): Int = graft.pipeline.CorpusOps.cacheBuilds.get()
     var simAtDrain: Option[Int] = None
     var dedupAtDrain: Option[Int] = None
     var corpusAtDrain: Option[Int] = None
     val semBefore = graft.sim.Similarity.semanticBuilds.get()
+    val clBefore = graft.dedup.Dedup.clusterBuilds.get()
     SparkEntry.queries.foreach { case (name, fn) =>
       fn(spark, dataDir).count()
       tracker.done(name)
@@ -93,6 +95,11 @@ class SweepCachesSpec extends SparkSuite {
     // pair family instead of reusing dedup_semantic's cached map.
     assert(graft.sim.Similarity.semanticBuilds.get() - semBefore == 1,
       "semantic cluster map must build exactly once per full sweep")
+    // r20: the minhash connected-components fixpoint is likewise
+    // shared — dedup_clusters / dedup_near_kept / dedup_cluster_stats
+    // read one memoized map instead of re-running the CC loop each.
+    assert(graft.dedup.Dedup.clusterBuilds.get() - clBefore == 1,
+      "minhash cluster map must build exactly once per full sweep")
     SweepCaches.releaseAll()
   }
 }
