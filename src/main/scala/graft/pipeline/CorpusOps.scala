@@ -423,7 +423,42 @@ object CorpusOps {
     * when it is not, so the plan survives 100× where a hint would
     * OOM the executors. Emits docs with at least one colliding gram.
     */
-  def contamination(t: Tables): DataFrame = {
+  // One materialized contamination table per (session, dir): three
+  // sweep queries consume it (the contamination audit itself, the
+  // curated batch chain's decontamination anti-join, and the
+  // stream_curated ingest gate's static side), and the build is a
+  // full-corpus distinct-4-gram self-join — the most expensive thing
+  // to recompute three times at 100 TB. The memo is the narrow
+  // grouped output (doc_id, n_contam), localCheckpoint-sized.
+  // Released by its OWN SweepCaches consumer set
+  // ([[clearContamCache]]) — the corpus line-df family drains tens of
+  // queries earlier in name order, so sharing its release would
+  // either evict this memo before its consumers run or pin the
+  // line-df table long past its last reader.
+  private val contamCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** contamCache population counter — SweepCachesSpec pins one build
+    * per full sweep (a second one = a consumer re-running the 4-gram
+    * join instead of reading the shared table). */
+  private[graft] val contamBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def clearContamCache(): Unit = {
+    contamCache.values.foreach(_.unpersist())
+    contamCache.clear()
+  }
+
+  def contamination(t: Tables): DataFrame =
+    contamCache.getOrElseUpdate((t.spark, t.dir), {
+      contamBuilds.incrementAndGet()
+      contaminationUncached(t).localCheckpoint()
+    })
+
+  /** The live plan behind the memo — the plan-audit surfaces
+    * (tools.Plans, ScaleSpec's no-forced-broadcast pin) must inspect
+    * THIS form: the memoized [[contamination]] analyzes to a
+    * LogicalRDD, which would pass any plan assertion vacuously. */
+  private[graft] def contaminationUncached(t: Tables): DataFrame = {
     import t.spark.implicits._
     val docs = t.widen(t.documents)
     def grams(df: DataFrame): DataFrame = df

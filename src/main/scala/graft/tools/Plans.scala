@@ -27,7 +27,8 @@ object Plans {
       "q29_running_sum" -> Relational.q29RunningSum(t),
       "q28_theta_join" -> Relational.q28ThetaJoin(t),
       "q32_fuzzy_name" -> Relational.q32FuzzyName(t),
-      "contamination" -> graft.pipeline.CorpusOps.contamination(t),
+      // the UNCACHED plan (the memoized form analyzes to a LogicalRDD)
+      "contamination" -> graft.pipeline.CorpusOps.contaminationUncached(t),
       "corpus_curated" -> graft.pipeline.CorpusOps.curated(t),
       "q36_interval_join" -> Relational.q36IntervalJoin(t),
       "q39_five_number" -> Relational.q39FiveNumber(t),

@@ -52,16 +52,28 @@ object SweepCaches {
   private[graft] val corpusConsumers = Set(
     "corpus_boilerplate", "corpus_strip_boilerplate")
 
+  /** Queries that read CorpusOps.contamCache (the memoized
+    * benchmark-contamination id table — the full-corpus 4-gram join).
+    * Its OWN family, not folded into [[corpusConsumers]]: the line-df
+    * set drains tens of queries earlier in sweep order, and one
+    * release point for both would either evict this memo before its
+    * consumers run or pin the line-df table long past its last
+    * reader. Same pin as [[simConsumers]]. */
+  private[graft] val contamConsumers = Set(
+    "contamination", "corpus_curated", "stream_curated")
+
   final class Tracker {
     private val sim = collection.mutable.Set.from(simConsumers)
     private val ded = collection.mutable.Set.from(dedupConsumers)
     private val corp = collection.mutable.Set.from(corpusConsumers)
+    private val cont = collection.mutable.Set.from(contamConsumers)
 
     /** True once the family's last consumer has finished (and its
       * caches were released). */
     def simDrained: Boolean = sim.isEmpty
     def dedupDrained: Boolean = ded.isEmpty
     def corpusDrained: Boolean = corp.isEmpty
+    def contamDrained: Boolean = cont.isEmpty
 
     /** Call after query `name` completes (success or failure — a
       * failed consumer still never reads the cache again). */
@@ -69,6 +81,7 @@ object SweepCaches {
       if (sim.remove(name) && sim.isEmpty) graft.sim.Similarity.clearCaches()
       if (ded.remove(name) && ded.isEmpty) graft.dedup.Dedup.clearCaches()
       if (corp.remove(name) && corp.isEmpty) graft.pipeline.CorpusOps.clearCaches()
+      if (cont.remove(name) && cont.isEmpty) graft.pipeline.CorpusOps.clearContamCache()
     }
   }
 
@@ -78,5 +91,6 @@ object SweepCaches {
     graft.sim.Similarity.clearCaches()
     graft.dedup.Dedup.clearCaches()
     graft.pipeline.CorpusOps.clearCaches()
+    graft.pipeline.CorpusOps.clearContamCache()
   }
 }

@@ -148,7 +148,8 @@ class ScaleSpec extends SparkSuite {
     for ((name, df) <- Seq(
         "q32_fuzzy_name" -> graft.ops.Relational.q32FuzzyName(t),
         "ann_brute_force" -> graft.sim.Similarity.annBruteForce(t),
-        "contamination" -> graft.pipeline.CorpusOps.contamination(t))) {
+        // the UNCACHED plan: the memoized form analyzes to a LogicalRDD
+        "contamination" -> graft.pipeline.CorpusOps.contaminationUncached(t))) {
       val analyzed = df.queryExecution.analyzed.toString
       assert(!analyzed.toLowerCase.contains("resolvedhint"),
         s"$name must not force a broadcast on a corpus fraction:\n$analyzed")

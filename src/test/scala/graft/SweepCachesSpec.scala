@@ -20,9 +20,11 @@ class SweepCachesSpec extends SparkSuite {
     val unknownSim = SweepCaches.simConsumers.diff(names)
     val unknownDedup = SweepCaches.dedupConsumers.diff(names)
     val unknownCorpus = SweepCaches.corpusConsumers.diff(names)
+    val unknownContam = SweepCaches.contamConsumers.diff(names)
     assert(unknownSim.isEmpty, s"simConsumers not in queries: $unknownSim")
     assert(unknownDedup.isEmpty, s"dedupConsumers not in queries: $unknownDedup")
     assert(unknownCorpus.isEmpty, s"corpusConsumers not in queries: $unknownCorpus")
+    assert(unknownContam.isEmpty, s"contamConsumers not in queries: $unknownContam")
   }
 
   test("benchdiff CACHE_FAMILIES mirror the SweepCaches consumer sets") {
@@ -45,7 +47,7 @@ class SweepCachesSpec extends SparkSuite {
     val fams: Map[String, Set[String]] = famRe.findAllMatchIn(block).map { m =>
       m.group(1) -> nameRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSet
     }.toMap
-    assert(fams.size == 3, s"expected 3 cache families in benchdiff, got ${fams.keySet}")
+    assert(fams.size == 4, s"expected 4 cache families in benchdiff, got ${fams.keySet}")
     def fam(prefix: String): Set[String] =
       fams.collectFirst { case (k, v) if k.startsWith(prefix) => v }
         .getOrElse(fail(s"no benchdiff family labeled '$prefix ...'"))
@@ -58,6 +60,9 @@ class SweepCachesSpec extends SparkSuite {
     assert(fam("corpus") == SweepCaches.corpusConsumers,
       s"corpus family drifted: benchdiff-only=${fam("corpus").diff(SweepCaches.corpusConsumers)}, " +
         s"sweepcaches-only=${SweepCaches.corpusConsumers.diff(fam("corpus"))}")
+    assert(fam("contam") == SweepCaches.contamConsumers,
+      s"contam family drifted: benchdiff-only=${fam("contam").diff(SweepCaches.contamConsumers)}, " +
+        s"sweepcaches-only=${SweepCaches.contamConsumers.diff(fam("contam"))}")
   }
 
   test("full sweep: no family cache repopulates after its consumer set drains") {
@@ -69,11 +74,14 @@ class SweepCachesSpec extends SparkSuite {
     def dedupBuilds(): Int =
       graft.dedup.Dedup.cacheBuilds.get() + graft.dedup.Dedup.clusterBuilds.get()
     def corpusBuilds(): Int = graft.pipeline.CorpusOps.cacheBuilds.get()
+    def contamBuilds(): Int = graft.pipeline.CorpusOps.contamBuilds.get()
     var simAtDrain: Option[Int] = None
     var dedupAtDrain: Option[Int] = None
     var corpusAtDrain: Option[Int] = None
+    var contamAtDrain: Option[Int] = None
     val semBefore = graft.sim.Similarity.semanticBuilds.get()
     val clBefore = graft.dedup.Dedup.clusterBuilds.get()
+    val contBefore = graft.pipeline.CorpusOps.contamBuilds.get()
     SparkEntry.queries.foreach { case (name, fn) =>
       fn(spark, dataDir).count()
       tracker.done(name)
@@ -83,12 +91,16 @@ class SweepCachesSpec extends SparkSuite {
         s"dedup family cache repopulated after drain, at query $name"))
       corpusAtDrain.foreach(n => assert(corpusBuilds() == n,
         s"corpus family cache repopulated after drain, at query $name"))
+      contamAtDrain.foreach(n => assert(contamBuilds() == n,
+        s"contam family cache repopulated after drain, at query $name"))
       if (simAtDrain.isEmpty && tracker.simDrained) simAtDrain = Some(simBuilds())
       if (dedupAtDrain.isEmpty && tracker.dedupDrained) dedupAtDrain = Some(dedupBuilds())
       if (corpusAtDrain.isEmpty && tracker.corpusDrained) corpusAtDrain = Some(corpusBuilds())
+      if (contamAtDrain.isEmpty && tracker.contamDrained) contamAtDrain = Some(contamBuilds())
     }
-    assert(simAtDrain.isDefined && dedupAtDrain.isDefined && corpusAtDrain.isDefined,
-      "all three families must drain in a full sweep")
+    assert(simAtDrain.isDefined && dedupAtDrain.isDefined && corpusAtDrain.isDefined &&
+      contamAtDrain.isDefined,
+      "all four families must drain in a full sweep")
     // r20 stage-audit pin: the semantic cluster map (IVF pair join +
     // CC — the suite's largest single build) materializes ONCE per
     // sweep; a second build means stream_semantic's index re-fit the
@@ -100,6 +112,11 @@ class SweepCachesSpec extends SparkSuite {
     // read one memoized map instead of re-running the CC loop each.
     assert(graft.dedup.Dedup.clusterBuilds.get() - clBefore == 1,
       "minhash cluster map must build exactly once per full sweep")
+    // r20: the benchmark-contamination id table (full-corpus 4-gram
+    // join) is likewise shared — contamination / corpus_curated /
+    // stream_curated read one memoized table instead of three builds.
+    assert(graft.pipeline.CorpusOps.contamBuilds.get() - contBefore == 1,
+      "contamination table must build exactly once per full sweep")
     SweepCaches.releaseAll()
   }
 }

@@ -131,6 +131,8 @@ def main():
             "corpus_split_leakage", "dedup_incremental_near", "stream_near_dup"],
         "corpus (boilerplate line-df)": [
             "corpus_boilerplate", "corpus_strip_boilerplate"],
+        "contam (benchmark 4-gram id table)": [
+            "contamination", "corpus_curated", "stream_curated"],
     }
     # For each family: the actual payer is the first member in sweep
     # order (checked against `queries`, floor entry or not). When the
