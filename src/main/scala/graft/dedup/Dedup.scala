@@ -280,11 +280,20 @@ object Dedup {
   private val lshCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
-  /** Releases both the memo map and the checkpoint blocks behind it.
-    * Callers invoke this only after a dir rewrite invalidates the cached
-    * results, so no live reference can legitimately outlast the call.
-    */
+  /** Releases every Dedup memo (the dir-rewrite invalidation entry
+    * point). Callers invoke this only after a dir rewrite invalidates
+    * the cached results, so no live reference can legitimately outlast
+    * the call. Sweep bookkeeping that wants to evict one family early
+    * uses the narrower [[clearPairCaches]]/[[clearGramCache]]. */
   def clearCaches(): Unit = {
+    clearPairCaches()
+    clearGramCache()
+  }
+
+  /** Narrow release for the MinHash signature/pair/cluster memos (the
+    * SweepCaches dedup family) — the gram-postings memo drains later
+    * in sweep order and has its own release. */
+  def clearPairCaches(): Unit = {
     lshCache.values.foreach(_.unpersist())
     lshCache.clear()
     sigCache.values.foreach(_.unpersist())
@@ -293,6 +302,52 @@ object Dedup {
     clusterCache.clear()
     slack1Cache.clear()
   }
+
+  /** Narrow release for the shared word-5-gram postings memo
+    * ([[gramPostings]]). */
+  def clearGramCache(): Unit = {
+    gramCache.values.foreach { case (g, d) => g.unpersist(); d.unpersist() }
+    gramCache.clear()
+  }
+
+  // One (postings, df) pair per (session, dir): ngramJaccard and
+  // containment built BYTE-IDENTICAL gram lineages independently —
+  // the same widened scan → array_distinct(gramExpr(5)) explode with
+  // the doc's gram-set size carried on every row → doc_id-keyed
+  // exchange → persist, plus the same global document-frequency
+  // aggregation over it (the r21 stage audit measured ~1 s of
+  // duplicated build per sweep). Same immutable-dir contract and
+  // release discipline as lshCache; the df table is persisted too
+  // (both queries' prefix builds read it, and it is
+  // vocabulary-cardinality-sized — released with the family).
+  private val gramCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+
+  /** gramCache population counter — SweepCachesSpec pins one build per
+    * full sweep (a second one = a consumer re-running the gram explode
+    * + df aggregation instead of reading the shared tables). */
+  private[graft] val gramBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The shared (grams, dfTab) pair: grams = (doc_id, n, gram) with n
+    * = |doc's distinct gram set| on every row, hash-partitioned by
+    * doc_id and persisted; dfTab = (gram, df) global document
+    * frequencies. See [[ngramJaccard]]'s scaladoc for why the doc_id
+    * exchange below the persist is load-bearing. */
+  private[graft] def gramPostings(t: Tables): (DataFrame, DataFrame) =
+    gramCache.getOrElseUpdate((t.spark, t.dir), {
+      gramBuilds.incrementAndGet()
+      val grams = t.widen(t.documents)
+        .select(col("doc_id"), array_distinct(expr(gramExpr(5))).as("gs"))
+        .select(col("doc_id"), size(col("gs")).as("n"),
+          explode(col("gs")).as("gram"))
+        .repartition(t.spark.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
+        .persist()
+      val dfTab = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"))
+        .persist()
+      (grams, dfTab)
+    })
 
   /** @param probeOnly decade-instrument restriction (DedupProbeScan):
     *   predicate over `doc_id` limiting ONE side of the band-bucket
@@ -1001,11 +1056,9 @@ object Dedup {
     // miss re-FETCHES shuffle files instead. Keying it by doc_id makes
     // the same exchange satisfy the prefix and sz aggregations'
     // distributions, so they run straight off the cache.
-    val grams = t.widen(t.documents)
-      .select($"doc_id", array_distinct(expr(gramExpr(5))).as("gs"))
-      .select($"doc_id", size($"gs").as("n"), explode($"gs").as("gram"))
-      .repartition(t.spark.sessionState.conf.numShufflePartitions, $"doc_id")
-      .persist() // feeds df + size aggs + prefix + verification; avoid recompute
+    // shared (grams, dfTab) memo — containment reads the identical
+    // lineage, so the build runs once per sweep (gramPostings)
+    val (grams, dfTab) = gramPostings(t)
     val sz = grams.select($"doc_id", $"n")
       .groupBy($"doc_id").agg(first($"n").as("n"))
     // df via groupBy + join-back, NOT count().over(partitionBy(gram)):
@@ -1021,7 +1074,6 @@ object Dedup {
     // same single shuffle, no sort machinery. Prefix length
     // n - ceil(n/10) + 1, all-integer; (df, gram) is a total order so
     // the prefix is deterministic.
-    val dfTab = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
     val prefix = grams
       .join(dfTab, "gram")
       .groupBy($"doc_id")
@@ -1068,8 +1120,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")))
           .as("jaccard"))
-      .localCheckpoint() // materialize so the gram/cand caches can be released
-    grams.unpersist()
+      .localCheckpoint() // materialize so the query-local caches can be
+                         // released (grams/dfTab stay memoized for
+                         // containment — SweepCaches drains them)
     prefix.unpersist()
     cand.unpersist()
     gramsC.unpersist()
@@ -1444,17 +1497,11 @@ object Dedup {
     // per-doc narrow map. (r19, the nd1000 stage audit: the restricted
     // union re-ran those pipelines once per orientation and filled the
     // instrument node's scratch where r18 had measured 494 s.)
-    val grams = t.widen(t.documents)
-      .select($"doc_id", array_distinct(expr(gramExpr(5))).as("gs"))
-      .select($"doc_id", size($"gs").as("n"), explode($"gs").as("gram"))
-      // doc_id-keyed exchange BELOW the persist — load-bearing, see
-      // ngramJaccard's note (shuffle-file-backed cache misses + reused
-      // distribution for the doc-keyed aggs)
-      .repartition(t.spark.sessionState.conf.numShufflePartitions, $"doc_id")
-      .persist() // feeds df + prefix + full join side + verification
+    // shared (grams, dfTab) memo — ngramJaccard reads the identical
+    // lineage, so the build runs once per sweep (gramPostings)
+    val (grams, dfTab) = gramPostings(t)
     val sz = grams.select($"doc_id", $"n")
       .groupBy($"doc_id").agg(first($"n").as("n"))
-    val dfTab = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
     val prefix = grams
       .join(dfTab, "gram")
       .groupBy($"doc_id")
@@ -1504,12 +1551,14 @@ object Dedup {
       .filter($"common" * 2 >= $"na") // na IS min(|A|,|B|) by orientation
       .select($"doc_a", $"doc_b", $"common",
         ($"common".cast(DoubleType) / $"na").as("containment"))
+    // grams/dfTab stay memoized for ngramJaccard (SweepCaches drains
+    // them); only the query-local persists release here
     if (!checkpoint) {
-      grams.unpersist(); prefix.unpersist(); cand.unpersist(); gramsC.unpersist()
+      prefix.unpersist(); cand.unpersist(); gramsC.unpersist()
       return out
     }
     val cp = out.localCheckpoint()
-    grams.unpersist(); prefix.unpersist(); cand.unpersist(); gramsC.unpersist()
+    prefix.unpersist(); cand.unpersist(); gramsC.unpersist()
     cp
   }
 

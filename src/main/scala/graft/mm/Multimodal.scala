@@ -149,7 +149,11 @@ object Multimodal {
     import t.spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[MediaRow] =
       Encoders.product[MediaRow]
-    t.documents
+    // widen BEFORE the per-row synth/parse maps: the single-split
+    // testdata scan otherwise serializes the whole audio family
+    // (mm_audio_meta / mm_audio_fp / dedup_audio_fp ran tasks=1
+    // end-to-end — the r21 stage audit) on one core
+    t.widen(t.documents)
       .select($"doc_id", $"text".cast(BinaryType).as("payload"))
       .as[(Long, Array[Byte])]
       .map { case (id, data) =>
@@ -441,7 +445,9 @@ object Multimodal {
     import t.spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[MediaRow] =
       Encoders.product[MediaRow]
-    t.documents
+    // widen for the same reason as wavFromDocuments: consumers run
+    // per-row payload maps (resizeMeta's byte stride) off this scan
+    t.widen(t.documents)
       .select($"doc_id".as("media_id"), $"source".as("kind"),
         $"text".cast(BinaryType).as("payload"))
       .as[MediaRow]

@@ -154,7 +154,21 @@ object CorpusOps {
     * no-repopulate-after-drain pin. */
   private[graft] val cacheBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The general dir-rewrite invalidation entry point: drops EVERY
+    * CorpusOps memo (line-df AND the contamination table — r20 ADVICE:
+    * the documented "call clearCaches() after rewriting a dir" must
+    * not leave a stale contam table feeding contamination /
+    * corpus_curated / stream_curated). Sweep bookkeeping that wants to
+    * evict one family early uses the narrower
+    * [[clearLineDfCache]]/[[clearContamCache]]. */
   def clearCaches(): Unit = {
+    clearLineDfCache()
+    clearContamCache()
+  }
+
+  /** Narrow release for the line-df memo only (SweepCaches' corpus
+    * family drains tens of queries before the contam consumers run). */
+  def clearLineDfCache(): Unit = {
     lineDfCache.values.foreach(_.unpersist())
     lineDfCache.clear()
   }

@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes `explain("formatted")` output for named SparkEntry queries
+  * to `<outDir>/<query><suffix>.txt` — the r21 optimization-round
+  * evidence format (plans/r21/<query>_before.txt / _after.txt).
+  *
+  * Usage: PlanDump <sfDir> <outDir> <suffix> <query...>
+  *
+  * Plans are captured from the DataFrame the query function returns
+  * (pre-execution, AdaptiveSparkPlan isFinalPlan=false — the same
+  * artifact `.explain("formatted")` prints). Memoized families hand
+  * back a localCheckpoint'd LogicalRDD for their SECOND consumer, so
+  * the dump is still the first-build plan: each named query runs in
+  * the order given against fresh caches only when it is the family's
+  * first consumer in the list — order the CLI args like the sweep if
+  * that matters for the query being documented.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: PlanDump <sfDir> <outDir> <suffix> <query...>")
+    val Array(sfDir, outDir, suffix) = args.take(3)
+    val names = args.drop(3).toSeq
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"$name$suffix.txt"),
+        txt.getBytes("UTF-8"))
+      println(s"PLANDUMP wrote $outDir/$name$suffix.txt (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

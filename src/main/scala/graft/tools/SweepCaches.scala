@@ -47,6 +47,13 @@ object SweepCaches {
     "dedup_cluster_stats",
     "corpus_split_leakage", "dedup_incremental_near", "stream_near_dup")
 
+  /** Queries that read Dedup.gramCache (the shared word-5-gram
+    * postings + document-frequency tables). Its OWN family for the
+    * same reason as [[contamConsumers]]: the lshCache set drains at a
+    * different point in sweep order. Same pin as [[simConsumers]]. */
+  private[graft] val gramConsumers = Set(
+    "dedup_ngram_jaccard", "dedup_containment")
+
   /** Queries that read CorpusOps.lineDfCache (the shared
     * boilerplate line-df table). Same pin as [[simConsumers]]. */
   private[graft] val corpusConsumers = Set(
@@ -65,6 +72,7 @@ object SweepCaches {
   final class Tracker {
     private val sim = collection.mutable.Set.from(simConsumers)
     private val ded = collection.mutable.Set.from(dedupConsumers)
+    private val grm = collection.mutable.Set.from(gramConsumers)
     private val corp = collection.mutable.Set.from(corpusConsumers)
     private val cont = collection.mutable.Set.from(contamConsumers)
 
@@ -72,15 +80,19 @@ object SweepCaches {
       * caches were released). */
     def simDrained: Boolean = sim.isEmpty
     def dedupDrained: Boolean = ded.isEmpty
+    def gramDrained: Boolean = grm.isEmpty
     def corpusDrained: Boolean = corp.isEmpty
     def contamDrained: Boolean = cont.isEmpty
 
     /** Call after query `name` completes (success or failure — a
-      * failed consumer still never reads the cache again). */
+      * failed consumer still never reads the cache again). Each family
+      * releases with its NARROW clear — the broad clearCaches() entry
+      * points would evict sibling families that drain later. */
     def done(name: String): Unit = {
       if (sim.remove(name) && sim.isEmpty) graft.sim.Similarity.clearCaches()
-      if (ded.remove(name) && ded.isEmpty) graft.dedup.Dedup.clearCaches()
-      if (corp.remove(name) && corp.isEmpty) graft.pipeline.CorpusOps.clearCaches()
+      if (ded.remove(name) && ded.isEmpty) graft.dedup.Dedup.clearPairCaches()
+      if (grm.remove(name) && grm.isEmpty) graft.dedup.Dedup.clearGramCache()
+      if (corp.remove(name) && corp.isEmpty) graft.pipeline.CorpusOps.clearLineDfCache()
       if (cont.remove(name) && cont.isEmpty) graft.pipeline.CorpusOps.clearContamCache()
     }
   }
@@ -91,6 +103,5 @@ object SweepCaches {
     graft.sim.Similarity.clearCaches()
     graft.dedup.Dedup.clearCaches()
     graft.pipeline.CorpusOps.clearCaches()
-    graft.pipeline.CorpusOps.clearContamCache()
   }
 }

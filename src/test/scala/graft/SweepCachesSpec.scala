@@ -19,10 +19,12 @@ class SweepCachesSpec extends SparkSuite {
     val names = SparkEntry.queries.keySet
     val unknownSim = SweepCaches.simConsumers.diff(names)
     val unknownDedup = SweepCaches.dedupConsumers.diff(names)
+    val unknownGram = SweepCaches.gramConsumers.diff(names)
     val unknownCorpus = SweepCaches.corpusConsumers.diff(names)
     val unknownContam = SweepCaches.contamConsumers.diff(names)
     assert(unknownSim.isEmpty, s"simConsumers not in queries: $unknownSim")
     assert(unknownDedup.isEmpty, s"dedupConsumers not in queries: $unknownDedup")
+    assert(unknownGram.isEmpty, s"gramConsumers not in queries: $unknownGram")
     assert(unknownCorpus.isEmpty, s"corpusConsumers not in queries: $unknownCorpus")
     assert(unknownContam.isEmpty, s"contamConsumers not in queries: $unknownContam")
   }
@@ -47,7 +49,7 @@ class SweepCachesSpec extends SparkSuite {
     val fams: Map[String, Set[String]] = famRe.findAllMatchIn(block).map { m =>
       m.group(1) -> nameRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSet
     }.toMap
-    assert(fams.size == 4, s"expected 4 cache families in benchdiff, got ${fams.keySet}")
+    assert(fams.size == 5, s"expected 5 cache families in benchdiff, got ${fams.keySet}")
     def fam(prefix: String): Set[String] =
       fams.collectFirst { case (k, v) if k.startsWith(prefix) => v }
         .getOrElse(fail(s"no benchdiff family labeled '$prefix ...'"))
@@ -57,6 +59,9 @@ class SweepCachesSpec extends SparkSuite {
     assert(fam("dedup") == SweepCaches.dedupConsumers,
       s"dedup family drifted: benchdiff-only=${fam("dedup").diff(SweepCaches.dedupConsumers)}, " +
         s"sweepcaches-only=${SweepCaches.dedupConsumers.diff(fam("dedup"))}")
+    assert(fam("gram") == SweepCaches.gramConsumers,
+      s"gram family drifted: benchdiff-only=${fam("gram").diff(SweepCaches.gramConsumers)}, " +
+        s"sweepcaches-only=${SweepCaches.gramConsumers.diff(fam("gram"))}")
     assert(fam("corpus") == SweepCaches.corpusConsumers,
       s"corpus family drifted: benchdiff-only=${fam("corpus").diff(SweepCaches.corpusConsumers)}, " +
         s"sweepcaches-only=${SweepCaches.corpusConsumers.diff(fam("corpus"))}")
@@ -73,14 +78,17 @@ class SweepCachesSpec extends SparkSuite {
       graft.sim.Similarity.cacheBuilds.get() + graft.sim.Similarity.quantizerFits.get()
     def dedupBuilds(): Int =
       graft.dedup.Dedup.cacheBuilds.get() + graft.dedup.Dedup.clusterBuilds.get()
+    def gramBuilds(): Int = graft.dedup.Dedup.gramBuilds.get()
     def corpusBuilds(): Int = graft.pipeline.CorpusOps.cacheBuilds.get()
     def contamBuilds(): Int = graft.pipeline.CorpusOps.contamBuilds.get()
     var simAtDrain: Option[Int] = None
     var dedupAtDrain: Option[Int] = None
+    var gramAtDrain: Option[Int] = None
     var corpusAtDrain: Option[Int] = None
     var contamAtDrain: Option[Int] = None
     val semBefore = graft.sim.Similarity.semanticBuilds.get()
     val clBefore = graft.dedup.Dedup.clusterBuilds.get()
+    val grmBefore = graft.dedup.Dedup.gramBuilds.get()
     val contBefore = graft.pipeline.CorpusOps.contamBuilds.get()
     SparkEntry.queries.foreach { case (name, fn) =>
       fn(spark, dataDir).count()
@@ -89,18 +97,21 @@ class SweepCachesSpec extends SparkSuite {
         s"sim family cache repopulated after drain, at query $name"))
       dedupAtDrain.foreach(n => assert(dedupBuilds() == n,
         s"dedup family cache repopulated after drain, at query $name"))
+      gramAtDrain.foreach(n => assert(gramBuilds() == n,
+        s"gram family cache repopulated after drain, at query $name"))
       corpusAtDrain.foreach(n => assert(corpusBuilds() == n,
         s"corpus family cache repopulated after drain, at query $name"))
       contamAtDrain.foreach(n => assert(contamBuilds() == n,
         s"contam family cache repopulated after drain, at query $name"))
       if (simAtDrain.isEmpty && tracker.simDrained) simAtDrain = Some(simBuilds())
       if (dedupAtDrain.isEmpty && tracker.dedupDrained) dedupAtDrain = Some(dedupBuilds())
+      if (gramAtDrain.isEmpty && tracker.gramDrained) gramAtDrain = Some(gramBuilds())
       if (corpusAtDrain.isEmpty && tracker.corpusDrained) corpusAtDrain = Some(corpusBuilds())
       if (contamAtDrain.isEmpty && tracker.contamDrained) contamAtDrain = Some(contamBuilds())
     }
-    assert(simAtDrain.isDefined && dedupAtDrain.isDefined && corpusAtDrain.isDefined &&
-      contamAtDrain.isDefined,
-      "all four families must drain in a full sweep")
+    assert(simAtDrain.isDefined && dedupAtDrain.isDefined && gramAtDrain.isDefined &&
+      corpusAtDrain.isDefined && contamAtDrain.isDefined,
+      "all five families must drain in a full sweep")
     // r20 stage-audit pin: the semantic cluster map (IVF pair join +
     // CC — the suite's largest single build) materializes ONCE per
     // sweep; a second build means stream_semantic's index re-fit the
@@ -117,6 +128,11 @@ class SweepCachesSpec extends SparkSuite {
     // stream_curated read one memoized table instead of three builds.
     assert(graft.pipeline.CorpusOps.contamBuilds.get() - contBefore == 1,
       "contamination table must build exactly once per full sweep")
+    // r21: the word-5-gram postings + df tables are likewise shared —
+    // dedup_ngram_jaccard / dedup_containment read one memoized build
+    // instead of two identical gram-explode + df-agg pipelines.
+    assert(graft.dedup.Dedup.gramBuilds.get() - grmBefore == 1,
+      "gram postings must build exactly once per full sweep")
     SweepCaches.releaseAll()
   }
 }

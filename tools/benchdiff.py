@@ -129,6 +129,8 @@ def main():
             "dedup_minhash_lsh", "dedup_clusters", "dedup_near_kept",
             "dedup_cluster_stats",
             "corpus_split_leakage", "dedup_incremental_near", "stream_near_dup"],
+        "gram (word-5-gram postings + df tables)": [
+            "dedup_ngram_jaccard", "dedup_containment"],
         "corpus (boilerplate line-df)": [
             "corpus_boilerplate", "corpus_strip_boilerplate"],
         "contam (benchmark 4-gram id table)": [
