@@ -142,7 +142,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> q(Dedup.minhashLsh(_)),
     "dedup_simhash"   -> q(Dedup.simhash),
     "dedup_substring" -> q(Dedup.substringDup),
-    "dedup_simhash_hamming" -> q(Dedup.simhashHamming),
+    "dedup_simhash_hamming" -> q(Dedup.simhashHamming(_)),
     "dedup_ngram_jaccard" -> q(Dedup.ngramJaccard(_)),
     // PassJoin block-pigeonhole Levenshtein pairs over 64-char keys;
     // the oracle is the unfiltered quadratic form (lossless blocking)
@@ -299,7 +299,7 @@ object SparkEntry {
     "mm_audio_fp"     -> q(Multimodal.audioFingerprint),
     // ...and its pigeonhole-blocked near-dup pairs (confidence-gated
     // on n_frames >= 17; Dedup.blockedHammingPairs, lossless at <= 7)
-    "dedup_audio_fp"  -> q(Multimodal.audioNearDup),
+    "dedup_audio_fp"  -> q(Multimodal.audioNearDup(_)),
     // perceptual average-hash over REAL decoded pixels (synthesized
     // valid BMPs — an uncompressed raster, so the oracle re-derives
     // every decoded pixel by integer arithmetic); 8-byte hash per
@@ -314,7 +314,7 @@ object SparkEntry {
     // ...and the image near-dup pairs it exists for: pigeonhole
     // 8-bit-block bucketing (provably lossless at Hamming <= 7),
     // never all-pairs — Dedup.simhashHamming's shape on the 64-bit word
-    "dedup_image_ahash" -> q(Multimodal.imageNearDup),
+    "dedup_image_ahash" -> q(Multimodal.imageNearDup(_)),
     // aHash through a REAL lossy JPEG round trip (encode at fixed
     // quality -> ImageIO decode -> hash). Rows-only: JPEG decode is
     // not bit-portable across decoder implementations, so the gate is

@@ -823,8 +823,9 @@ object Dedup {
     * The oracle keeps the simpler single-block candidate CTE — both
     * schemes are lossless, so the final pair set is identical.
     */
-  def simhashHamming(t: Tables): DataFrame =
-    blockedHammingPairs(simhash(t), "doc_id", "simhash", nBlocks = 4, maxHam = 2)
+  def simhashHamming(t: Tables, checkpoint: Boolean = true): DataFrame =
+    blockedHammingPairs(simhash(t), "doc_id", "simhash", nBlocks = 4, maxHam = 2,
+      checkpoint = checkpoint)
 
   /** Pigeonhole-blocked Hamming pairs over any fingerprint table —
     * the candidate generator shared by [[simhashHamming]] (32-bit, 4
@@ -928,9 +929,15 @@ object Dedup {
       else pairKeyExpr(unevenLayout(nBlocks * 8, maxHam + 2))
     })
 
+  // Literal array, NOT transform(sequence(...)): the HOF is
+  // CodegenFallback, and this expr feeds the explode inside the
+  // Σ|bucket|²-sized candidate-join stage — an interpreted expression
+  // there drops the whole stage off the compiled path (the standing
+  // house rule; pairKeyExpr was already literal for the same reason).
   private[graft] def singleKeyExpr(nBlocks: Int): String =
-    s"transform(sequence(0, ${nBlocks - 1}), i -> " +
-      "named_struct('blk', i, 'key', shiftright(w, i * 8) & 255))"
+    (0 until nBlocks).map(i =>
+      s"named_struct('blk', $i, 'key', shiftright(w, ${i * 8}) & 255)")
+      .mkString("array(", ", ", ")")
 
   /** The two Σ|bucket|² sums behind [[slack1KeyExpr]]'s choice —
     * (single 8-bit blocks, uneven pair combos) — exposed for the
@@ -965,7 +972,8 @@ object Dedup {
     *   leave it None. */
   private[graft] def blockedHammingPairs(fp0: DataFrame, idCol: String,
       wCol: String, nBlocks: Int, maxHam: Int,
-      leftOnly: Option[Column] = None): DataFrame = {
+      leftOnly: Option[Column] = None,
+      checkpoint: Boolean = true): DataFrame = {
     require(maxHam < nBlocks,
       s"pigeonhole guarantee needs maxHam < nBlocks (got $maxHam >= $nBlocks)")
     val fp = fp0.select(col(idCol).as("doc_id"), col(wCol).as("w")).persist()
@@ -991,12 +999,27 @@ object Dedup {
           when(col("doc_a") < col("doc_b"), col("fa")).otherwise(col("fb")).as("fa"),
           when(col("doc_a") < col("doc_b"), col("fb")).otherwise(col("fa")).as("fb"))
     }
-    val out = canon
-      .distinct()
+    // Verify BEFORE the distinct: bit_count(xor) is one codegen'd
+    // instruction per candidate, while distinct is a shuffle+agg over
+    // every candidate row — and the candidate stream is Σ|bucket|²-
+    // sized (the r21 stage audit measured the audio family at 29M
+    // candidates from 4,229 fingerprints, with the post-join distinct
+    // owning ~47 of the query's ~63 CPU-seconds). Filtering first
+    // shrinks the distinct's input to qualifying-pairs × key-
+    // duplication (≤ nBlocks or ≤ C(nb,2) per pair), orders of
+    // magnitude smaller on every measured corpus. Output is identical:
+    // hamming is a function of the pair, so distinct-then-filter and
+    // filter-then-distinct agree row-for-row.
+    val verified = canon
       .withColumn("hamming", expr("CAST(bit_count(fa ^ fb) AS INT)"))
       .filter(col("hamming") <= maxHam)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .localCheckpoint()
+      .distinct()
+    // checkpoint=false is for PLAN INSPECTION only (tools.PlanDump):
+    // the fp cache releases immediately, so executing that plan
+    // recomputes the fingerprint build (the editDistance precedent)
+    if (!checkpoint) { fp.unpersist(); return verified }
+    val out = verified.localCheckpoint()
     fp.unpersist()
     out
   }

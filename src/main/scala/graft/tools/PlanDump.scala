@@ -16,8 +16,21 @@ import org.apache.spark.sql.SparkSession
   * the order given against fresh caches only when it is the family's
   * first consumer in the list — order the CLI args like the sweep if
   * that matters for the query being documented.
+  *
+  * Queries whose RESULT is localCheckpoint'd (the pair families)
+  * analyze to a bare LogicalRDD scan — zero evidence value — so
+  * [[inner]] maps them to their checkpoint=false forms (the
+  * editDistance plan-inspection precedent) and the dump shows the
+  * real candidate-join plan.
   */
 object PlanDump {
+  private val inner: Map[String, graft.io.Tables => org.apache.spark.sql.DataFrame] =
+    Map(
+      "dedup_simhash_hamming" -> (t => graft.dedup.Dedup.simhashHamming(t, checkpoint = false)),
+      "dedup_image_ahash" -> (t => graft.mm.Multimodal.imageNearDup(t, checkpoint = false)),
+      "dedup_audio_fp" -> (t => graft.mm.Multimodal.audioNearDup(t, checkpoint = false)),
+      "dedup_edit_distance" -> (t => graft.dedup.Dedup.editDistance(t, checkpoint = false)),
+      "dedup_containment" -> (t => graft.dedup.Dedup.containment(t, checkpoint = false)))
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
       "usage: PlanDump <sfDir> <outDir> <suffix> <query...>")
@@ -35,7 +48,10 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val df = inner.get(name) match {
+        case Some(fn) => fn(graft.io.Tables(spark, sfDir))
+        case None => graft.SparkEntry.queries(name)(spark, sfDir)
+      }
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(

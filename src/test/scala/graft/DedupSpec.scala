@@ -255,7 +255,7 @@ class DedupSpec extends SparkSuite {
       .select(col("id").as("doc_id"), xxhash64(col("id") % 40).as("w"))
       .persist()
     val denseExpr = Dedup.slack1KeyExpr(dense, nBlocks = 8, maxHam = 7)
-    assert(denseExpr.contains("transform(sequence(0, 7)"),
+    assert(denseExpr == Dedup.singleKeyExpr(8),
       "dup-dense words must choose single 8-bit block keys")
     // losslessness does not depend on the choice: blocked == brute
     // on a mixed fixture small enough to brute-force (9-block layout
