@@ -105,13 +105,12 @@ object GraftFunctions {
       org.apache.spark.sql.functions.typedLit(centroids),
       org.apache.spark.sql.functions.lit(a))
 
-  /** Column-level accessor (requires register() on the session first). */
-  def graftDot(a: Column, b: Column): Column = {
-    // route through the parser-facing registry to stay Column-API
-    // version-independent (Spark 4 Columns wrap ColumnNodes, not
-    // catalyst Expressions)
-    val an = a.toString
-    val bn = b.toString
-    expr(s"graft_dot($an, $bn)")
-  }
+  /** Column-level accessor (requires register() on the session first).
+    * call_function like every sibling accessor — the old
+    * Column.toString + expr() round trip broke on any argument whose
+    * rendering doesn't re-parse (array literals, nested expressions),
+    * which is why callers used to fall back to the interpreted
+    * aggregate(zip_with(...)) form for literal hyperplanes/centroids. */
+  def graftDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
 }

@@ -51,10 +51,15 @@ object CorpusOps {
   private def repetitionCounts(t: Tables): DataFrame = {
     import t.spark.implicits._
     val docs = t.widen(t.documents)
+    // Row-local: n_grams/n_distinct are per-doc functions of the gram
+    // array (gramExpr is never empty — greatest(..., 1)), so
+    // size/array_distinct in the narrow map replace an explode plus a
+    // two-phase countDistinct aggregation — the gram stream never
+    // shuffles at all (r21; was ~1M exploded rows at sf0.1).
     val grams = docs
-      .select($"doc_id", explode(expr(gramExpr(2))).as("gram"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"), countDistinct($"gram").as("n_distinct"))
+      .select($"doc_id", expr(gramExpr(2)).as("garr"))
+      .select($"doc_id", size($"garr").cast(LongType).as("n_grams"),
+        size(array_distinct($"garr")).cast(LongType).as("n_distinct"))
     val words = docs
       .select($"doc_id", explode(split($"text", " ")).as("word"))
       .filter($"word" =!= "")
@@ -180,8 +185,16 @@ object CorpusOps {
   private def lineDf(t: Tables): DataFrame =
     lineDfCache.getOrElseUpdate((t.spark, t.dir), {
       cacheBuilds.incrementAndGet()
-      docLines(t).groupBy(col("line"))
-        .agg(countDistinct(col("doc_id")).as("line_df"))
+      // distinct (doc, line) row-locally (array_distinct before the
+      // explode) so the df agg is a plain count — countDistinct over
+      // the raw line stream planned an Expand + a second aggregation
+      // exchange for dedup the narrow map does for free (the same
+      // array_distinct-before-explode move as the contamination build)
+      import t.spark.implicits._
+      t.widen(t.documents)
+        .select($"doc_id", explode(array_distinct(expr(lineExpr))).as("line"))
+        .groupBy(col("line"))
+        .agg(count(lit(1)).as("line_df"))
         .persist()
     })
 
@@ -475,9 +488,15 @@ object CorpusOps {
   private[graft] def contaminationUncached(t: Tables): DataFrame = {
     import t.spark.implicits._
     val docs = t.widen(t.documents)
+    // distinct WITHIN the row (array_distinct before the explode), not
+    // a global .distinct() after it: (doc_id, gram) distinctness only
+    // needs per-doc dedup since doc_id is in the key, and the global
+    // form paid a full-corpus exchange of every exploded gram (~5M
+    // rows at sf0.1, the r21 stage audit) for rows the narrow map
+    // already dedups — the gramPostings lesson applied here.
     def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), explode(expr(gramExpr(4))).as("gram"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(expr(gramExpr(4)))).as("gram"))
     val bench = grams(docs.filter($"doc_id" % 97 === 0)).select($"gram").distinct()
     grams(docs.filter($"doc_id" % 97 =!= 0))
       .join(bench, "gram")

@@ -1373,7 +1373,8 @@ object Similarity {
        |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
   }
 
-  def annLsh(t: Tables, tables: Int = 12, planes: Int = 4): DataFrame = {
+  def annLsh(t: Tables, tables: Int = 12, planes: Int = 4,
+      checkpoint: Boolean = true): DataFrame = {
     val TABLES = tables
     val PLANES = planes
     val e = withNorm(t)
@@ -1388,11 +1389,17 @@ object Similarity {
         h32 / 4294967296.0 - 0.5
       }
     }
-    // bucket id for table tb: 6 sign bits of hyperplane projections
+    // bucket id for table tb: 6 sign bits of hyperplane projections.
+    // graft_dot, not aggregate(zip_with(...)): the HOF pair is
+    // CodegenFallback and this expression runs TABLES×PLANES times per
+    // row inside the bucket explode — the r21 stage audit put ~16 s
+    // CPU on that one narrow map. DotProduct's fold is the same
+    // left-to-right double accumulation, so the projections (and the
+    // hash oracle that leans on DuckDB's list_dot_product order) are
+    // bitwise unchanged.
     def bucket(tb: Int): Column = (0 until PLANES).map { j =>
       val w = typedLit(hyperplane(tb * PLANES + j))
-      val proj = aggregate(zip_with(col("v"), w, (x, wi) => x * wi),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(col("v"), w)
       when(proj >= 0, lit(1 << j)).otherwise(0)
     }.reduce(_ + _)
 
@@ -1424,9 +1431,11 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("cand_id"), col("rnk"), col("cos"))
-      .localCheckpoint()
+    // checkpoint=false is for PLAN INSPECTION only (tools.PlanDump)
+    if (!checkpoint) { buckets.unpersist(); return out }
+    val cp = out.localCheckpoint()
     buckets.unpersist()
-    out
+    cp
   }
 
   /** Per-vector symmetric int8 scalar quantization of the NORMALIZED
@@ -2046,6 +2055,27 @@ object Similarity {
     cents
   }
 
+  /** Runs the m independent per-subspace [[lloyd]] fits on m driver
+    * threads instead of serially — each fit is a pure function of its
+    * own subvector slice, so the result array is bit-identical to the
+    * sequential form regardless of scheduling (guide §2.6: overlap
+    * independent work; the m=8 fits are ~2.7 GFLOPs total and the
+    * driver is otherwise idle while executors wait). */
+  private def fitSubspaces(rows: Array[Array[Double]], m: Int,
+      ks: Int): Array[Array[Array[Double]]] = {
+    val ds = rows.head.length / m
+    val out = new Array[Array[Array[Double]]](m)
+    val threads = (0 until m).map { s =>
+      val th = new Thread(() => {
+        out(s) = lloyd(rows.map(r =>
+          java.util.Arrays.copyOfRange(r, s * ds, (s + 1) * ds)), ks)
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    threads.foreach(_.join())
+    out
+  }
+
   /** Rows per centroid in the PQ fit budget: smaller than the coarse
     * quantizer's 256 — PQ trains m codebooks on d/m-dim points, where
     * ~64 points per centroid is ample (FAISS's floor is 39). At
@@ -2068,11 +2098,7 @@ object Similarity {
         .limit(budget)
         .select(transform(col("v"), x => x / col("nrm")).as("u"))
         .collect().map(_.getAs[scala.collection.Seq[Double]]("u").toArray)
-      val d = rows.head.length
-      val ds = d / m
-      Array.tabulate(m) { s =>
-        lloyd(rows.map(r => java.util.Arrays.copyOfRange(r, s * ds, (s + 1) * ds)), ks)
-      }
+      fitSubspaces(rows, m, ks)
     })
 
   /** Product-quantization ADC search (PQ8: m=8 subspaces × 8-bit
@@ -2234,9 +2260,7 @@ object Similarity {
         var k = 0; while (k < d) { r(k) = u(k) - cents(best)(k); k += 1 }
         r
       }
-      Array.tabulate(m) { s =>
-        lloyd(residuals.map(r => java.util.Arrays.copyOfRange(r, s * ds, (s + 1) * ds)), ks)
-      }
+      fitSubspaces(residuals, m, ks)
     })
 
   /** IVF cell pruning composed with residual product quantization —

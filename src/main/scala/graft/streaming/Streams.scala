@@ -398,12 +398,10 @@ object Streams {
     * path's (cdist asc, cell asc) order, as ONE row-local array
     * expression over the probe's raw vector column `v`. ‖c‖² is
     * precomputed driver-side with the same left-to-right fold as
-    * graft_dot; p·c uses the HOF form, which DotProduct's scaladoc
-    * pins as bitwise identical to graft_dot — so cdist here equals
-    * Similarity.annIvfInt8's `dot(centroid,centroid) −
-    * 2·dot(vp,centroid)` bit for bit. (graft_dot itself can't take an
-    * array literal: its Column accessor round-trips through the
-    * parser.)
+    * graft_dot; p·c uses graft_dot itself (r21 — the accessor takes
+    * array literals now that it routes through call_function), so
+    * cdist here equals Similarity.annIvfInt8's
+    * `dot(centroid,centroid) − 2·dot(vp,centroid)` bit for bit.
     */
   private[graft] def rankedCellArray(centroids: Seq[(Int, Seq[Double])],
                                      v0: Column): Column = {
@@ -414,10 +412,13 @@ object Streams {
     val dim = centroids.head._2.length
     val v = when(size(v0) === dim, v0).otherwise(raise_error(concat(
       lit(s"probe vector dimension != $dim: got "), size(v0).cast("string"))))
+    // graft_dot (codegen'd, same left-fold) instead of the interpreted
+    // aggregate(zip_with(...)) — this expression runs nlist times per
+    // probe row; the accessor takes array literals since the r21
+    // call_function fix. Bitwise unchanged per DotProduct's scaladoc.
     array_sort(array(centroids.map { case (cellId, cv) =>
       val cnorm2 = { var s = 0.0; cv.foreach(x => s += x * x); s }
-      val pdotc = aggregate(zip_with(v, typedLit(cv), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val pdotc = graft.functions.GraftFunctions.graftDot(v, typedLit(cv))
       struct((lit(cnorm2) - lit(2.0) * pdotc).as("cdist"),
         lit(cellId).as("cell"))
     }: _*))

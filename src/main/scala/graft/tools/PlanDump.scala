@@ -30,7 +30,9 @@ object PlanDump {
       "dedup_image_ahash" -> (t => graft.mm.Multimodal.imageNearDup(t, checkpoint = false)),
       "dedup_audio_fp" -> (t => graft.mm.Multimodal.audioNearDup(t, checkpoint = false)),
       "dedup_edit_distance" -> (t => graft.dedup.Dedup.editDistance(t, checkpoint = false)),
-      "dedup_containment" -> (t => graft.dedup.Dedup.containment(t, checkpoint = false)))
+      "dedup_containment" -> (t => graft.dedup.Dedup.containment(t, checkpoint = false)),
+      "ann_lsh" -> (t => graft.sim.Similarity.annLsh(t, checkpoint = false)),
+      "contamination" -> (t => graft.pipeline.CorpusOps.contaminationUncached(t)))
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
       "usage: PlanDump <sfDir> <outDir> <suffix> <query...>")

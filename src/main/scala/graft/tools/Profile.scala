@@ -170,7 +170,13 @@ object Profile {
         val si = sc.stageInfo
         val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
         val cpu = si.taskMetrics.executorRunTime / 1e3
-        println(f"STAGE [$label] id=${si.stageId} tasks=${si.numTasks} wall=$wall%7.2f s cpu=$cpu%8.2f s  ${si.name.takeWhile(_ != '\n').take(90)}")
+        // first graft.* frame in the stage's callsite: pinpoints which
+        // operator the stage belongs to (the short name is almost
+        // always an AQE future with zero signal)
+        val frame = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("Profile"))
+          .map(_.trim.stripPrefix("at ").take(80)).getOrElse("")
+        println(f"STAGE [$label] id=${si.stageId} tasks=${si.numTasks} wall=$wall%7.2f s cpu=$cpu%8.2f s  ${si.name.takeWhile(_ != '\n').take(60)}  $frame")
       }
     })
     def time(name: String)(f: => Long): Unit = {
