@@ -136,6 +136,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r21: the default 100-entry codegen class cache evicted every
+      // warmup compilation before the timed sweep ran (2,164 janino
+      // recompiles per sweep, ~16-19 s single-threaded — see
+      // tools.CodegenAudit + DriverSession.CodegenCacheEntries). This
+      // makes the warmup do what its comment below always claimed.
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.tools.DriverSession.CodegenCacheEntries)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -9,6 +9,20 @@ import org.apache.spark.sql.SparkSession
   */
 object DriverSession {
 
+  /** Whole-stage-codegen class-cache size for the full-suite mains.
+    * The Spark default (100 entries) cannot hold a 156-query suite's
+    * generated classes: the r21 codegen audit (tools.CodegenAudit)
+    * measured 2,164 janino recompilations PER SWEEP — ~16-19 s of
+    * single-threaded compile time, much of it on stage-materialization
+    * critical paths — and even the warmup sweep's classes were evicted
+    * before the timed runs (defeating Bench's documented
+    * warm-the-codegen design). At 10,000 entries the timed sweeps
+    * compile ~20 units (residual AQE shape variance) and the sweep
+    * wall fell ~100-110 s → ~71 s. This caches COMPILED CLASSES keyed
+    * on generated source — never data or results — and a long-lived
+    * production driver wants the same setting for the same reason. */
+  val CodegenCacheEntries = "10000"
+
   /** local[cpus] session with the oracle-critical settings: UTC zone
     * (NTZ casts), nanosAsLong (legacy events encoding), shuffle
     * partitions = cpus. */
@@ -18,6 +32,7 @@ object DriverSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", CodegenCacheEntries)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
