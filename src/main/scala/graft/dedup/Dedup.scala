@@ -596,9 +596,20 @@ object Dedup {
     }
     var prev = (-1L, "")
     var cur = edgeChecksum(edges)
+    // width from the measured edge count (shrinks monotonically over
+    // rounds, so the initial count is an upper bound); coalesce is
+    // narrow, so the 1-partition bench-scale case pays no shuffle
+    val parts = math.max(1L,
+      (cur._1 + CcRowsPerPartition - 1) / CcRowsPerPartition).toInt
+    if (parts == 1) edges = edges.coalesce(1)
     var rounds = 0
     while (cur != prev && rounds < 30) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      // LAZY checkpoint: the fixpoint checksum that follows computes
+      // every partition anyway, so it doubles as the materializing
+      // action — one job per round instead of checkpoint + checksum
+      // (r21; the loop's bench wall is sequential job latency, the
+      // data per round is tiny). Lineage is truncated identically.
+      edges = ccRound(edges, parts).localCheckpoint(eager = false)
       prev = cur
       cur = edgeChecksum(edges)
       rounds += 1
@@ -612,27 +623,43 @@ object Dedup {
         coalesce(col("root"), col("doc")).as("cluster_id"))
   }
 
-  /** Large-star: center on each node u, connect every strictly larger
-    * neighbor to m(u) = min of the closed neighborhood. Preserves
-    * connectivity (every node keeps a path through its smaller
-    * neighbors' centers) and halves tall chains.
+  /** One alternating large-star/small-star round (Kiveris et al.) with
+    * THREE exchanges instead of the textbook two-function form's four
+    * (r21 — the CC loop's wall at bench scale is almost pure
+    * sequential-stage latency, so one exchange per round is ~25% of
+    * the loop):
+    *   - large-star: center on each node u, connect every strictly
+    *     larger neighbor to m(u) = min of the closed neighborhood
+    *     (preserves connectivity, halves tall chains);
+    *   - its output repartitions by the NEW center u — hash(u)
+    *     satisfies the (u, v) dedup's clustered distribution AND
+    *     small-star's groupBy(u)/join(u), so all three run off that
+    *     single exchange (the old form paid a (u, v) distinct exchange
+    *     plus a fresh u exchange for small-star);
+    *   - small-star: connect all smaller neighbors and u itself to
+    *     m(u) = min of the smaller neighborhood.
+    * The per-round edge SET is identical to the two-function form (the
+    * dedup is relocated, not removed), so the checksum fixpoint and
+    * the final labels are bit-identical.
     */
-  private def largeStar(edges: DataFrame): DataFrame = {
-    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+  private def ccRound(edges: DataFrame, parts: Int): DataFrame = {
+    // sym via explode, not union: narrow, and it PRESERVES the input's
+    // partition count — with parts == 1 the entire round (both
+    // min-aggs, both joins, both dedups) plans with ZERO exchanges
+    // because SinglePartition satisfies every clustered distribution.
+    val sym = edges.select(explode(array(
+      struct(col("u"), col("v")),
+      struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
     val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
-    sym.filter(col("v") > col("u"))
+    val large0 = sym.filter(col("v") > col("u"))
       .join(m, "u")
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
-  }
-
-  /** Small-star: center on each node u, connect all smaller neighbors
-    * and u itself to m(u) = min of the smaller neighborhood.
-    */
-  private def smallStar(edges: DataFrame): DataFrame = {
-    val m = edges.groupBy("u").agg(min(col("v")).as("m"))
-    edges.join(m, "u")
+    val large = (if (parts > 1) large0.repartition(parts, col("u")) else large0)
+      .dropDuplicates("u", "v")
+    val m2 = large.groupBy("u").agg(min(col("v")).as("m"))
+    large.join(m2, "u")
       .select(explode(array(
         struct(col("v").as("a"), col("m").as("b")),
         struct(col("u").as("a"), col("m").as("b")))).as("e"))
@@ -640,6 +667,13 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
   }
+
+  /** Edge rows per CC-loop partition (~64 MB of 16-byte edge rows):
+    * the loop's width derives from the MEASURED edge count — one
+    * partition (zero-exchange rounds) for bench-scale graphs, ~64 MB
+    * partitions at any corpus size. Scale-adaptive by construction,
+    * never a pinned local constant. */
+  private[graft] val CcRowsPerPartition = 4L * 1000 * 1000
 
   // hash sum accumulates in DECIMAL(38,0): a Long sum of 64-bit hashes
   // overflows under ANSI arithmetic
@@ -1339,6 +1373,15 @@ object Dedup {
     // partner <= 12 (ed >= |len diff|). Banded equi-join on the short
     // side's length: the partner explodes to the <= 7 bands within ±d,
     // so work is Σ per-band products, never a global cross product.
+    // Existence probe before building the residue legs: the union's
+    // short-side pipeline is ~5 AQE stages (two exchanges, a join, the
+    // union legs), and on any quality-gated corpus with no sub-7-char
+    // keys they all materialize EMPTY — measured ~0.8-3 s of pure
+    // stage-dispatch wall at sf0.1 (r21 stage audit: five 32-task
+    // zero-CPU stages). One limit-1 probe over the (persisted) keys
+    // table decides it; when short keys exist the plan is unchanged.
+    // Same driver-side data-dependent-plan class as slack1KeyExpr.
+    if (keys.filter(col("l") < EdBlockMinLen).isEmpty) return cand.distinct()
     val sh = keys.filter(col("l") < EdBlockMinLen)
       .select(col("doc_id").as("doc_a"), col("l").as("band"))
     val nearSh = keys.filter(col("l") < EdBlockMinLen + EdMaxDist)
@@ -1409,18 +1452,25 @@ object Dedup {
     // fails when min < 7, partner <= 12). Length-banded equi-joins —
     // the longer side explodes to the <= 7 bands within ±d — so the
     // work is per-band, never a batch×corpus product.
-    val shorts = batch.filter($"l" < EdBlockMinLen)
-      .select($"doc_id", $"l".as("band"))
-      .join(corpus.filter($"l" < EdBlockMinLen + EdMaxDist)
-        .select($"doc_id".as("match_id"), explode(expr(edBandExpr)).as("band")),
-        "band")
-      .select($"doc_id", $"match_id")
-      .union(batch.filter($"l" < EdBlockMinLen + EdMaxDist)
-        .select($"doc_id", explode(expr(edBandExpr)).as("band"))
-        .join(corpus.filter($"l" < EdBlockMinLen)
-          .select($"doc_id".as("match_id"), $"l".as("band")), "band")
-        .select($"doc_id", $"match_id"))
-    val out = cand.union(shorts).distinct()
+    // Same empty-residue existence probe as edCandidatePairs: both
+    // orientations need a sub-7-char key on SOME side, so one limit-1
+    // probe over the persisted keys skips ~8 empty AQE stages on a
+    // quality-gated corpus; plan unchanged when short keys exist.
+    val withShorts = if (keys.filter($"l" < EdBlockMinLen).isEmpty) cand else {
+      val shorts = batch.filter($"l" < EdBlockMinLen)
+        .select($"doc_id", $"l".as("band"))
+        .join(corpus.filter($"l" < EdBlockMinLen + EdMaxDist)
+          .select($"doc_id".as("match_id"), explode(expr(edBandExpr)).as("band")),
+          "band")
+        .select($"doc_id", $"match_id")
+        .union(batch.filter($"l" < EdBlockMinLen + EdMaxDist)
+          .select($"doc_id", explode(expr(edBandExpr)).as("band"))
+          .join(corpus.filter($"l" < EdBlockMinLen)
+            .select($"doc_id".as("match_id"), $"l".as("band")), "band")
+          .select($"doc_id", $"match_id"))
+      cand.union(shorts)
+    }
+    val out = withShorts.distinct()
       .join(batch.select($"doc_id", $"k".as("kb"), $"l".as("lb")), "doc_id")
       .join(corpus.select($"doc_id".as("match_id"), $"k".as("kc"), $"l".as("lc")),
         "match_id")

@@ -737,7 +737,17 @@ object Streams {
         .join(corpusKeys0.filter(col("l") < Dedup.EdBlockMinLen)
           .select(col("doc_id").as("match_id"), col("l").as("band")), "band")
         .select(col("doc_id"), col("ts"), col("kb"), col("lb"), col("match_id")))
-    val verified = longCand.union(shortCand)
+    // Static-side existence probe (the stream side cannot be probed,
+    // but doesn't need to be): a short pair needs min(lb, lc) < 7 and
+    // partner <= 12, so the CORPUS side of every short pair is < 13
+    // chars — if the static index has no such key, both residue legs
+    // are empty and their ~6 AQE stages are pure dispatch waste
+    // (r21; the batch edCandidatePairs probe's streaming analogue).
+    val candAll =
+      if (corpusKeys0.filter(col("l") < Dedup.EdBlockMinLen + Dedup.EdMaxDist)
+        .isEmpty) longCand
+      else longCand.union(shortCand)
+    val verified = candAll
       .join(corpusKeys, "match_id")   // stream-static
       .filter(abs(col("lb") - col("lc")) <= Dedup.EdMaxDist)
       .withColumn("dist", levenshtein(col("kb"), col("kc"), Dedup.EdMaxDist))

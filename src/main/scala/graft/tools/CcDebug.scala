@@ -27,11 +27,20 @@ object CcDebug {
     }
     // warm both paths once
     graft.dedup.Dedup.connectedComponents(pairs).count()
-    for (aqe <- Seq("true", "false"); _ <- 1 to 2) {
-      spark.conf.set("spark.sql.adaptive.enabled", aqe)
-      time(s"aqe=$aqe")(graft.dedup.Dedup.connectedComponents(pairs).count())
-    }
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    time("aqe=true")(graft.dedup.Dedup.connectedComponents(pairs).count())
+    // stage trace of one more run
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        val cpu = si.taskMetrics.executorRunTime / 1e3
+        println(f"CCSTAGE id=${si.stageId} tasks=${si.numTasks} wall=$wall%6.2f cpu=$cpu%6.2f  ${si.name.takeWhile(_ != '\n').take(60)}")
+      }
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        println(s"CCJOB ${j.jobId} stages=${j.stageInfos.size} t=${System.nanoTime() / 1000000 % 1000000}")
+    })
+    time("traced")(graft.dedup.Dedup.connectedComponents(pairs).count())
     spark.stop()
   }
 }

@@ -14,6 +14,8 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.tools.DriverSession.CodegenCacheEntries)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -176,7 +178,12 @@ object Profile {
         val frame = si.details.linesIterator
           .find(l => l.contains("graft.") && !l.contains("Profile"))
           .map(_.trim.stripPrefix("at ").take(80)).getOrElse("")
-        println(f"STAGE [$label] id=${si.stageId} tasks=${si.numTasks} wall=$wall%7.2f s cpu=$cpu%8.2f s  ${si.name.takeWhile(_ != '\n').take(60)}  $frame")
+        val tm = si.taskMetrics
+        val gc = tm.jvmGCTime / 1e3
+        val fetch = tm.shuffleReadMetrics.fetchWaitTime / 1e3
+        val deser = tm.executorDeserializeTime / 1e3
+        val outRows = tm.shuffleWriteMetrics.recordsWritten
+        println(f"STAGE [$label] id=${si.stageId} tasks=${si.numTasks} wall=$wall%7.2f s cpu=$cpu%8.2f s gc=$gc%6.2f fetch=$fetch%6.2f deser=$deser%6.2f outRec=$outRows%-9d ${si.name.takeWhile(_ != '\n').take(40)}  $frame")
       }
     })
     def time(name: String)(f: => Long): Unit = {
