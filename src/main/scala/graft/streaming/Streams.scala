@@ -111,9 +111,19 @@ object Streams {
   def curatedStream(docs: DataFrame, contamIds: DataFrame,
                     horizon: String = "1 hour"): DataFrame = {
     val g2 = expr(graft.pipeline.CorpusOps.gramExpr(2))
-    dedupStream(docs, horizon)
+    // Repetition gate BEFORE the dedup (r21): the gate is a pure
+    // function of text and dedup groups rows by md5(text), so every
+    // group member gates identically — gate-then-dedup equals
+    // dedup-then-gate row for row, and gating first shrinks the
+    // dedup's full-row exchange (batch) / keyed state (stream) to the
+    // gate's survivors. The decontamination join must STAY after the
+    // dedup: it filters by doc_id, which varies within a group, so
+    // hoisting it could change which representative survives.
+    val gated = docs
       .withColumn("g2", g2)
       .filter((size(col("g2")) - size(array_distinct(col("g2")))) * 5 < size(col("g2")))
+      .drop("g2")
+    dedupStream(gated, horizon)
       .join(contamIds.select(col("doc_id").as("c_id")),
         col("doc_id") === col("c_id"), "left_outer")
       .filter(col("c_id").isNull)
