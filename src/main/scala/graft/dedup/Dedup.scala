@@ -1313,20 +1313,41 @@ object Dedup {
         col("e.bl").as("bl"), col("e.bj").as("bj"), col("e.bc").as("bc"))
 
   /** PROBE side: for every partner length within ±d and every block,
-    * this key's windows at the block's start ± d (same block length) —
-    * the edit-free block of any qualifying partner is guaranteed here.
+    * this key's MULTI-MATCH-AWARE windows around the block's start
+    * (same block length) — the edit-free block of any qualifying
+    * partner is guaranteed here. The window for block j at partner
+    * length pl is the shift interval [-(j-1), j-1] ∩ [Δ-(7-j), Δ+(7-j)]
+    * around the block start (Δ = l - pl), NOT the r21 ±d band: PassJoin
+    * Lemma 3 (Li, Deng & Feng, PVLDB 2011). Losslessness: walk an
+    * optimal ≤ d-edit alignment and let g(j) = (edits strictly before
+    * block j) − (j−1); g(1) = 0, each edit-free block steps g by −1,
+    * blocks with e ≥ 1 edits step by e−1 ≥ 0, and g ends at
+    * e − (d+1) < e − d, so g crosses 0 → −1 at some edit-free block j*
+    * with exactly j*−1 prefix edits and e − j* + 1 ≤ d+1−j* suffix
+    * edits; the shift is bounded by the prefix edits and Δ − shift by
+    * the suffix edits, so block j*'s aligned content starts inside the
+    * intersection. Window count per partner length drops from 7·13 to
+    * Σ_j min(2j−1, 2(7−j)+1) = 25 — ~3.6× fewer probe rows through the
+    * (len, block, content) join (DedupSpec pins the corner layouts:
+    * all-front / all-back / split edit runs force the shift to the
+    * interval boundary). Both interval ends stay within the [1,
+    * l−blocklen+1] clamp for every pl in [max(l−6,7), l+6], so the
+    * sequence() never descends (proof in the r22 notes; the clamps
+    * keep it true at the short end).
     * No distinct: duplicate (len, blk, content) windows within one key
     * are rare (repeated 6-9-char substrings) and the pair distinct
-    * downstream absorbs them — cheaper than a full 1183-rows-per-key
-    * shuffle just to dedupe. */
+    * downstream absorbs them — cheaper than a per-key shuffle just to
+    * dedupe. */
   /** The probe-window generator as a raw expression over columns
     * `k`/`l`, so callers (the streaming twin) can carry extra columns
     * through the explode instead of re-joining them on afterwards. */
   private[graft] val edProbeExpr: String =
     "flatten(flatten(transform(sequence(greatest(l - 6, 7), least(l + 6, 64)), pl -> " +
       "transform(sequence(1, 7), j -> " +
-      "transform(sequence(greatest(((j-1)*pl) div 7 + 1 - 6, 1), " +
-      "least(((j-1)*pl) div 7 + 1 + 6, l - ((j*pl) div 7 - ((j-1)*pl) div 7) + 1)), " +
+      "transform(sequence(" +
+      "greatest(((j-1)*pl) div 7 + 1 - (j - 1), ((j-1)*pl) div 7 + 1 + l - pl - (7 - j), 1), " +
+      "least(((j-1)*pl) div 7 + 1 + (j - 1), ((j-1)*pl) div 7 + 1 + l - pl + (7 - j), " +
+      "l - ((j*pl) div 7 - ((j-1)*pl) div 7) + 1)), " +
       "p -> named_struct('bl', pl, 'bj', j, " +
       "'bc', substring(k, p, (j*pl) div 7 - ((j-1)*pl) div 7)))))))"
 

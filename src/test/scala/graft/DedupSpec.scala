@@ -474,6 +474,58 @@ class DedupSpec extends SparkSuite {
     assert(naive.exists { case (a, _, _) => a >= 41L }, "fixture must exercise the residue")
   }
 
+  test("edit distance: multi-match adversarial edit layouts match brute force") {
+    import spark.implicits._
+    // Pins the multi-match-aware probe-window bounds (PassJoin Lemma:
+    // for segment j the match shift is within [-(j-1), j-1] ∩
+    // [Δ-(d+1-j), Δ+(d+1-j)]) at their corners: all d edits
+    // concentrated before / after a single edit-free segment forces
+    // the shift to the interval boundary, so any off-by-one in the
+    // window arithmetic loses exactly these pairs. Brute force is the
+    // truth (the DuckDB oracle IS this scan).
+    val b64 = "abcdefgh ijklmnop qrstuvwx yz012345 6789ABCD EFGHIJKL MNOPQRS"
+    val base64 = (b64 + "XYZ").take(64)
+    val base58 = base64.take(58)
+    val docs = Seq(
+      1L -> base58,                                   // 58-char anchor
+      2L -> base58.drop(6),                           // 6 dels at front: shift -6, only seg 7 window
+      3L -> base58.dropRight(6),                      // 6 dels at end: shift 0, only seg 1 window
+      4L -> ("!!!!!!" + base58),                      // 6 inserts at front: shift +6 (64 chars)
+      5L -> base58.drop(3).dropRight(3),              // 3 front + 3 end dels: seg-4 corner
+      6L -> ("???" + base58.dropRight(3)),            // 3 front inserts + 3 end dels (Δ=0)
+      7L -> base58.patch(10, "@@@@@@", 6),            // 6 substitutions in a run (shift 0)
+      8L -> base64,                                   // 64-char anchor
+      9L -> base64.drop(6),                           // front dels off the 64-char key
+      10L -> base64.patch(0, "%%%", 3).dropRight(3),  // subs at front + dels at end
+      11L -> "totally unrelated text with none of those characters at all zz"
+    )
+    val ta = tempTables { dir =>
+      docs.map { case (id, s) => (id, s, "en", "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val keys = ta.documents
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("k"))
+    val naive = keys.toDF("doc_a", "ka")
+      .crossJoin(keys.toDF("doc_b", "kb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ka"), col("kb")))
+      .filter(col("dist") <= 6)
+      .select("doc_a", "doc_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = Dedup.editDistance(ta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+    // every corner layout must actually be a true pair, or the pin is vacuous
+    for (id <- Seq(2L, 3L, 4L, 5L, 6L, 7L))
+      assert(naive.exists { case (a, bb, _) => a == 1L && bb == id },
+        s"fixture pair (1, $id) fell outside the threshold")
+    for (id <- Seq(9L, 10L))
+      assert(naive.exists { case (a, bb, _) => a == 8L && bb == id },
+        s"fixture pair (8, $id) fell outside the threshold")
+    assert(!naive.exists { case (a, bb, _) => a == 11L || bb == 11L })
+  }
+
   test("containment: verbatim-quoted small doc scores 1.0 against its host") {
     import spark.implicits._
     val small = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
