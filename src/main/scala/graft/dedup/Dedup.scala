@@ -580,7 +580,8 @@ object Dedup {
     * pair going stationary; `localCheckpoint` per round truncates the
     * doubling lineage (see CLAUDE.md gotcha).
     */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame,
+      driverMaxEdges: Long = CcDriverMaxEdges): DataFrame = {
     val nodes = pairs.select(col("doc_a").as("doc"))
       .union(pairs.select(col("doc_b").as("doc")))
       .distinct()
@@ -591,14 +592,59 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    if (edges.isEmpty) {
+    var prev = (-1L, "")
+    // one (count, checksum) job doubles as the old isEmpty probe AND
+    // the driver-path size gate AND the loop's fixpoint seed
+    var cur = edgeChecksum(edges)
+    if (cur._1 == 0L) {
       return nodes.select(col("doc").as("doc_id"), col("doc").as("cluster_id"))
     }
-    var prev = (-1L, "")
-    var cur = edgeChecksum(edges)
+    // Driver union-find fast path (r22): the fixpoint loop's wall at
+    // bench scale is almost pure sequential job dispatch (~8 tiny
+    // 1-task stages per round x ~6-12 rounds on a graph of a few
+    // thousand edges). When the MEASURED edge count fits the driver
+    // comfortably (<= ~1M canonical edges, well under the loop's own
+    // single-partition regime), collect the edge list once, run
+    // min-label union-find (path compression + link-larger-root-
+    // under-smaller, so each root IS its component min), and hand the
+    // label table back as one broadcastable join input. Output is
+    // bit-identical to the fixpoint (both label every node with its
+    // component minimum); the distributed loop below is UNCHANGED for
+    // every graph past the bound, so nothing about the 100 TB path
+    // moved — this is the same measured-size-dependent plan class as
+    // the edit residue probes (DedupSpec pins driver == loop ==
+    // min-label on the same graphs). Long ids only (every caller's
+    // doc_id/vec_id schema); anything else falls through to the loop.
+    if (cur._1 <= driverMaxEdges &&
+        edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)) {
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      val arr = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val p = parent(c); parent(c) = r; c = p }
+        r
+      }
+      arr.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      val seen = scala.collection.mutable.LongMap.empty[Unit]
+      arr.foreach { case (a, b) => seen(a) = (); seen(b) = () }
+      val labels = seen.keysIterator.map(d => (d, find(d))).toSeq
+      val roots = labels.toDF("doc", "root")
+      return nodes.join(roots, Seq("doc"), "left")
+        .select(col("doc").as("doc_id"),
+          coalesce(col("root"), col("doc")).as("cluster_id"))
+    }
     // width from the measured edge count (shrinks monotonically over
     // rounds, so the initial count is an upper bound); coalesce is
-    // narrow, so the 1-partition bench-scale case pays no shuffle
+    // narrow, so the 1-partition case pays no shuffle (reachable via
+    // the spec's driverMaxEdges = 0 override and non-long id schemas)
     val parts = math.max(1L,
       (cur._1 + CcRowsPerPartition - 1) / CcRowsPerPartition).toInt
     if (parts == 1) edges = edges.coalesce(1)
@@ -674,6 +720,14 @@ object Dedup {
     * partitions at any corpus size. Scale-adaptive by construction,
     * never a pinned local constant. */
   private[graft] val CcRowsPerPartition = 4L * 1000 * 1000
+
+  /** Canonical-edge bound for the CC driver union-find fast path
+    * (~1M (Long, Long) tuples ≈ tens of MB of driver heap, transient).
+    * Deliberately BELOW the loop's single-partition regime: any graph
+    * the driver path takes was already being processed one task at a
+    * time — the fast path removes the per-round job dispatch, not
+    * parallelism. */
+  private[graft] val CcDriverMaxEdges = 1L << 20
 
   // hash sum accumulates in DECIMAL(38,0): a Long sum of 64-bit hashes
   // overflows under ANSI arithmetic

@@ -295,6 +295,12 @@ class DedupSpec extends SparkSuite {
     val ml = Dedup.ccMinLabel(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(alt == ml)
+    // the default path above is the driver union-find (the graph is
+    // tiny); driverMaxEdges = 0 forces the distributed fixpoint loop —
+    // the two must be bit-identical on the same graph
+    val loop = Dedup.connectedComponents(pairs, driverMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop == alt)
   }
 
   test("connected components: a 200-deep chain collapses to one root in O(log) rounds") {
@@ -303,10 +309,15 @@ class DedupSpec extends SparkSuite {
     // finish inside its 30-round cap and label everything 0
     val chain = spark.range(0, 200)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val comp = Dedup.connectedComponents(chain).collect()
+    // driverMaxEdges = 0 forces the fixpoint loop — the 30-round cap
+    // claim is about the LOOP, so don't let the driver path absorb it
+    val comp = Dedup.connectedComponents(chain, driverMaxEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(comp.length == 201)
     assert(comp.forall(_._2 == 0L))
+    val drv = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(drv.sorted.toSeq == comp.sorted.toSeq)
   }
 
   test("kept corpus: one survivor per distinct text") {
