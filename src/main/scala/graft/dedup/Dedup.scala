@@ -306,20 +306,20 @@ object Dedup {
   /** Narrow release for the shared word-5-gram postings memo
     * ([[gramPostings]]). */
   def clearGramCache(): Unit = {
-    gramCache.values.foreach { case (g, d) => g.unpersist(); d.unpersist() }
+    gramCache.values.foreach { case (g, a) => g.unpersist(); a.unpersist() }
     gramCache.clear()
   }
 
-  // One (postings, df) pair per (session, dir): ngramJaccard and
-  // containment built BYTE-IDENTICAL gram lineages independently —
+  // One (postings, sorted-array) pair per (session, dir): ngramJaccard
+  // and containment built BYTE-IDENTICAL gram lineages independently —
   // the same widened scan → array_distinct(gramExpr(5)) explode with
   // the doc's gram-set size carried on every row → doc_id-keyed
-  // exchange → persist, plus the same global document-frequency
-  // aggregation over it (the r21 stage audit measured ~1 s of
-  // duplicated build per sweep). Same immutable-dir contract and
-  // release discipline as lshCache; the df table is persisted too
-  // (both queries' prefix builds read it, and it is
-  // vocabulary-cardinality-sized — released with the family).
+  // exchange → persist — AND (r22) the same df-join + per-doc
+  // (df, gram) sort: both queries' prefixes are slices of ONE globally
+  // ordered per-doc gram array, and their exact-|A∩B| verification
+  // reads the same arrays, so the whole df+sort pipeline now lives in
+  // the memo instead of running once per query. Same immutable-dir
+  // contract and release discipline as lshCache.
   private val gramCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
 
@@ -328,10 +328,17 @@ object Dedup {
     * + df aggregation instead of reading the shared tables). */
   private[graft] val gramBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** The shared (grams, dfTab) pair: grams = (doc_id, n, gram) with n
+  /** The shared (grams, arrTab) pair: grams = (doc_id, n, gram) with n
     * = |doc's distinct gram set| on every row, hash-partitioned by
-    * doc_id and persisted; dfTab = (gram, df) global document
-    * frequencies. See [[ngramJaccard]]'s scaladoc for why the doc_id
+    * doc_id and persisted (containment's full join side); arrTab =
+    * (doc_id, arr) with arr = the doc's distinct grams sorted by the
+    * global (document frequency asc, gram asc) total order — the
+    * df-ordered prefix of EITHER query is a slice of it, and
+    * size(array_intersect(aa, ab)) over two of them is the exact
+    * |A∩B| both verifications need (arrays are per-doc distinct by
+    * construction). The df table is an internal input of the arr
+    * build: nothing downstream reads it, so it is neither persisted
+    * nor memoized. See [[ngramJaccard]]'s scaladoc for why the doc_id
     * exchange below the persist is load-bearing. */
   private[graft] def gramPostings(t: Tables): (DataFrame, DataFrame) =
     gramCache.getOrElseUpdate((t.spark, t.dir), {
@@ -345,8 +352,20 @@ object Dedup {
         .persist()
       val dfTab = grams.groupBy(col("gram"))
         .agg(count(lit(1)).as("df"))
+      // df via groupBy + join-back, NOT count().over(partitionBy(gram)):
+      // a window has no map-side combine and a ubiquitous gram would
+      // pin its whole posting list in one unsplittable partition. Each
+      // doc's (df, gram) list is ≤ 8191 entries by the position cap,
+      // so array_sort inside the row replaces a WindowExec sort of the
+      // whole gram table.
+      val arrTab = grams
+        .join(dfTab, "gram")
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("df"), col("gram"))).as("lst"))
+        .select(col("doc_id"),
+          expr("transform(array_sort(lst), x -> x.gram)").as("arr"))
         .persist()
-      (grams, dfTab)
+      (grams, arrTab)
     })
 
   /** @param probeOnly decade-instrument restriction (DedupProbeScan):
@@ -1152,49 +1171,29 @@ object Dedup {
     *   None (default, every shipped query) = full family, plan
     *   unchanged. */
   def ngramJaccard(t: Tables,
-      probeOnly: Option[Column] = None): DataFrame = {
+      probeOnly: Option[Column] = None,
+      checkpoint: Boolean = true): DataFrame = {
     import t.spark.implicits._
     // (doc_id, n, gram): grams dedupe WITHIN a doc via array_distinct
     // on the per-doc gram array, carrying n = |gram set| on every row
-    // for free — the old shape re-attached n with a 250M-row
-    // `grams ⋈ sz` join in [[containment]]. The explicit doc_id
+    // for free. The explicit doc_id
     // exchange below the persist is LOAD-BEARING, not a style choice
     // (r19 nd1000 audit): a multi-consumer DAG launches independent
     // stages concurrently, and a persisted-but-narrow gram table makes
     // every cache race/eviction re-run the per-doc text pipeline
     // (measured 2x family wall when the old `.distinct()` exchange was
     // dropped without a replacement barrier) — with the exchange, a
-    // miss re-FETCHES shuffle files instead. Keying it by doc_id makes
-    // the same exchange satisfy the prefix and sz aggregations'
-    // distributions, so they run straight off the cache.
-    // shared (grams, dfTab) memo — containment reads the identical
-    // lineage, so the build runs once per sweep (gramPostings)
-    val (grams, dfTab) = gramPostings(t)
-    val sz = grams.select($"doc_id", $"n")
-      .groupBy($"doc_id").agg(first($"n").as("n"))
-    // df via groupBy + join-back, NOT count().over(partitionBy(gram)):
-    // a window has no map-side combine and a ubiquitous gram would pin
-    // its whole posting list in one unsplittable partition (the same
-    // hot-key shape fixed in text_tfidf). The groupBy partial-aggs each
-    // gram to one row per map partition; the join back is an equi-join
-    // on gram, so AQE skew-splits any residual hot key — or broadcasts
-    // the df table outright while it is small. The per-doc prefix then
-    // comes from ONE doc-keyed groupBy: each doc's (df, gram) list is
-    // ≤ 8191 entries by the position cap, so array_sort + slice inside
-    // the row replaces a WindowExec sort of the whole gram table —
-    // same single shuffle, no sort machinery. Prefix length
-    // n - ceil(n/10) + 1, all-integer; (df, gram) is a total order so
-    // the prefix is deterministic.
-    val prefix = grams
-      .join(dfTab, "gram")
-      .groupBy($"doc_id")
-      .agg(collect_list(struct($"df", $"gram")).as("lst"))
+    // miss re-FETCHES shuffle files instead.
+    // shared (grams, arrTab) memo — containment reads the identical
+    // lineage, so the build runs once per sweep (gramPostings). The
+    // prefix (first n - ceil(n/10) + 1 grams in global (df, gram)
+    // order, all-integer arithmetic) is a row-local slice of the
+    // memoized sorted array.
+    val (_, arrTab) = gramPostings(t)
+    val prefix = arrTab
       .select($"doc_id", explode(expr(
-        "slice(array_sort(lst), 1, size(lst) - (size(lst) + 9) div 10 + 1)"
-      )).as("e"))
-      .select($"doc_id", $"e.gram".as("gram"))
-      .persist() // BOTH sides of the candidate self-join read it: without
-                 // this the df-join + per-doc sort pipeline runs twice
+        "slice(arr, 1, size(arr) - (size(arr) + 9) div 10 + 1)")).as("gram"))
+      .persist() // BOTH sides of the candidate self-join read it
     val cand = (probeOnly match {
       case None => prefix.toDF("doc_a", "gram")
         .join(prefix.toDF("doc_b", "gram"), "gram")
@@ -1206,38 +1205,40 @@ object Dedup {
         .select(least($"doc_a", $"doc_b").as("doc_a"),
           greatest($"doc_a", $"doc_b").as("doc_b"))
     }).distinct()
-      .persist() // feeds the doc-id semi-joins and the verification join
-    // exact |A∩B| only for docs that survived candidate generation:
-    // ONE semi-join against the union of candidate doc ids cuts the
-    // gram table to candidate docs before the pair expansion (one pass
-    // over grams, not one per join side), so verification cost tracks
-    // candidates, not the corpus. No broadcast hint: the candidate-doc
-    // set is corpus-fraction-sized at scale, so the pick is left to
-    // AQE (broadcast while small, shuffled hash join once it is not).
-    val candDocs = cand
-      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
-      .distinct()
-    val gramsC = grams.select($"doc_id", $"gram")
-      .join(candDocs, Seq("doc_id"), "left_semi")
-      .persist() // read twice below (doc_a side and doc_b side)
-    val common = cand
-      .join(gramsC.toDF("doc_a", "gram"), "doc_a")
-      .join(gramsC.toDF("doc_b", "gram"), Seq("doc_b", "gram"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-    val out = common
-      .join(sz.toDF("doc_a", "na"), "doc_a")
-      .join(sz.toDF("doc_b", "nb"), "doc_b")
-      .filter(col("common") * 10 >= col("na") + col("nb") - col("common"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")))
+    // exact |A∩B| per surviving candidate pair as a row-local
+    // size(array_intersect) over the two docs' memoized sorted gram
+    // arrays (r22 — replaces the candDocs semi-join + per-gram pair
+    // join + count groupBy: 5 stages and the suite's heaviest gram
+    // stage become two equi-joins and a map). Arrays are per-doc
+    // distinct by construction, so the intersect size IS |A∩B|; n
+    // comes from the same rows as size(arr), dropping the separate sz
+    // aggregate and its two joins. Shuffle bytes are unchanged in
+    // shape: the old form shipped each candidate doc's gram rows once
+    // per pair membership, this ships the same grams as one array
+    // cell (≤ 8191 entries by the position cap — task-sized at any
+    // corpus). No broadcast hint: the candidate side is
+    // corpus-fraction-sized at scale, the pick is left to AQE.
+    val out = cand
+      .join(arrTab.toDF("doc_a", "aa"), "doc_a")
+      .join(arrTab.toDF("doc_b", "ab"), "doc_b")
+      .withColumn("common", size(array_intersect($"aa", $"ab")).cast("long"))
+      .withColumn("na", size($"aa"))
+      .withColumn("nb", size($"ab"))
+      .filter($"common" * 10 >= $"na" + $"nb" - $"common")
+      .select($"doc_a", $"doc_b",
+        ($"common".cast(DoubleType) / ($"na" + $"nb" - $"common"))
           .as("jaccard"))
-      .localCheckpoint() // materialize so the query-local caches can be
-                         // released (grams/dfTab stay memoized for
-                         // containment — SweepCaches drains them)
+    // checkpoint=false is for PLAN INSPECTION only (tools.PlanDump):
+    // the prefix persist releases immediately, so executing that plan
+    // recomputes it
+    if (!checkpoint) { prefix.unpersist(); return out }
+    val cp = out.localCheckpoint() // materialize so the query-local
+                                   // persist can be released
+                                   // (grams/arrTab stay memoized for
+                                   // containment — SweepCaches drains
+                                   // them)
     prefix.unpersist()
-    cand.unpersist()
-    gramsC.unpersist()
-    out
+    cp
   }
 
   val ngramJaccardSql: String =
@@ -1645,19 +1646,16 @@ object Dedup {
     // per-doc narrow map. (r19, the nd1000 stage audit: the restricted
     // union re-ran those pipelines once per orientation and filled the
     // instrument node's scratch where r18 had measured 494 s.)
-    // shared (grams, dfTab) memo — ngramJaccard reads the identical
-    // lineage, so the build runs once per sweep (gramPostings)
-    val (grams, dfTab) = gramPostings(t)
-    val sz = grams.select($"doc_id", $"n")
-      .groupBy($"doc_id").agg(first($"n").as("n"))
-    val prefix = grams
-      .join(dfTab, "gram")
-      .groupBy($"doc_id")
-      .agg(first($"n").as("n"), collect_list(struct($"df", $"gram")).as("lst"))
-      .select($"doc_id", $"n", explode(expr(
-        "slice(array_sort(lst), 1, size(lst) div 2 + 1)" // n − ⌈n/2⌉ + 1
-      )).as("e"))
-      .select($"doc_id", $"e.gram".as("gram"), $"n")
+    // shared (grams, arrTab) memo — ngramJaccard reads the identical
+    // lineage, so the build runs once per sweep (gramPostings). The
+    // τ-prefix (first n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1 grams in global
+    // (df, gram) order) is a row-local slice of the memoized sorted
+    // array.
+    val (grams, arrTab) = gramPostings(t)
+    val prefix = arrTab
+      .select($"doc_id", size($"arr").as("n"), explode(expr(
+        "slice(arr, 1, size(arr) div 2 + 1)")).as("gram"))
+      .select($"doc_id", $"gram", $"n")
       .persist() // BOTH orientations of the restricted union read it
     // (n, doc_id) is the total order that picks the "smaller" side, so
     // ties break deterministically and each unordered pair appears once
@@ -1684,29 +1682,29 @@ object Dedup {
       case Some(p) => orient(broadcast(pSz.filter(p)), gSz)
         .union(orient(pSz, broadcast(gSz.filter(p))))
     }).distinct()
-      .persist() // feeds the doc-id semi-join and the verification join
-    val candDocs = cand
-      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
-      .distinct()
-    val gramsC = grams.select($"doc_id", $"gram")
-      .join(candDocs, Seq("doc_id"), "left_semi")
-      .persist() // read twice below (doc_a side and doc_b side)
+    // exact |A∩B| per surviving candidate pair as a row-local
+    // size(array_intersect) over the two docs' memoized sorted gram
+    // arrays (r22 — same replacement as [[ngramJaccard]]'s: the
+    // candDocs semi-join + per-gram pair join + count groupBy become
+    // two equi-joins and a map; na = size(aa) rides the same rows, so
+    // the sz aggregate and its join disappear too). na IS
+    // min(|A|,|B|) by the candidate orientation.
     val out = cand
-      .join(gramsC.toDF("doc_a", "gram"), "doc_a")
-      .join(gramsC.toDF("doc_b", "gram"), Seq("doc_b", "gram"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
-      .join(sz.toDF("doc_a", "na"), "doc_a")
-      .filter($"common" * 2 >= $"na") // na IS min(|A|,|B|) by orientation
+      .join(arrTab.toDF("doc_a", "aa"), "doc_a")
+      .join(arrTab.toDF("doc_b", "ab"), "doc_b")
+      .withColumn("common", size(array_intersect($"aa", $"ab")).cast("long"))
+      .withColumn("na", size($"aa"))
+      .filter($"common" * 2 >= $"na")
       .select($"doc_a", $"doc_b", $"common",
         ($"common".cast(DoubleType) / $"na").as("containment"))
-    // grams/dfTab stay memoized for ngramJaccard (SweepCaches drains
-    // them); only the query-local persists release here
+    // grams/arrTab stay memoized for ngramJaccard (SweepCaches drains
+    // them); only the query-local persist releases here
     if (!checkpoint) {
-      prefix.unpersist(); cand.unpersist(); gramsC.unpersist()
+      prefix.unpersist()
       return out
     }
     val cp = out.localCheckpoint()
-    prefix.unpersist(); cand.unpersist(); gramsC.unpersist()
+    prefix.unpersist()
     cp
   }
 

@@ -31,6 +31,7 @@ object PlanDump {
       "dedup_audio_fp" -> (t => graft.mm.Multimodal.audioNearDup(t, checkpoint = false)),
       "dedup_edit_distance" -> (t => graft.dedup.Dedup.editDistance(t, checkpoint = false)),
       "dedup_containment" -> (t => graft.dedup.Dedup.containment(t, checkpoint = false)),
+      "dedup_ngram_jaccard" -> (t => graft.dedup.Dedup.ngramJaccard(t, checkpoint = false)),
       "ann_lsh" -> (t => graft.sim.Similarity.annLsh(t, checkpoint = false)),
       "contamination" -> (t => graft.pipeline.CorpusOps.contaminationUncached(t)))
   def main(args: Array[String]): Unit = {
