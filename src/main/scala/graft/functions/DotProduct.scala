@@ -81,6 +81,8 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_quant", exprs => QuantCodes(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vdiv", exprs => VecDiv(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column accessor for [[NibbleL1]] (requires register() first). */
@@ -113,4 +115,10 @@ object GraftFunctions {
     * aggregate(zip_with(...)) form for literal hyperplanes/centroids. */
   def graftDot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  /** Column accessor for [[VecDiv]] (requires register() first):
+    * elementwise `v / s` as one codegen'd loop — bitwise identical to
+    * the interpreted `transform(v, x => x / s)` it replaces. */
+  def vdiv(v: Column, s: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_vdiv", v, s)
 }

@@ -418,7 +418,7 @@ object Similarity {
       .filter(pmod(xxhash64(col("vec_id"), lit("tauSample")), lit(k)) === 0 &&
         col("nrm") > 0)
       .select(col("vec_id"),
-        transform(col("v"), x => x / col("nrm")).as("u"))
+        graft.functions.GraftFunctions.vdiv(col("v"), col("nrm")).as("u"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
@@ -2096,7 +2096,7 @@ object Similarity {
           concat(col("vec_id").cast("string"), lit(":qfit"))))
         .orderBy(col("fh").asc, col("vec_id").asc)
         .limit(budget)
-        .select(transform(col("v"), x => x / col("nrm")).as("u"))
+        .select(graft.functions.GraftFunctions.vdiv(col("v"), col("nrm")).as("u"))
         .collect().map(_.getAs[scala.collection.Seq[Double]]("u").toArray)
       fitSubspaces(rows, m, ks)
     })
@@ -2163,7 +2163,7 @@ object Similarity {
     // the centroid concatenation the ADC dot reads — one mapPartitions
     // does encode + decode; only (cand_id, uhat) flows into the scan
     val codes = e.filter(col("nrm") > 0)
-      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      .select(col("vec_id"), graft.functions.GraftFunctions.vdiv(col("v"), col("nrm")).as("u"))
       .as[(Long, Seq[Double])]
       .mapPartitions { rows =>
         rows.map { case (id, u) =>
@@ -2185,7 +2185,7 @@ object Similarity {
       }.toDF("cand_id", "uhat")
     val probes = e.filter(col("vec_id") % probeMod === 0 && col("nrm") > 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"), col("nrm").as("np"),
-        transform(col("v"), x => x / col("nrm")).as("up"))
+        graft.functions.GraftFunctions.vdiv(col("v"), col("nrm")).as("up"))
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("cand_id").asc)
     // stage 1: ADC = up · uhat (decoded-dot form; same no-broadcast-
@@ -2244,7 +2244,7 @@ object Similarity {
           concat(col("vec_id").cast("string"), lit(":qfit"))))
         .orderBy(col("fh").asc, col("vec_id").asc)
         .limit(budget)
-        .select(transform(col("v"), x => x / col("nrm")).as("u"))
+        .select(graft.functions.GraftFunctions.vdiv(col("v"), col("nrm")).as("u"))
         .collect().map(_.getAs[scala.collection.Seq[Double]]("u").toArray)
       val d = rows.head.length
       val ds = d / m
@@ -2325,7 +2325,7 @@ object Similarity {
     model.transform(
         e.filter(col("nrm") > 0).withColumn("features", array_to_vector(col("v"))))
       .select(col("vec_id"),
-        transform(col("v"), x => x / col("nrm")).as("u"),
+        graft.functions.GraftFunctions.vdiv(col("v"), col("nrm")).as("u"),
         col("prediction").as("cell"))
       .as[(Long, Seq[Double], Int)]
       .mapPartitions { rows =>
@@ -2388,7 +2388,7 @@ object Similarity {
     val probes = e.filter(col("vec_id") % probeMod === 0 && col("nrm") > 0)
       .select(col("vec_id").as("probe_id"), col("v").as("vp"),
         col("nrm").as("pnrm"),
-        transform(col("v"), x => x / col("nrm")).as("up"))
+        graft.functions.GraftFunctions.vdiv(col("v"), col("nrm")).as("up"))
     // stage 1 — same centroid metric as the whole IVF family, as the
     // row-local TopCells multi-assign (the crossJoin+window form sorted
     // (N/probeMod)·nlist vector-wide rows; TopCellsSpec pins the same

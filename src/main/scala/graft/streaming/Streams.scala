@@ -534,7 +534,7 @@ object Streams {
       .withColumn("pnrm", sqrt(GraftFunctions.graftDot(col("v"), col("v"))))
       .filter(col("pnrm") > 0)
       // same normalization expression as the batch probes (bit-equal up)
-      .withColumn("up", transform(col("v"), x => x / col("pnrm")))
+      .withColumn("up", graft.functions.GraftFunctions.vdiv(col("v"), col("pnrm")))
       .withColumn("pc", explode(slice(rankedCells, 1, np)))
       .select(col("probe_id"), col("ts"), col("v").as("vp"), col("pnrm"),
         col("up"), col("pc.cell").as("cell"))

@@ -28,6 +28,35 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("graft_vdiv is bitwise-equal to the transform(x / s) HOF") {
+    import spark.implicits._
+    withLogLevel {
+      GraftFunctions.register(spark)
+      val rng = new scala.util.Random(13)
+      val rows = Seq.fill(50)((
+        Array.fill(64)(rng.nextDouble() * 2 - 1),
+        rng.nextDouble() * 9 + 0.1))
+      val df = rows.toDF("v", "s")
+      val got = df.select(
+        expr("graft_vdiv(v, s)").as("native"),
+        transform($"v", x => x / $"s").as("hof")
+      ).collect()
+      got.foreach { r =>
+        val n = r.getSeq[Double](0); val h = r.getSeq[Double](1)
+        assert(n.length == h.length && n.length == 64)
+        n.zip(h).foreach { case (a, b) =>
+          assert(java.lang.Double.doubleToLongBits(a) ==
+            java.lang.Double.doubleToLongBits(b))
+        }
+      }
+      // null array / null scalar both yield null, like the HOF
+      val nulls = spark.sql(
+        "SELECT graft_vdiv(CAST(NULL AS array<double>), 2.0d) a, " +
+          "graft_vdiv(array(1.0d, 2.0d), CAST(NULL AS double)) b").head
+      assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    }
+  }
+
   // GraftExtensions is exercised end-to-end by graft.tools.ExtDemo (a
   // fresh JVM builds the session with spark.sql.extensions); inside this
   // shared-session test JVM getOrCreate would silently ignore extensions.
