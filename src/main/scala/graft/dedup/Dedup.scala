@@ -41,19 +41,22 @@ object Dedup {
 
   /** Overlapping word `width`-gram spans of `text` as a self-contained
     * SQL expression, capped at 8191 starts (invariant 6 — mirrored by
-    * the oracles' range(1, 8192) tables). The single-element outer
-    * transform binds split(text) ONCE per row as a lambda variable:
-    * Catalyst does not hoist loop-invariant subexpressions out of
-    * higher-order-function lambdas, so the naive
-    * `i -> slice(split(text,' '), i, w)` re-splits the WHOLE document
-    * at every start — O(words·starts) per doc, measured as 173 s of
-    * summed stage CPU on the 10x corpus_scrub_spans span stage alone
-    * before the hoist (r18 Profile stages audit).
+    * the oracles' range(1, 8192) tables). Since r22 this is the native
+    * [[graft.functions.WordGrams]] node — the previous composed form
+    * (`transform(array(split(text,' ')), toks -> transform(sequence(
+    * 1, least(greatest(size(toks)-(w-1), 1), 8191)), i ->
+    * concat_ws(' ', slice(toks, i, w))))[0]`, itself the r18 fix for
+    * the O(words·starts) re-split) was a CodegenFallback HOF paying an
+    * interpreted lambda dispatch and a slice allocation PER GRAM —
+    * ~12 s of summed task CPU on each of stream_curated's three gram
+    * stages at sf0.1 (r22 stage audit). The native node bottoms out in
+    * the same UTF8String split/concatWs kernels, so the array is
+    * byte-identical (FunctionsSpec pin). Callers need GraftFunctions
+    * registered on the session (Tables() does it; the direct-use
+    * sites register defensively).
     */
   private[graft] def gramExpr(width: Int): String =
-    s"transform(array(split(text, ' ')), toks -> " +
-      s"transform(sequence(1, least(greatest(size(toks)-${width - 1}, 1), 8191)), " +
-      s"i -> concat_ws(' ', slice(toks, i, $width))))[0]"
+    s"graft_word_grams(text, $width)"
 
   // ---------------------------------------------------------------- exact
 

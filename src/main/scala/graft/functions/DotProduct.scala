@@ -83,6 +83,8 @@ object GraftFunctions {
       "graft_quant", exprs => QuantCodes(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vdiv", exprs => VecDiv(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_grams", exprs => WordGrams(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column accessor for [[NibbleL1]] (requires register() first). */

@@ -39,7 +39,13 @@ object AsOf {
     // order rows sort before events at equal t (as-of is inclusive)
     val w = Window.partitionBy($"key").orderBy($"t".asc, $"is_order".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pinned width: the union is ~60 B rows, so AQE's byte-based
+    // coalescing shrank the keyed window exchange to 3 tasks at sf0.1
+    // (r22 stage audit) — the q32/signWords compute-amplified-stage
+    // rule; HashPartitioning(key) satisfies the window's distribution,
+    // so this replaces the exchange rather than adding one
     ord.unionByName(ev)
+      .repartition(t.spark.sparkContext.defaultParallelism, $"key")
       .withColumn("m_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
       .withColumn("m_totalprice", last($"o_totalprice", ignoreNulls = true).over(w))
       .filter($"is_order" === 0 && $"m_orderkey".isNotNull)
@@ -85,7 +91,9 @@ object AsOf {
     val wNext = Window.partitionBy($"key").orderBy($"t".asc, $"is_order".desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val ot = when($"is_order" === 1, $"tt")
+    // pinned width — same r22 stage-audit finding as eventsAsOfOrders
     ord.unionByName(ev)
+      .repartition(t.spark.sparkContext.defaultParallelism, $"key")
       .withColumn("tt", unix_micros($"t".cast("timestamp")))
       .withColumn("pk", last($"o_orderkey", ignoreNulls = true).over(wPrev))
       .withColumn("pp", last($"o_totalprice", ignoreNulls = true).over(wPrev))
@@ -142,7 +150,9 @@ object AsOf {
     val w = Window.partitionBy($"key").orderBy($"t".asc, $"is_order".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ot = when($"is_order" === 1, $"tt")
+    // pinned width — same r22 stage-audit finding as eventsAsOfOrders
     ord.unionByName(ev)
+      .repartition(t.spark.sparkContext.defaultParallelism, $"key")
       .withColumn("tt", unix_micros($"t".cast("timestamp")))
       .withColumn("m_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
       .withColumn("m_totalprice", last($"o_totalprice", ignoreNulls = true).over(w))

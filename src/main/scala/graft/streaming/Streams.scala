@@ -110,6 +110,10 @@ object Streams {
     */
   def curatedStream(docs: DataFrame, contamIds: DataFrame,
                     horizon: String = "1 hour"): DataFrame = {
+    // gramExpr resolves the native graft_word_grams since r22 — this
+    // is a DataFrame-input path, so register on the session ourselves
+    // (the CLAUDE.md graft_h32 rule; Tables() isn't necessarily built)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val g2 = expr(graft.pipeline.CorpusOps.gramExpr(2))
     // Repetition gate BEFORE the dedup (r21): the gate is a pure
     // function of text and dedup groups rows by md5(text), so every

@@ -57,6 +57,40 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("graft_word_grams equals the composed transform/slice gram expression") {
+    import spark.implicits._
+    withLogLevel {
+      GraftFunctions.register(spark)
+      // the pre-r22 composed form, inlined verbatim as the reference
+      def hof(w: Int): String =
+        s"transform(array(split(text, ' ')), toks -> " +
+          s"transform(sequence(1, least(greatest(size(toks)-${w - 1}, 1), 8191)), " +
+          s"i -> concat_ws(' ', slice(toks, i, $w))))[0]"
+      val rng = new scala.util.Random(29)
+      val words = Vector("alpha", "beta", "g", "δδ", "", "x y".replace(" ", ""))
+      val adversarial = Seq(
+        "",                       // empty text: one empty token
+        " ",                      // two empty tokens
+        "one",                    // single word, width > n
+        "a  b",                   // consecutive spaces: empty middle token
+        " lead", "trail ",        // leading/trailing space
+        "ü ö π",                  // multi-byte
+        Seq.fill(9000)("w").mkString(" ")) ++ // beyond the 8191 cap
+        Seq.fill(40)(Seq.fill(1 + rng.nextInt(30))(
+          words(rng.nextInt(words.length))).mkString(" "))
+      val df = adversarial.toDF("text")
+      for (w <- Seq(2, 4, 5, 16)) {
+        val rows = df.select(expr(s"graft_word_grams(text, $w)").as("native"),
+          expr(hof(w)).as("ref")).collect()
+        rows.foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1),
+            s"width $w mismatch: ${r.getSeq[String](0).take(5)} vs ${r.getSeq[String](1).take(5)}")
+        }
+      }
+      assert(spark.sql("SELECT graft_word_grams(CAST(NULL AS string), 2)").head.isNullAt(0))
+    }
+  }
+
   // GraftExtensions is exercised end-to-end by graft.tools.ExtDemo (a
   // fresh JVM builds the session with spark.sql.extensions); inside this
   // shared-session test JVM getOrCreate would silently ignore extensions.
